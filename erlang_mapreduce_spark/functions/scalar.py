@@ -1,0 +1,180 @@
+"""Scalar function families (SURVEY.md §2.B "Scalar functions") — one
+oracle-checked query per family. Ref analogs: the char-code manipulation in
+countCombos / firstLetter (mapreduce.erl:257-273) for strings, float
+division in calcProb (mapreduce.erl:139) for math; date/array/map-json are
+engine extensions.
+
+All expressions stay JVM-side inside whole-stage codegen — no Python UDFs.
+Engine-comparison notes inline: transcendentals rounded (libm last-ulp),
+timestamps emitted as strings (UTC session tz), Spark LONG-returning
+floor/ceil matched by explicit casts in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       length(p_name) AS name_len,
+       upper(p_brand) AS brand_up,
+       substring(p_type, 1, 5) AS type5,
+       ascii(substring(p_name, 1, 1)) AS first_code,
+       p_brand || ':' || p_type AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+       CASE WHEN regexp_matches(p_name, '^[a-z]{2}') THEN 1 ELSE 0 END
+           AS starts_2alpha,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: length/upper/substring/ascii/concat/regexp/lpad —
+    generalizes the reference's char-code ops (mapreduce.erl:257-273)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.ascii(F.substring("p_name", 1, 1)).alias("first_code"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        F.when(F.col("p_name").rlike("^[a-z]{2}"), 1)
+        .otherwise(0)
+        .alias("starts_2alpha"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS INTEGER) AS days_since,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: trunc/extract/diff/interval arithmetic. Timestamps are
+    formatted to strings so the hash is transport-independent."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias(
+            "days_since"
+        ),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       abs(l_discount - 0.05) AS disc_dev,
+       round(ln(l_extendedprice + 1), 6) AS log_price,
+       sqrt(l_quantity) AS qty_sqrt,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod,
+       l_extendedprice / (1.0 + l_tax) AS pre_tax
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/ln/sqrt/floor/ceil/mod/float-division (ref:
+    calcProb's `/`, mapreduce.erl:139). ln rounded to 6 (libm ulp); sqrt is
+    IEEE-correctly-rounded so it matches exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+        (F.col("l_extendedprice") / (F.lit(1.0) + F.col("l_tax"))).alias(
+            "pre_tax"
+        ),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+WITH arr AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS INTEGER) AS n_words,
+       words[1] AS first_word,
+       words[-1] AS last_word,
+       CAST(list_contains(words, 'data') AS INTEGER) AS has_data,
+       CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct,
+       array_to_string(words[1:3], '|') AS first3
+FROM arr
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split/size/element_at/contains/distinct/slice/join —
+    generalizes the bigram array expansion (mapreduce.erl:260-295)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_contains(words, "data").cast("int").alias("has_data"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.array_join(F.slice(words, 1, 3), "|").alias("first3"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+FROM events
+""",
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: extract a typed field from the events.props JSON blob.
+    get_json_object avoids a full from_json schema parse when only one path
+    is needed (cheaper at scale: no struct materialization)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        "event_type",
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
+    )

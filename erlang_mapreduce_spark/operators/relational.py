@@ -1,0 +1,339 @@
+"""Relational core: projection, filters, aggregations, sort, top-k, set ops,
+exact dedup (SURVEY.md §2.B).
+
+Each op generalizes a reference capability: projection/derived columns ≙
+calcProb (mapreduce.erl:137-141); filters ≙ the split-time predicates
+(mapreduce.erl:174-181); hash aggregation ≙ the ETS partial/final combine
+(mapreduce.erl:275-282, :236-255); global aggregates ≙ countTotal
+(mapreduce.erl:130-134); sort ≙ the orddict ordering (mapreduce.erl:49);
+union/merge ≙ the 26-way reducer merge (mapreduce.erl:116-127).
+
+All of these compile to whole-stage-codegen'd HashAggregate / Sort /
+Exchange plans — no Python in the hot path. Double-typed sums go through
+DECIMAL (see exact.py) so the oracle hash is order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exact import davg, davg_sql, dsum, dsum_sql
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "project_select",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+       l_returnflag || '/' || l_linestatus AS flag_status
+FROM lineitem
+""",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection + arithmetic + aliasing (ref: calcProb's derived
+    column, mapreduce.erl:137-141). Per-row IEEE arithmetic is deterministic
+    and identical across engines, so no rounding is needed."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charged"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 1000 AND 200000
+  AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+  AND o_custkey IS NOT NULL
+""",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates: IN, BETWEEN, LIKE, IS NOT NULL
+    (ref: split-time filters, mapreduce.erl:174-181). All push down to the
+    parquet scan (PushedFilters in .explain)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 200000)
+        & (
+            F.col("o_orderpriority").like("1%")
+            | F.col("o_orderpriority").like("2%")
+        )
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "agg_hash_count",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_hash_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy count/sum — Spark's partial+final HashAggregate pair is the
+    built-in analog of the reference's mapper-ETS combine + reducer merge
+    (mapreduce.erl:275-282, :236-255): shuffle volume is O(distinct keys),
+    not O(rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@query(
+    "agg_multi",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS cnt,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       {davg_sql('o_totalprice')} AS avg_price,
+       round(stddev_samp(o_totalprice), 4) AS sd_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev multi-aggregate (generalizes A9). stddev is
+    genuinely order-dependent in float → rounded to 4 on both sides."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        davg("o_totalprice").alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS nd_part,
+       count(DISTINCT l_suppkey) AS nd_supp,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (oracle-checked). The approximate path
+    (approx_count_distinct, HLL-based — the 100 TB answer) is exercised in
+    tests/test_operators.py since DuckDB's approx_distinct uses a different
+    sketch and cannot hash-match."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("nd_part"),
+        F.count_distinct("l_suppkey").alias("nd_supp"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (subtotals + grand total). Spark expands grouping sets before
+    the hash agg; one shuffle, same as a plain groupBy."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_custkey").cast("bigint")).alias("sum_cust"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT count(*) AS cnt,
+       {dsum_sql('l_extendedprice')} AS sum_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-wide scalar aggregate (ref: countTotal fold,
+    mapreduce.erl:130-134). Partial aggregation makes this a single-row
+    shuffle regardless of input size."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_ratio_of_total",
+    oracle="""
+WITH per_nation AS (
+    SELECT n_name, count(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, cnt,
+       CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS ratio
+FROM per_nation
+""",
+)
+def agg_ratio_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value / global total — the reference's flagship shape (calcProb,
+    mapreduce.erl:137-141). Implemented as agg + broadcast of the single
+    total row (scalar cross join), NOT a partition-less window, which would
+    funnel all rows through one task at scale — the reference's own
+    collect-to-master anti-pattern (mapreduce.erl:98)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = per_nation.agg(F.sum("cnt").alias("_total"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        "cnt",
+        (F.col("cnt") / F.col("_total")).alias("ratio"),
+    )
+
+
+@query(
+    "sort_global",
+    oracle="""
+SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order (ref: orddict ordering, mapreduce.erl:49). The attached
+    row_number makes the order observable to the order-insensitive hash.
+    Spark's range-partitioned sort scales out; at 100 TB prefer sort + write
+    over any single-partition window (this op uses the window only to
+    witness the order at test scale)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        F.row_number().over(w).alias("rn"), "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 25
+""",
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = orderBy + limit → Spark's TakeOrderedAndProject: each
+    partition keeps k rows, driver merges k·P — no global sort shuffle.
+    Deterministic tie-break on the key."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(25)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "set_union_intersect_except",
+    oracle="""
+SELECT 'cust_or_supp' AS tag, n_nationkey FROM (
+    SELECT c_nationkey AS n_nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'cust_and_supp' AS tag, n_nationkey FROM (
+    SELECT c_nationkey AS n_nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'cust_not_supp' AS tag, n_nationkey FROM (
+    SELECT c_nationkey AS n_nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier)
+""",
+)
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except (ref analog: the 26-reducer result merge,
+    mapreduce.erl:116-127, which is a disjoint-range union)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.lit(t).alias("tag"), "n_nationkey"
+    )
+    return (
+        tag(c.union(s).distinct(), "cust_or_supp")
+        .unionAll(tag(c.intersect(s), "cust_and_supp"))
+        .unionAll(tag(c.subtract(s), "cust_not_supp"))
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with a DETERMINISTIC survivor (first by l_linenumber) —
+    dropDuplicates picks an arbitrary row, which cannot be oracle-checked;
+    the row_number formulation is what you'd run at 100 TB anyway (single
+    hash shuffle on the key, no full sort). Pure distinct() is covered by
+    set ops above."""
+    li = load(spark, sf_dir, "lineitem")
+    # the survivor order must be TOTAL — (orderkey, linenumber) alone is not
+    # unique in the fixture data, which a nondeterministic tie would turn
+    # into a hash mismatch
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )

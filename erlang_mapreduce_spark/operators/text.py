@@ -1,0 +1,157 @@
+"""Text operators — the reference's own domain, generalized.
+
+The reference computes overlapping character-bigram counts + probabilities
+over a pre-tokenized word list (mapreduce.erl:40-55 single-process,
+:58-127 distributed). Canonical semantics here are DISTRIBUTED mode
+(SURVEY.md §2.3 Q4): words not starting with [a-z] or shorter than 2 chars
+are dropped (mapreduce.erl:176-181), and the `totalCount` pseudo-row is
+excluded from results and the probability denominator (mapreduce.erl:222-224).
+
+The bigram extraction is the declarative equivalent of the `countCombos`
+state machine (mapreduce.erl:260-295): emit every overlapping adjacent pair,
+keep those matching ^[a-z]{2}$. SURVEY.md §2.3 Q1 proves this EXACTLY
+equivalent to the asymmetric skip rule (exhaustive + fuzz + full-dataset
+verification), so no parity UDF is needed in the hot path.
+
+Scale notes (100 TB): the whole pipeline is narrow until one hash-agg
+shuffle keyed on the full bigram (NOT first letter — the reference's 26-way
+first-letter routing at mapreduce.erl:226 is a skew object lesson; English
+letter frequencies vary ~40×). Partial aggregation (the map-side ETS combine
+at mapreduce.erl:275-282) is Spark's built-in partial/final HashAggregate,
+so shuffle volume is O(distinct bigrams × partitions) ≤ 676 × P, independent
+of corpus size. The global total for probabilities is a single-row broadcast
+(scalar subquery), not a repartition-to-one window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# exact declarative transcription of countCombos (mapreduce.erl:260-295), Q1
+_BIGRAM_EXPR = (
+    "filter(transform(sequence(1, length(word) - 1),"
+    " i -> substring(word, i, 2)), b -> b rlike '^[a-z]{2}$')"
+)
+
+
+def read_reference_wordlist(spark: SparkSession, path: str) -> DataFrame:
+    """Read a word list with the reference's exact file semantics: split on
+    '\\n' and drop the LAST split element unconditionally
+    (`tl(lists:reverse(Lines))`, mapreduce.erl:44) — which drops the empty
+    trailing element for \\n-terminated files but drops a REAL word when the
+    file lacks a trailing newline (test.ngl, short.txt both do).
+
+    The reference itself reads the whole file into memory
+    (file:read_file, mapreduce.erl:41), so this small-file parity helper does
+    the same; the engine's scale path is scan_text (spark.read.text), which
+    has the sane semantics (no phantom/dropped lines).
+    """
+    with open(path, "rb") as f:
+        lines = f.read().decode("utf-8", errors="replace").split("\n")[:-1]
+    return spark.createDataFrame([(w,) for w in lines], ["word"])
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """text → one word per row (the pre-step the reference's .ngl input skips)."""
+    return df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+
+
+def dist_mode_filter(words: DataFrame) -> DataFrame:
+    """Canonical word filters: first char in [a-z] (mapreduce.erl:174-179),
+    length >= 2 (mapreduce.erl:180-181)."""
+    return words.filter(
+        F.col("word").rlike("^[a-z]") & (F.length("word") >= 2)
+    )
+
+
+def bigrams(words: DataFrame) -> DataFrame:
+    """word → overlapping char bigrams (mapreduce.erl:260-295, exact per Q1)."""
+    return words.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+
+
+def bigram_freq(words: DataFrame) -> DataFrame:
+    """The full reference computation over a `word` column:
+    filter → flatMap bigrams → count (partial+final hash agg,
+    mapreduce.erl:275-282 + :236-255) → probability = cnt / Σcnt
+    (mapreduce.erl:130-141) → sort by bigram (mapreduce.erl:49)."""
+    counts = bigrams(dist_mode_filter(words)).groupBy("bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    # scalar total broadcast-joined: one row crossing the wire, no single-
+    # partition window sort at scale
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "cnt",
+            (F.col("cnt") / F.col("_total")).alias("prob"),
+        )
+        .orderBy("bigram")
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry(): the reference workload over the documents corpus."""
+    return bigram_freq(tokenize(load(spark, sf_dir, "documents")))
+
+
+_BIGRAM_CTES = """
+WITH words AS (
+    SELECT w AS word
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) > 0
+),
+kept AS (
+    SELECT word FROM words
+    WHERE regexp_matches(word, '^[a-z]') AND length(word) >= 2
+),
+bg AS (
+    SELECT substring(word, CAST(i AS INTEGER), 2) AS bigram
+    FROM (SELECT word, unnest(range(1, length(word))) AS i FROM kept)
+    WHERE regexp_matches(substring(word, CAST(i AS INTEGER), 2), '^[a-z]{2}$')
+),
+counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram)
+"""
+
+
+@query(
+    "text_tokenize",
+    oracle="""
+WITH words AS (
+    SELECT w AS word
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) > 0
+)
+SELECT word, count(*) AS cnt FROM words GROUP BY word
+""",
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer as a standalone op: word frequencies over the corpus."""
+    return (
+        tokenize(load(spark, sf_dir, "documents"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "text_bigram_freq",
+    oracle=f"""
+{_BIGRAM_CTES.strip()}
+SELECT bigram, cnt,
+       CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS prob
+FROM counts
+""",
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship: bigram counts + probabilities (dist mode)."""
+    return bigram_freq(tokenize(load(spark, sf_dir, "documents")))

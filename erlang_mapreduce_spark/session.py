@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+The reference hard-codes its "cluster config" (26 mappers / 26 reducers,
+random placement — mapreduce.erl:85-93, :149-155). We instead centralize a
+session factory whose defaults are chosen for scale-out behavior:
+
+- AQE on (runtime coalescing, skew-join splitting, join-strategy switch) —
+  the antidote to the reference's fixed 26-way first-letter partitioning,
+  which is a skew object lesson (SURVEY.md §4.3).
+- shuffle.partitions sized by env (local test default 32 = driver local[32];
+  on a real cluster this is overridden or left to AQE's coalescing).
+- UTC session timezone so timestamp semantics are stable across engines.
+- Arrow enabled for any pandas-UDF path (the only sanctioned Python hot path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local-test sizing; a 1000-executor deployment overrides via spark-submit
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # driver fixtures carry TIMESTAMP(NANOS) (events.ts); read as long nanos
+    # and convert in tables.load (Spark has no ns timestamp type)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Dlog4j2.level=error",
+}
+
+
+def get_spark(app_name: str = "erlang-mapreduce-spark") -> SparkSession:
+    """Build (or fetch) the session. Idempotent: returns the active session
+    if one exists (configs are builder-level, so they only apply on first
+    creation — tests and the driver both rely on this)."""
+    builder = SparkSession.builder.appName(app_name)
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and not os.environ.get("SPARK_MASTER_URL"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

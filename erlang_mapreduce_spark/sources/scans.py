@@ -1,0 +1,178 @@
+"""Sources & sinks (SURVEY.md §2.B "Scans / sources / sinks").
+
+The reference's only source is a line-delimited text file read whole and
+split on \\n (mapreduce.erl:41-43), and its only sink is 26 hand-partitioned
+text files (mapreduce.erl:73-77, :158-185). Here: columnar parquet scan
+(with pushdown), text scan, schema'd csv/json scans, and a partitioned
+parquet sink — the write.partitionBy analog of the reference's first-letter
+routing, but hash-distributed instead of funneled through one process.
+
+Text/CSV/JSON fixture files are materialized once per sf under
+/tmp/spark_graft_fixtures/<sf>/ from the driver's parquet (deterministic:
+ordered by key), because the driver ships parquet only. Both the Spark query
+and the DuckDB oracle read the same materialized file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load
+
+FIXTURE_ROOT = "/tmp/spark_graft_fixtures"
+SINK_ROOT = "/tmp/spark_graft_sink"
+
+
+def fixture_dir(sf_dir: str) -> str:
+    return os.path.join(FIXTURE_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def ensure_fixtures(sf_dir: str) -> str:
+    """Materialize documents.txt / nation.csv / region.jsonl from the sf
+    parquet, once (sentinel-guarded). Deterministic content+order."""
+    d = fixture_dir(sf_dir)
+    sentinel = os.path.join(d, ".done")
+    if os.path.exists(sentinel):
+        return d
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT text FROM '{sf_dir}/documents.parquet'
+               ORDER BY doc_id)
+           TO '{d}/documents.txt'
+           (FORMAT CSV, HEADER FALSE, QUOTE '', DELIMITER E'\\x01')"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{sf_dir}/nation.parquet' ORDER BY n_nationkey)
+           TO '{d}/nation.csv' (FORMAT CSV, HEADER TRUE)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{sf_dir}/region.parquet' ORDER BY r_regionkey)
+           TO '{d}/region.jsonl' (FORMAT JSON)"""
+    )
+    con.close()
+    with open(sentinel, "w") as f:
+        f.write("ok")
+    return d
+
+
+# the driver's t2 correctness pass runs at sf0.01 — oracle strings are static,
+# so they reference the sf0.01 fixture paths; tests substitute their own sf.
+_ORACLE_FX = os.path.join(FIXTURE_ROOT, "sf0.01")
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with predicate pushdown + column pruning: the filter and
+    the 5-column ReadSchema both reach the parquet reader (verified by
+    tests/test_plans.py). Ref analog: A1 (mapreduce.erl:41-43) — which reads
+    the whole file into memory; at 100 TB pushdown IS the operator."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate")
+
+
+@query(
+    "scan_text",
+    oracle=f"""
+WITH lines AS (
+    SELECT unnest(string_split(content, chr(10))) AS value
+    FROM read_text('{_ORACLE_FX}/documents.txt')
+)
+SELECT value, length(value) AS n_chars
+FROM lines WHERE length(value) > 0
+""",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text scan — the reference's native source
+    (mapreduce.erl:41-43; trailing-empty-line drop ≙ mapreduce.erl:44,
+    which spark.read.text never emits)."""
+    d = ensure_fixtures(sf_dir)
+    df = spark.read.text(os.path.join(d, "documents.txt"))
+    return df.filter(F.length("value") > 0).select(
+        "value", F.length("value").alias("n_chars")
+    )
+
+
+@query(
+    "scan_csv_json",
+    oracle=f"""
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM read_csv('{_ORACLE_FX}/nation.csv', header = true,
+              columns = {{'n_nationkey': 'INTEGER', 'n_name': 'VARCHAR',
+                          'n_regionkey': 'INTEGER'}}) n
+JOIN read_json('{_ORACLE_FX}/region.jsonl',
+               columns = {{'r_regionkey': 'INTEGER', 'r_name': 'VARCHAR'}}) r
+  ON n.n_regionkey = r.r_regionkey
+""",
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with explicit schema + JSON-lines scan with explicit schema,
+    joined. Explicit schemas avoid the double inference pass — at 100 TB
+    schema inference is a full extra read of the data."""
+    d = ensure_fixtures(sf_dir)
+    nation_schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    region_schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    n = spark.read.csv(
+        os.path.join(d, "nation.csv"), schema=nation_schema, header=True
+    )
+    r = spark.read.json(os.path.join(d, "region.jsonl"), schema=region_schema)
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+SELECT o_orderpriority, count(*) AS cnt,
+       CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write, then read-back verification aggregate —
+    the analog of the reference's 26 per-letter partition files
+    (mapreduce.erl:73-77, :158-185). partitionBy on a low-cardinality column
+    gives partition pruning to every downstream reader; the read-back
+    aggregate hash-matches the source table iff the sink round-trips."""
+    out = os.path.join(
+        SINK_ROOT, os.path.basename(os.path.normpath(sf_dir)), "orders_by_prio"
+    )
+    o = load(spark, sf_dir, "orders")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
+    )

@@ -1,0 +1,130 @@
+"""Time-window operators over `events` (SURVEY.md §2.B "Streaming").
+
+These use the same window()/session_window() expressions Structured
+Streaming executes incrementally; run here in batch mode so DuckDB can
+oracle-check the semantics (a streaming query with availableNow + complete
+mode produces exactly these results). The true incremental path — watermarks,
+state store, late-data drop — lives in streams.py (rows-only checks).
+
+Spark's window(ts, ...) buckets align to the unix epoch; the oracles
+reproduce that with epoch arithmetic (300 s and 600 s divide both engines'
+epoch origins, so alignment is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exact import dsum, dsum_sql
+from ..registry import query
+from ..tables import load
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS cnt,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window count+sum per event type — the streaming
+    groupBy(window(...)) aggregation, batch-executed. At scale this is one
+    hash shuffle on (window, type); streaming keeps per-window state until
+    the watermark closes it."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH slid AS (
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300 - k.k * 300) AS win_start,
+           user_id
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS cnt,
+       count(DISTINCT user_id) AS nd_users
+FROM slid
+GROUP BY 1
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 10-minute window every 5 minutes — each event lands in
+    2 windows (window() explodes to window copies before the agg; shuffle
+    volume = slide-factor × rows, the scale cost of overlapping windows)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count_distinct("user_id").alias("nd_users"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("win_start"),
+            "cnt",
+            "nd_users",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-minute inactivity gap) per user via Spark's native
+    session_window — merged incrementally in streaming, computed via a
+    sort-based group in batch. Oracle reproduces it with the classic
+    gaps-and-islands SQL."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,58 @@
+"""Fixture-table access.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet each under an sf dir. The engine
+always goes through ``load`` so column pruning / predicate pushdown reach the
+parquet scan (reading parquet declaratively is the Spark analog of the
+reference's whole-file read + split at mapreduce.erl:41-43).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# dimension tables small enough to broadcast at ANY scale factor (they grow
+# sublinearly or not at all in TPC-H-style data): always broadcast-join these.
+BROADCAST_DIMS = ("region", "nation", "supplier", "part")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    # The caller may hand us a vanilla session (the driver does). Two confs
+    # are correctness-critical and runtime-settable, so pin them here rather
+    # than only in our own session factory:
+    #  - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), unreadable
+    #    otherwise (converted back to a µs timestamp below)
+    #  - UTC session tz: timestamp→string formatting must match the
+    #    (naive/UTC) DuckDB oracle
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; spark.sql.legacy.parquet.nanosAsLong (set in session.py)
+        # surfaces it as a long of nanos. Truncate to micros exactly like
+        # DuckDB does (integer division — values are post-1970 so floor==trunc)
+        # and rebuild the timestamp.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df

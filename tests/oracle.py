@@ -1,0 +1,87 @@
+"""Local mirror of the driver's t2 check: run a registered Spark query and
+its DuckDB oracle on the same sf dir, compare row count + schema shape +
+order-insensitive values (floats with tight tolerance — the driver hashes,
+so production queries are engineered to match exactly; the tolerance here
+only localizes a failure to 'value drift' vs 'wrong rows')."""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+
+from erlang_mapreduce_spark.registry import ORACLES, QUERIES
+from erlang_mapreduce_spark.tables import TABLES
+
+_ORACLE_SF = "sf0.01"  # static fixture paths inside oracle strings
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (datetime, date)):
+        return str(v)
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+def _cells_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def run_compare(spark, name: str, sf_dir: str) -> None:
+    """Assert the Spark query matches its oracle. Raises AssertionError with
+    a focused diff on mismatch."""
+    q = QUERIES[name]
+    sdf = q(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    sql = ORACLES[name].replace(_ORACLE_SF, os.path.basename(os.path.normpath(sf_dir)))
+    con = duck_con(sf_dir)
+    try:
+        res = con.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duck={len(drows)}"
+    )
+    sc, sn = _norm_rows(scols, srows)
+    dc, dn = _norm_rows(dcols, drows)
+    mismatches = []
+    for i, (a, b) in enumerate(zip(sn, dn)):
+        if not all(_cells_equal(x, y) for x, y in zip(a, b)):
+            mismatches.append((i, a, b))
+            if len(mismatches) >= 5:
+                break
+    assert not mismatches, (
+        f"{name}: value mismatch (cols={sc}); first diffs: {mismatches}"
+    )
