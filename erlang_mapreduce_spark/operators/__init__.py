@@ -1,3 +1,3 @@
 """Operator modules — importing them populates the registry."""
 
-from . import relational, text  # noqa: F401
+from . import joins, relational, text, windows  # noqa: F401

@@ -1,0 +1,281 @@
+"""Join operators (SURVEY.md §2.B "Joins").
+
+The reference has no joins — its closest structural cousin is the 26-way
+key-routed shuffle (sendToReducer, mapreduce.erl:216-229). All ops here are
+north-star extensions, each implemented with the physical strategy you'd
+want at 100 TB:
+
+- dimension joins broadcast explicitly (no shuffle of the fact table);
+- large-large equi-joins shuffle on the key and let AQE pick SMJ vs
+  shuffled-hash (and split skewed partitions);
+- the interval join uses the bucket-expansion trick to stay an EQUI-join
+  (Spark's native plan for a pure range predicate is a nested-loop —
+  O(n·m) — which is the known weak spot, SURVEY.md §4.2);
+- the as-of join is a union + running `last()` window: one shuffle on the
+  key, no per-key Python, no merge_asof materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exact import dsum, dsum_sql
+from ..registry import query
+from ..tables import load
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⨝ broadcast dims: nation/region ship to every executor once;
+    the customer scan never shuffles. The r_name filter prunes before the
+    join (Catalyst pushes it below)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_sortmerge",
+    oracle=f"""
+SELECT o_orderkey, o_orderstatus,
+       count(*) AS n_lines,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderkey, o_orderstatus
+""",
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join (orders ⨝ lineitem): both sides shuffle on the
+    key; AQE picks sort-merge or shuffled-hash and handles skew at runtime.
+    The post-join aggregate reuses the join's hash partitioning — no second
+    shuffle (verified in tests/test_plans.py)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join_outer",
+    oracle=f"""
+WITH cn AS (SELECT c_nationkey AS nk, count(*) AS c_cnt FROM customer
+            GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nk, count(*) AS s_cnt,
+                   {dsum_sql('s_acctbal')} AS s_bal
+            FROM supplier GROUP BY 1)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey, c_cnt, s_cnt, s_bal
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (covers the left/right null-extension semantics in
+    both directions): per-nation customer counts vs supplier counts, nulls
+    where either side is absent. Aggregating BEFORE the outer join keeps
+    the joined relations tiny — at scale, outer joins over pre-aggregated
+    keys beat row-level outer joins by orders of magnitude."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("s_cnt"), dsum("s_acctbal").alias("s_bal"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "c_cnt", "s_cnt", "s_bal"
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+SELECT 'has_order' AS tag, c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'no_order' AS tag, c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins: left-semi + left-anti. Semi/anti joins only ship the
+    join key of the right side (and stop at first match) — the right way to
+    express EXISTS at scale, never a join+distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = c.c_custkey == o.o_custkey
+    semi = c.join(o, cond, "left_semi").select(
+        F.lit("has_order").alias("tag"), "c_custkey"
+    )
+    anti = c.join(o, cond, "left_anti").select(
+        F.lit("no_order").alias("tag"), "c_custkey"
+    )
+    return semi.unionAll(anti)
+
+
+_BINS = [
+    (0.0, 50.0, "low"),
+    (50.0, 100.0, "mid"),
+    (100.0, 150.0, "high"),
+    (150.0, 1e6, "top"),
+]
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT e.event_id, e.value, b.label
+FROM events e
+JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 100.0, 'mid'),
+             (100.0, 150.0, 'high'), (150.0, 1000000.0, 'top'))
+     b(lo, hi, label)
+  ON e.value >= b.lo AND e.value < b.hi
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: events banded into value bins. The bin
+    side is broadcast, so the physical plan is a BroadcastNestedLoopJoin
+    over a 4-row table — O(n·4), fine at any scale. A large-large theta
+    join would instead need the binning rewrite (see join_interval)."""
+    e = load(spark, sf_dir, "events")
+    bins = spark.createDataFrame(_BINS, ["lo", "hi", "label"])
+    return e.join(
+        F.broadcast(bins),
+        (e.value >= bins.lo) & (e.value < bins.hi),
+    ).select("event_id", "value", "label")
+
+
+_INTERVALS = [
+    ("2024-01-02 00:00:00", "2024-01-05 12:00:00", "w1"),
+    ("2024-01-05 12:00:00", "2024-01-09 00:00:00", "w2"),
+    ("2024-01-12 00:00:00", "2024-01-20 06:30:00", "w3"),
+    ("2024-01-25 18:00:00", "2024-02-01 00:00:00", "w4"),
+]
+
+
+@query(
+    "join_interval",
+    oracle="""
+SELECT e.event_id, i.label
+FROM events e
+JOIN (VALUES (TIMESTAMP '2024-01-02 00:00:00',
+              TIMESTAMP '2024-01-05 12:00:00', 'w1'),
+             (TIMESTAMP '2024-01-05 12:00:00',
+              TIMESTAMP '2024-01-09 00:00:00', 'w2'),
+             (TIMESTAMP '2024-01-12 00:00:00',
+              TIMESTAMP '2024-01-20 06:30:00', 'w3'),
+             (TIMESTAMP '2024-01-25 18:00:00',
+              TIMESTAMP '2024-02-01 00:00:00', 'w4'))
+     i(t_start, t_end, label)
+  ON e.ts >= i.t_start AND e.ts < i.t_end
+""",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-in-interval join via BUCKET EXPANSION: each interval explodes
+    to the days it covers; events equi-join on their day bucket, then a
+    residual range filter exact-matches the boundaries. This turns an
+    O(n·m) nested-loop into a hash equi-join — the pattern that survives
+    a large interval table at 100 TB (Spark has no native range-join
+    optimization; this rewrite is the §4.2 'known weak spot' answer)."""
+    e = load(spark, sf_dir, "events")
+    iv = spark.createDataFrame(_INTERVALS, ["t_start", "t_end", "label"]).select(
+        F.to_timestamp("t_start").alias("t_start"),
+        F.to_timestamp("t_end").alias("t_end"),
+        "label",
+    )
+    iv_days = iv.select(
+        "t_start",
+        "t_end",
+        "label",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "t_start"),
+                F.date_trunc("day", F.col("t_end") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    ev = e.withColumn("day", F.date_trunc("day", "ts"))
+    return (
+        ev.join(F.broadcast(iv_days), "day")
+        .filter((F.col("ts") >= F.col("t_start")) & (F.col("ts") < F.col("t_end")))
+        .select("event_id", "label")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH purchases AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+     signups   AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'signup')
+SELECT p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+FROM purchases p
+ASOF JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest signup at-or-before
+    it, per user (DuckDB ASOF JOIN tie policy: >= includes equal
+    timestamps). Implemented as union + running last(): one shuffle on
+    user_id, sort within partition, running carry of the signup timestamp —
+    O(n log n) per key group, no per-key Python, no nested loop. Signup
+    rows sort BEFORE purchases at equal ts so >= semantics hold."""
+    e = load(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_signup"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_signup")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_signup").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = signups.unionAll(purchases).withColumn(
+        "signup_ts",
+        F.last(F.when(F.col("is_signup") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter((F.col("is_signup") == 0) & F.col("signup_ts").isNotNull())
+        .select(
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            F.date_format("signup_ts", _TS_FMT).alias("signup_ts"),
+        )
+    )
