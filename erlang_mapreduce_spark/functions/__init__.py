@@ -1,3 +1,3 @@
 """Scalar-function-family operators — importing populates the registry."""
 
-from . import scalar  # noqa: F401
+from . import scalar, udfs  # noqa: F401

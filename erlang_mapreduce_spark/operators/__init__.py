@@ -1,3 +1,11 @@
 """Operator modules — importing them populates the registry."""
 
-from . import joins, relational, text, windows  # noqa: F401
+from . import (  # noqa: F401
+    analysis,
+    dedup,
+    joins,
+    relational,
+    similarity,
+    text,
+    windows,
+)

@@ -1,0 +1,222 @@
+"""Text analysis + multimodal-column ops — LLM-training-pipeline operators
+(BASELINE.json north_star). All JVM-side except the decode stub, which
+demonstrates the mapInPandas plumbing for binary media columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_STOPWORDS = ("the", "a", "is", "and", "of", "to")
+_SW_ARR = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+)
+SELECT doc_id, lang AS lang_declared,
+       CASE WHEN CAST(len(list_filter(ws, w -> list_contains([{_SW_ARR}], w)))
+                      AS DOUBLE) / len(ws) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM toks
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-density heuristic (an n-gram/lexicon scorer —
+    the only deterministic option without model weights). Declared vs
+    predicted lang both returned so downstream can measure agreement."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), r"\s+")
+    sw = F.size(
+        F.filter(ws, lambda w: w.isin(*_STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.when(sw.cast("double") / F.size(ws) >= 0.05, "en")
+        .otherwise("other")
+        .alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(string_split_regex(lower(text), '\\s+')) AS n_words,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+    FROM documents
+)
+SELECT doc_id, n_chars_m, n_words,
+       CAST(n_punct AS DOUBLE) / n_chars_m AS punct_ratio,
+       CAST(n_chars_m AS DOUBLE) / n_words AS avg_word_len,
+       CASE WHEN n_words BETWEEN 5 AND 100000
+             AND CAST(n_punct AS DOUBLE) / n_chars_m < 0.2
+            THEN 1 ELSE 0 END AS keep
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gates: length bounds, punctuation ratio, mean word length —
+    the cheap pre-filters a 100 TB corpus pass runs before anything
+    expensive (pure narrow map, no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.lower("text"), r"\s+"))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_ratio = n_punct.cast("double") / n_chars
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        (n_chars.cast("double") / n_words).alias("avg_word_len"),
+        F.when(n_words.between(5, 100000) & (punct_ratio < 0.2), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters / digits / punctuation runs) — the budget estimator for
+    training-token accounting."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(text), '\\s+'))), ' ')) AS fingerprint,
+       count(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(text), '\\s+'))), ' '))) AS cluster_size
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set
+    (order/multiplicity-insensitive content signature — catches shuffled
+    copies exact dedup misses). cluster_size > 1 marks fingerprint dups.
+    md5 is identical across engines, so this is fully oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), r"\s+")))
+        )
+    )
+    from pyspark.sql import Window
+
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count("*").over(Window.partitionBy(fp)).alias("cluster_size"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS digest,
+       CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+            WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns modeled as opaque binary + typed metadata: the
+    documents' utf-8 bytes stand in for media payloads (the container has
+    no codec libs — TESTDATA ships no real media). Byte length, sha256
+    content digest, and a deterministic type tag — the metadata layer every
+    media pipeline needs before any decode."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    n_bytes = F.octet_length(payload)
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+        F.when(n_bytes % 3 == 0, "image")
+        .when(n_bytes % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )
+
+
+@query("multimodal_decode")  # rows-only: decode is a stubbed media op
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode / feature-extract plumbing over mapInPandas: Arrow
+    batches of (doc_id, payload binary) → (doc_id, width, height, n_frames,
+    feature float[8]). The DECODE itself is a deterministic fake (codec libs
+    aren't in this container — a real deployment swaps `_fake_decode` for
+    PIL/ffmpeg); the Spark-side contract — schema, binary transport,
+    batching, partition parallelism — is real and tested."""
+    import hashlib
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+        # stand-in for PIL.Image.open / av.open: deterministic pseudo-
+        # metadata from the content digest
+        h = hashlib.sha256(payload).digest()
+        width = 64 + h[0] % 192
+        height = 64 + h[1] % 192
+        n_frames = 1 + h[2] % 30
+        feat = [b / 255.0 for b in h[3:11]]
+        return width, height, n_frames, feat
+
+    def decode_batches(batches):
+        for pdf in batches:
+            decoded = pdf["payload"].apply(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": decoded.apply(lambda t: t[0]),
+                    "height": decoded.apply(lambda t: t[1]),
+                    "n_frames": decoded.apply(lambda t: t[2]),
+                    "feature": decoded.apply(lambda t: t[3]),
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id long, width int, height int, n_frames int, feature array<double>",
+    )

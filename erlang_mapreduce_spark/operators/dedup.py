@@ -1,0 +1,331 @@
+"""Near-duplicate detection over `documents` — LLM-data-pipeline north-star
+ops (BASELINE.json north_star; SURVEY.md §2.B "Text analysis / LLM-pipeline").
+
+Four detectors, from exact-SQL-checkable to sketch-based:
+
+- dedup_ngram_jaccard: EXACT word-n-gram Jaccard via an inverted-index
+  self-join (pairs must share ≥1 gram) — the scalable exact baseline: the
+  join is an equi-join on gram, never a cross join.
+- dedup_minhash: shingle → 64 minhash permutations (xxhash64, JVM-side) →
+  8 bands × 8 rows → band-bucket join → exact-Jaccard verification of
+  candidates. At 100 TB the band join touches only colliding buckets;
+  memory per doc is 64 longs regardless of doc size.
+- dedup_simhash: 64-bit SimHash over token hashes, banded 4×16 bits for
+  candidate generation, verified by hamming distance (bit_count(xor)) ≤ k.
+- dedup_embedding: exact cosine near-dup pairs (test scale); the LSH-bucketed
+  scale path lives in similarity.py (sim_search_ann shares its machinery).
+
+Sketch ops are rows-only for the driver (no cross-engine hash function);
+their internal consistency is pinned by tests/test_dedup.py, which verifies
+candidates against exact Jaccard/hamming ground truth computed in-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+N_GRAM = 3
+JACCARD_T = 0.5
+
+_GRAMS_CTE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ws[CAST(i AS INTEGER):CAST(i + {N_GRAM} - 1 AS INTEGER)], ' ') AS gram
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {N_GRAM} + 2)) AS i
+          FROM toks)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id)
+"""
+
+
+def _word_ngrams(df: DataFrame, n: int = N_GRAM) -> DataFrame:
+    """documents → distinct (doc_id, gram) word n-grams, all JVM-side."""
+    ws = F.split(F.lower("text"), r"\s+")
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                    lambda i: F.array_join(F.slice(ws, i, n), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+{_GRAMS_CTE.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= {JACCARD_T}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup via inverted-index join: only documents
+    sharing a gram ever meet (equi-join on gram — shuffle keyed by gram,
+    skew-prone on stop-grams; AQE skew split handles it, and at 100 TB
+    drop grams with document frequency above a cap: they can't witness a
+    high-Jaccard pair but dominate the join fan-out)."""
+    docs = load(spark, sf_dir, "documents")
+    grams = _word_ngrams(docs)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ix"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("ix").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("ix"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_T)
+
+
+N_HASH = 64
+N_BANDS = 8  # 8 bands × 8 rows; P(candidate) = 1-(1-j^8)^8
+
+
+def minhash_signatures(grams: DataFrame) -> DataFrame:
+    """(doc_id, gram) → (doc_id, band_id, band_hash). All JVM-side:
+    xxhash64 with 64 seeds per gram, min per doc per seed, hashed into
+    8 band keys. One shuffle (the groupBy doc_id)."""
+    sig = grams.select(
+        "doc_id",
+        F.array(
+            *[F.xxhash64("gram", F.lit(s)) for s in range(N_HASH)]
+        ).alias("hs"),
+    ).groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.element_at("hs", i + 1)) for i in range(N_HASH)]
+        ).alias("sig")
+    )
+    rows_per_band = N_HASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + i + 1)
+                                for i in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_id", "bb.band_hash")
+    return bands
+
+
+@query("dedup_minhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → 64-perm minhash → 8-band LSH
+    bucket join → candidates verified with EXACT Jaccard (so the output has
+    no false positives; bands only bound recall). Verified against exact
+    ground truth in tests/test_dedup.py."""
+    docs = load(spark, sf_dir, "documents")
+    grams = _word_ngrams(docs)
+    bands = minhash_signatures(grams)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    inter = (
+        cands.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            gb,
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.gram") == F.col("gb.gram")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ix"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("ix").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("ix"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+HAMMING_T = 3
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from token hashes — fully declarative:
+    per-token xxhash64, per-bit vote via sign sums, bit-pack. One narrow
+    pass + one groupBy doc."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    packed = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+@query("dedup_simhash")  # rows-only: no cross-engine hash
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature, candidates generated by
+    4×16-bit band equality (hamming ≤ 3 ⟹ at least one of 4 bands equal,
+    pigeonhole — candidate generation is exact for the verify threshold),
+    verified by bit_count(xor) ≤ 3."""
+    docs = load(spark, sf_dir, "documents")
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(0xFFFF)
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band_id", "bb.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_T)
+    )
+
+
+COS_T = 0.4
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COS_T}
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs at oracle scale
+    (2000² at sf0.1 — fine); at 100 TB the candidate set comes from the
+    same random-hyperplane LSH as sim_search_ann (similarity.py) and this
+    exact verify runs only on bucket collisions. Cosine is computed as a
+    sequential double fold (zip_with + aggregate), matching DuckDB's loop
+    bit-for-bit; round(6) belts-and-suspenders the comparison."""
+    from .similarity import cosine_col
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= COS_T)
+    )

@@ -1,0 +1,193 @@
+"""Similarity search over `embeddings` (SURVEY.md §2.B `sim_search` +
+north-star ANN).
+
+- sim_search: brute-force top-k cosine for a query set — the exact
+  baseline, SQL-oracle-checked. Query vectors broadcast; the corpus scan
+  is embarrassingly parallel; per-query top-k via window rank.
+- sim_search_ann: the 100 TB path — random-hyperplane LSH (deterministic
+  hyperplanes from a seeded RNG, broadcast), bucket join on any matching
+  band, exact cosine re-rank within candidates. Rows-only for the driver;
+  tests measure recall vs the brute-force baseline.
+
+Cosine is a sequential double fold over the vector (zip_with + aggregate):
+deterministic, and bit-identical to DuckDB's list_cosine_similarity loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+TOP_K = 10
+N_QUERIES = 20  # vec_id < 20 are the query set
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+@query(
+    "sim_search",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qv, e.v), 6) AS cos
+    FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+""",
+)
+def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine: exact ANN baseline. The query set is
+    broadcast (tiny); each corpus partition scores independently; the only
+    shuffle is the per-query top-k (k·P rows). Rank ties broken by
+    neighbor_id; cosine rounded to 6 on BOTH sides before ranking so the
+    rank comparison itself is cross-engine stable."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+N_PLANES = 16  # 16-bit signatures, 4 bands × 4 bits
+ANN_BANDS = 4
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded; generated driver-side and
+    broadcast as literals — a few KB regardless of corpus size)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20140623)  # the reference's report date
+    return rng.standard_normal((N_PLANES, dim)).tolist()
+
+
+def lsh_bands(e: DataFrame, dim: int) -> DataFrame:
+    """vec → (vec_id, v, band_id, band_val) via sign-of-projection bits."""
+    planes = _hyperplanes(dim)
+    bits = [
+        F.when(
+            dot_col(
+                F.col("v"),
+                F.array(*[F.lit(x) for x in planes[p]]),
+            )
+            > 0,
+            1,
+        ).otherwise(0)
+        for p in range(N_PLANES)
+    ]
+    sig = e.withColumn(
+        "sig",
+        sum(
+            [(b.cast("int") * F.lit(1 << i)) for i, b in enumerate(bits)],
+            F.lit(0),
+        ),
+    )
+    per_band = N_PLANES // ANN_BANDS
+    mask = (1 << per_band) - 1
+    return sig.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("sig"), per_band * b)
+                        .bitwiseAND(mask)
+                        .alias("band_val"),
+                    )
+                    for b in range(ANN_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", "bb.band_id", "bb.band_val")
+
+
+@query("sim_search_ann")  # rows-only: LSH bucket structure has no SQL twin
+def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH buckets prune the corpus, exact
+    cosine re-ranks candidates. A query only scores vectors sharing ≥1 of
+    4 signature bands (~expected candidate fraction (1/16)·4 per band ≈ 25%
+    here; at 100 TB use more planes/bands for sharper pruning + multiprobe
+    for recall). Recall vs brute force is measured in tests/test_dedup.py."""
+    dim = 64
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bands = lsh_bands(e, dim)
+    qb = (
+        bands.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("band_id").alias("q_band_id"),
+            F.col("band_val").alias("q_band_val"),
+        )
+    )
+    cands = (
+        bands.join(
+            F.broadcast(qb),
+            (F.col("band_id") == F.col("q_band_id"))
+            & (F.col("band_val") == F.col("q_band_val"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

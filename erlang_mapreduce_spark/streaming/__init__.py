@@ -1,3 +1,3 @@
 """Streaming operators — importing populates the registry."""
 
-from . import windows  # noqa: F401
+from . import streams, windows  # noqa: F401

@@ -1,0 +1,161 @@
+"""True Structured Streaming operators (SURVEY.md §2.B: stream_watermark_late,
+stream_stateful_dedup) — incremental execution with state, watermarks and
+late-data handling, driven by a deterministic file-replay source.
+
+The batch-checkable window semantics live in windows.py; these two ops are
+about what ONLY the incremental engine does: advancing an event-time
+watermark across micro-batches, dropping late rows, and evicting state.
+They are rows-only for the driver (DuckDB has no streaming semantics);
+tests/test_streaming.py pins their behavior (late rows dropped, duplicates
+suppressed) against exact expectations.
+
+Replay source: `events` is materialized once per sf into time-ordered
+parquet chunks; readStream(maxFilesPerTrigger=1) turns each chunk into one
+micro-batch, so the watermark advances chunk by chunk — deterministically,
+because chunk boundaries are fixed quantiles of ts.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+
+CHUNK_ROOT = "/tmp/spark_graft_stream_chunks"
+
+_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _materialize_chunks(sf_dir: str, mode: str) -> str:
+    """Split events into 4 time-quantile chunks (+ a 5th: replayed/late
+    rows). mode='late': chunk 4 re-sends the EARLIEST quartile with shifted
+    ids (arrives after the watermark has passed → must be dropped).
+    mode='dup': chunk 4 re-sends chunk 3 verbatim (duplicate event_ids
+    within the watermark → must be suppressed by stateful dedup)."""
+    d = os.path.join(
+        CHUNK_ROOT, os.path.basename(os.path.normpath(sf_dir)), mode
+    )
+    sentinel = os.path.join(d, ".done")
+    if os.path.exists(sentinel):
+        return d
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    src = f"{sf_dir}/events.parquet"
+    con.execute(
+        f"""CREATE TEMP TABLE ev AS
+            SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
+                   value, props,
+                   ntile(4) OVER (ORDER BY ts, event_id) AS q
+            FROM '{src}'"""
+    )
+    for i in range(4):
+        con.execute(
+            f"""COPY (SELECT event_id, ts, user_id, event_type, value, props
+                      FROM ev WHERE q = {i + 1} ORDER BY ts, event_id)
+                TO '{d}/chunk_{i}.parquet' (FORMAT PARQUET)"""
+        )
+    if mode == "late":
+        con.execute(
+            f"""COPY (SELECT event_id + 10000000 AS event_id, ts, user_id,
+                             event_type, value, props
+                      FROM ev WHERE q = 1 ORDER BY ts, event_id)
+                TO '{d}/chunk_4.parquet' (FORMAT PARQUET)"""
+        )
+    else:
+        con.execute(
+            f"""COPY (SELECT event_id, ts, user_id, event_type, value, props
+                      FROM ev WHERE q = 4 ORDER BY ts, event_id)
+                TO '{d}/chunk_4.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    # strictly increasing mtimes so the file source replays in chunk order
+    base = time.time() - 100
+    for i in range(5):
+        os.utime(os.path.join(d, f"chunk_{i}.parquet"), (base + i, base + i))
+    with open(sentinel, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _run_stream(
+    spark: SparkSession, src_dir: str, transform, sink_name: str, output_mode: str
+) -> DataFrame:
+    """availableNow + one-file-per-trigger replay into a memory sink."""
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", f"/tmp/spark_graft_ckpt/{sink_name}-{time.time_ns()}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+@query("stream_watermark_late")  # rows-only: streaming-state semantics
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation with real late-data dropping: the
+    replay source sends 4 in-order chunks, then re-sends the earliest
+    quartile. By then the 30-minute watermark sits near end-of-stream, so
+    every replayed row is late → dropped from the aggregation state.
+    Output (append mode): only windows finalized by the watermark — counts
+    exclude all late rows (pinned in tests/test_streaming.py)."""
+    d = _materialize_chunks(sf_dir, "late")
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "cnt",
+            )
+        )
+
+    sink = f"wm_late_{abs(hash(sf_dir)) % 10**8}"
+    return _run_stream(spark, d, agg, sink, "append")
+
+
+@query("stream_stateful_dedup")  # rows-only: streaming-state semantics
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates: the replay source re-sends the
+    final quartile verbatim (duplicate event_ids, within the watermark).
+    Dedup state suppresses them; watermark bounds the state store (at
+    100 TB/day the watermark IS what makes streaming dedup feasible —
+    unbounded key state otherwise grows forever)."""
+    d = _materialize_chunks(sf_dir, "dup")
+
+    def dedup(stream):
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .dropDuplicates(["event_id", "ts"])
+            .select("event_id", "user_id", "event_type")
+        )
+
+    sink = f"dedup_{abs(hash(sf_dir)) % 10**8}"
+    return _run_stream(spark, d, dedup, sink, "append")

@@ -1,0 +1,107 @@
+"""Quality checks for the sketch-based (rows-only) near-dup / ANN operators:
+the driver can only count their rows, so these tests pin their semantics
+against exact ground truth computed in-engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erlang_mapreduce_spark.operators.dedup import (
+    HAMMING_T,
+    JACCARD_T,
+    dedup_minhash,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    simhash,
+)
+from erlang_mapreduce_spark.operators.similarity import (
+    TOP_K,
+    sim_search,
+    sim_search_ann,
+)
+from erlang_mapreduce_spark.tables import load
+
+
+def test_minhash_no_false_positives_and_recall(spark, sf_dir):
+    """Minhash candidates are verified with exact Jaccard → output must be a
+    SUBSET of the exact result; recall must be high (8x8 bands at j>=0.5:
+    P(miss) = (1-j^8)^8 <= 0.72 per pair — so require >= 25% overall and
+    exact containment)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    mh = {(r.doc_a, r.doc_b) for r in dedup_minhash(spark, sf_dir).collect()}
+    assert mh <= exact, f"false positives: {mh - exact}"
+    if exact:
+        assert len(mh) / len(exact) >= 0.25
+
+
+def test_minhash_self_duplicates_found(spark, sf_dir):
+    """A corpus unioned with itself must pair every doc with its clone
+    (jaccard 1.0 survives every band) — recall at j=1 is exactly 1."""
+    docs = load(spark, sf_dir, "documents").limit(50)
+    clones = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionAll(clones)
+    both.cache()
+    import erlang_mapreduce_spark.operators.dedup as dd
+
+    grams = dd._word_ngrams(both)
+    bands = dd.minhash_signatures(grams)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    missing = [i for i in ids if (i, i + 1_000_000) not in pairs]
+    both.unpersist()
+    assert not missing, f"clones not found for {missing}"
+
+
+def test_simhash_hamming_is_exact(spark, sf_dir):
+    """Banded candidate generation is complete for hamming <= 3 (pigeonhole
+    over 4 bands); verify output pairs against brute-force hamming."""
+    sh = {r.doc_id: r.simhash for r in
+          simhash(load(spark, sf_dir, "documents")).collect()}
+    mask = (1 << 64) - 1  # Spark longs arrive signed; hamming needs unsigned
+    brute = {
+        (a, b): bin((sh[a] ^ sh[b]) & mask).count("1")
+        for a in sh for b in sh if a < b
+        if bin((sh[a] ^ sh[b]) & mask).count("1") <= HAMMING_T
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash(spark, sf_dir).collect()
+    }
+    assert got == brute
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """LSH-bucketed ANN must recover a solid fraction of the true top-k
+    (4 bands x 4 bits over random data: each band matches 1/16 of corpus,
+    union ~23%; for NEAR vectors the match rate is much higher — require
+    recall >= 0.3 overall and exact agreement on returned (cos, rank)
+    monotonicity)."""
+    truth = sim_search(spark, sf_dir).collect()
+    approx = sim_search_ann(spark, sf_dir).collect()
+    t = {(r.query_id, r.neighbor_id) for r in truth}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(a & t) / len(t) >= 0.3
+    # per-query ranks are 1..k' with strictly descending cos
+    per_q: dict[int, list] = {}
+    for r in sorted(approx, key=lambda r: (r.query_id, r.rank)):
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1)
+        )
+        assert len(rows) <= TOP_K

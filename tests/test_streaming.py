@@ -1,0 +1,44 @@
+"""Semantic pins for the true-streaming (rows-only) operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erlang_mapreduce_spark.streaming.streams import (
+    stream_stateful_dedup,
+    stream_watermark_late,
+)
+from erlang_mapreduce_spark.tables import load
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """The replayed first quartile must NOT be counted: emitted (finalized)
+    windows carry exactly the on-time counts, and no window exceeds the
+    batch ground truth."""
+    out = stream_watermark_late(spark, sf_dir)
+    emitted = {r.win_start: r.cnt for r in out.collect()}
+    assert emitted, "no finalized windows emitted"
+    truth = {
+        r.win_start: r.cnt
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "cnt",
+        )
+        .collect()
+    }
+    # if ANY late (replayed) row had been aggregated, its window's count
+    # would exceed the batch truth
+    for w, c in emitted.items():
+        assert c == truth[w], f"window {w}: emitted {c} != on-time {truth[w]}"
+
+
+def test_stateful_dedup_suppresses_replay(spark, sf_dir):
+    """Re-sent final quartile must be fully suppressed: output == distinct
+    events."""
+    out = stream_stateful_dedup(spark, sf_dir)
+    n_out = out.count()
+    n_src = load(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert n_out == n_src, f"dedup emitted {n_out}, expected {n_src}"
