@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a ``noop`` format write (full physical
+execution, no driver collect — collecting large results is the reference's
+own anti-pattern, mapreduce.erl:98). SparkSession startup and a tiny warmup
+action are excluded, mirroring the baseline's exclusion of its one-time
+file-split phase (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from erlang_mapreduce_spark import QUERIES  # noqa: E402
+from erlang_mapreduce_spark.session import get_spark  # noqa: E402
+from erlang_mapreduce_spark.tables import load  # noqa: E402
+
+# Headline set: one per engine pillar (flagship text workload, scans feed in
+# implicitly, hash-agg, ratio-of-total, broadcast + shuffle + as-of joins,
+# window frames, top-k, exact & near dedup, similarity, text analysis,
+# windowed events). Names are SURVEY.md §2.B op ids.
+HEADLINE = (
+    "text_bigram_freq",
+    "agg_hash_count",
+    "agg_multi",
+    "agg_ratio_of_total",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_asof",
+    "win_frame",
+    "topk",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_search",
+    "text_quality_score",
+    "stream_tumbling",
+)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # warmup: initialize executors + codegen paths outside the timed region
+    load(spark, sf_dir, "lineitem").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
