@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, scan_parallel
 
 _STOPWORDS = ("the", "a", "is", "and", "of", "to")
 _SW_ARR = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -189,7 +189,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").select(
+    d = scan_parallel(load(spark, sf_dir, "documents")).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, scan_parallel
 
 N_GRAM = 3
 JACCARD_T = 0.5
@@ -50,7 +50,7 @@ def _word_ngrams(df: DataFrame, n: int = N_GRAM) -> DataFrame:
     """documents → distinct (doc_id, gram) word n-grams, all JVM-side."""
     ws = F.split(F.lower("text"), r"\s+")
     return (
-        df.select(
+        scan_parallel(df).select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -164,6 +164,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no false positives; bands only bound recall). Verified against exact
     ground truth in tests/test_dedup.py."""
     docs = load(spark, sf_dir, "documents")
+    # The shingle table feeds BOTH band generation and the exact-Jaccard
+    # verify. Recomputing it is deliberate: a persist here materializes the
+    # full (doc_id, gram) relation and fences off AQE/pipelining, which
+    # measures slower than the recompute at every SF tried. At 100 TB the
+    # right move is coarser: materialize the shingle table to parquet once
+    # per corpus snapshot and feed both consumers from that scan.
     grams = _word_ngrams(docs)
     bands = minhash_signatures(grams)
     a = bands.alias("a")
@@ -217,7 +223,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document from token hashes — fully declarative:
     per-token xxhash64, per-bit vote via sign sums, bit-pack. One narrow
     pass + one groupBy doc."""
-    toks = docs.select(
+    toks = scan_parallel(docs).select(
         "doc_id",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
@@ -315,7 +321,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit; round(6) belts-and-suspenders the comparison."""
     from .similarity import cosine_col
 
-    e = load(spark, sf_dir, "embeddings").select(
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a = e.alias("a")

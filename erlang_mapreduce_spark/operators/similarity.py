@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, scan_parallel
 
 TOP_K = 10
 N_QUERIES = 20  # vec_id < 20 are the query set
@@ -69,7 +69,7 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the per-query top-k (k·P rows). Rank ties broken by
     neighbor_id; cosine rounded to 6 on BOTH sides before ranking so the
     rank comparison itself is cross-engine stable."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -155,7 +155,7 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; at 100 TB use more planes/bands for sharper pruning + multiprobe
     for recall). Recall vs brute force is measured in tests/test_dedup.py."""
     dim = 64
-    e = load(spark, sf_dir, "embeddings").select(
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bands = lsh_bands(e, dim)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, scan_parallel
 
 # exact declarative transcription of countCombos (mapreduce.erl:260-295), Q1
 _BIGRAM_EXPR = (
@@ -56,8 +56,10 @@ def read_reference_wordlist(spark: SparkSession, path: str) -> DataFrame:
 
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """text → one word per row (the pre-step the reference's .ngl input skips)."""
-    return df.select(
+    """text → one word per row (the pre-step the reference's .ngl input skips).
+    Parallelism is restored before the explode: the fan-out (~100 words/doc)
+    happens after the scan, so scan splits alone under-provision it."""
+    return scan_parallel(df).select(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
     ).filter(F.length("word") > 0)
 

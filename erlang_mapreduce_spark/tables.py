@@ -31,6 +31,21 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 
+def scan_parallel(df: DataFrame) -> DataFrame:
+    """Restore full parallelism after a scan that arrived in fewer partitions
+    than the cluster has cores — the case for any operator whose work is
+    dominated by post-scan fan-out (explode to n-grams, per-vector math,
+    media decode), where one input split would otherwise serialize the whole
+    pipeline onto one task. At scale the scan already has >= cores partitions
+    and this is a no-op, so the extra shuffle is paid exactly when it's
+    cheap (input small) and never when it's expensive."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
