@@ -335,3 +335,75 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= COS_T)
     )
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+WITH RECURSIVE {_GRAMS_CTE.split('WITH', 1)[1].strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= {JACCARD_T}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id,
+       CAST(least(coalesce(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+""",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the step
+    every real dedup pipeline needs after pair generation (keep one doc per
+    CLUSTER, not per pair; pairs alone under-delete transitive groups
+    A~B~C). Iterative min-label propagation: each round every vertex takes
+    the min label among itself and its neighbors; converges in O(diameter)
+    rounds (near-dup clusters are shallow). The label sum is monotonically
+    non-increasing, so an unchanged sum is an exact convergence test — one
+    scalar action per round, lineage truncated via localCheckpoint to keep
+    plans flat. The oracle walks the same graph with a recursive CTE.
+    At 100 TB, swap in the large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same join primitive, fewer rounds on high-diameter graphs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=False)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    prev_sum = None
+    for _ in range(20):  # diameter cap; convergence check exits earlier
+        neighbor = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .select(F.col("doc_b").alias("doc_id"), "cluster_id")
+        )
+        labels = (
+            labels.union(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=False)
+        )
+        cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels

@@ -279,3 +279,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("signup_ts", _TS_FMT).alias("signup_ts"),
         )
     )
+
+
+N_SALT = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS cnt,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: the fact side gets a deterministic salt in
+    [0, 8) per row; the (smaller) build side is exploded 8× so every
+    (key, salt) pairing exists. A hot key's rows then spread over 8 shuffle
+    partitions instead of one straggler task. The salt changes only the
+    DISTRIBUTION, never the result — the oracle is the plain join. AQE's
+    skew-join split handles moderate skew automatically; explicit salting
+    is for the pathological keys AQE can't split (a single key bigger than
+    one executor's memory — the reference's first-letter partitioning,
+    mapreduce.erl:226, is exactly this failure mode at 26 keys)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_fact = li.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALT)).cast(
+            "int"
+        ),
+    )
+    salted_build = o.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+    )
+    joined = salted_fact.join(
+        salted_build,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (salted_fact["_salt"] == salted_build["_salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )

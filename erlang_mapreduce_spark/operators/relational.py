@@ -337,3 +337,102 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6)))
+            FILTER (o_orderstatus = 'O') AS DOUBLE) AS o_total,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6)))
+            FILTER (o_orderstatus = 'F') AS DOUBLE) AS f_total,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS p_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6)))
+            FILTER (o_orderstatus = 'P') AS DOUBLE) AS p_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) on order status: one hash-agg shuffle on the
+    group key with the pivot values folded into conditional aggregates —
+    Spark compiles an explicit-values pivot to exactly that, so the plan is
+    scale-identical to agg_hash_count (no extra pass; never call pivot()
+    without the value list, which triggers a distinct-scan first)."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            # count(*) is rejected inside a pivot aggregate; count(1) is
+            # the same cardinality
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+    # COUNT FILTER yields 0 for an empty bucket; pivot yields null — align
+    return piv.select(
+        "o_orderpriority",
+        *[
+            c
+            for s in ("O", "F", "P")
+            for c in (
+                F.coalesce(F.col(f"{s}_cnt"), F.lit(0)).alias(
+                    f"{s.lower()}_cnt"
+                ),
+                F.col(f"{s}_total").alias(f"{s.lower()}_total"),
+            )
+        ],
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation over the sorted
+    group). Exact percentiles buffer the group's values; at 100 TB swap in
+    `approx_percentile(col, p, accuracy)` — a fixed-size mergeable
+    KLL/GK-style sketch with the same call shape."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias(
+            "p95_price"
+        ),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "sample_hash",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+""",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 hash sample keyed on o_orderkey (first md5
+    nibble = 0). Unlike TABLESAMPLE/rand() this is reproducible across
+    engines, runs, and partitionings — the only kind of sample a 100 TB
+    pipeline should ship (consistent subsets across derived tables keyed
+    the same way), and it pushes down as an ordinary predicate."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").filter(
+        F.md5(F.col("o_orderkey").cast("string")).substr(1, 1) == "0"
+    )
