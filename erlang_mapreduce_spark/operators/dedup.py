@@ -121,17 +121,26 @@ N_BANDS = 8  # 8 bands × 8 rows; P(candidate) = 1-(1-j^8)^8
 
 
 def minhash_signatures(grams: DataFrame) -> DataFrame:
-    """(doc_id, gram) → (doc_id, band_id, band_hash). All JVM-side:
-    xxhash64 with 64 seeds per gram, min per doc per seed, hashed into
-    8 band keys. One shuffle (the groupBy doc_id)."""
-    sig = grams.select(
+    """(doc_id, gram) → (doc_id, band_id, band_hash). All JVM-side, with
+    the standard double-hashing construction (Kirsch & Mitzenmacher): two
+    base hashes per gram, permutation i = (h1 + i·h2) mod p — 2 hash
+    evaluations instead of 64 per gram with equivalent collision behavior
+    for minhash. Arithmetic is done mod the Mersenne prime 2^31-1 so every
+    intermediate fits a long under ANSI overflow checking. Min per doc per
+    permutation, hashed into 8 band keys. One shuffle (the groupBy)."""
+    p = F.lit(2147483647)  # 2^31 - 1
+    hashed = grams.select(
         "doc_id",
+        F.pmod(F.xxhash64("gram"), p).alias("h1"),
+        # h2 must be nonzero mod p or permutation i degenerates to h1
+        (F.pmod(F.xxhash64("gram", F.lit(1)), p - 1) + 1).alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
         F.array(
-            *[F.xxhash64("gram", F.lit(s)) for s in range(N_HASH)]
-        ).alias("hs"),
-    ).groupBy("doc_id").agg(
-        F.array(
-            *[F.min(F.element_at("hs", i + 1)) for i in range(N_HASH)]
+            *[
+                F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), p))
+                for i in range(N_HASH)
+            ]
         ).alias("sig")
     )
     rows_per_band = N_HASH // N_BANDS

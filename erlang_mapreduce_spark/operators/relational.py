@@ -436,3 +436,27 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_custkey", "o_totalprice").filter(
         F.md5(F.col("o_orderkey").cast("string")).substr(1, 1) == "0"
     )
+
+
+@query(
+    "fn_agg_collect",
+    oracle="""
+SELECT o_orderpriority,
+       list_sort(list_distinct(array_agg(o_orderstatus))) AS statuses,
+       count(DISTINCT o_custkey) AS n_custs
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def fn_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation (collect_set, deterministically sorted) — the
+    array-building side of the function surface (fn_array covers the
+    array-consuming side). Sorting is mandatory for any cross-engine or
+    cross-run comparison: collection order is partition-schedule-dependent.
+    At scale collect_* is safe only on bounded groups (statuses per
+    priority ≤ 3 here); unbounded groups belong in explode-side joins."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+    )

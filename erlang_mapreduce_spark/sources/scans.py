@@ -176,3 +176,50 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
     )
+
+
+@query(
+    "sink_text_formatted",
+    oracle="""
+WITH words AS (
+    SELECT w AS word
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) > 0
+),
+kept AS (
+    SELECT word FROM words
+    WHERE regexp_matches(word, '^[a-z]') AND length(word) >= 2
+),
+bg AS (
+    SELECT substring(word, CAST(i AS INTEGER), 2) AS bigram
+    FROM (SELECT word, unnest(range(1, length(word))) AS i FROM kept)
+    WHERE regexp_matches(substring(word, CAST(i AS INTEGER), 2), '^[a-z]{2}$')
+),
+counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram)
+SELECT bigram || ': ' || chr(9) || chr(9) || ' ' || CAST(cnt AS VARCHAR) AS line
+FROM counts
+""",
+)
+def sink_text_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's formatted text sink (saveK, mapreduce.erl:204-210:
+    rows printed as "K: \\t\\t V"): bigram counts written as formatted text
+    lines, read back, hash-compared against lines the oracle formats from
+    scratch — the round trip proves both the formatting and the sink.
+    (The reference's \\r\\n endings are an OS artifact, not semantics; the
+    text source strips line terminators either way.)"""
+    from ..operators.text import bigram_freq, tokenize
+
+    out = os.path.join(
+        SINK_ROOT, os.path.basename(os.path.normpath(sf_dir)), "results_txt"
+    )
+    counts = bigram_freq(tokenize(load(spark, sf_dir, "documents"))).select(
+        F.concat_ws(
+            "",
+            F.col("bigram"),
+            F.lit(": \t\t "),
+            F.col("cnt").cast("string"),
+        ).alias("value")
+    )
+    counts.write.mode("overwrite").text(out)
+    return spark.read.text(out).select(F.col("value").alias("line"))
