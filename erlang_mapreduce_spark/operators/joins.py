@@ -326,3 +326,76 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         dsum("l_extendedprice").alias("sum_price"),
     )
+
+
+BUCKET_ROOT = "/tmp/spark_graft_buckets"
+N_BUCKETS = 16
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+SELECT l_orderkey,
+       count(*) AS n_items,
+       {dsum_sql('l_extendedprice')} AS sum_price,
+       any_value(o_totalprice) AS o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written once bucketed+sorted by
+    the join key (bucketBy 16 on orderkey), then joined WITHOUT a shuffle —
+    the scan's bucket layout satisfies the join's distribution requirement,
+    so the plan is a zero-Exchange sort-merge join. This is the 100 TB
+    answer for a fact-to-fact join repeated across many queries: pay the
+    partitioning once at write time, never again (the durable analog of
+    the reference's reusable pre-split partition files, mapreduce.erl:57-64,
+    README.md:10-11). The grouped aggregate also reuses the bucket
+    distribution — no Exchange anywhere in the plan."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    db = f"bucketdb_{sf_tag.replace('.', '_')}"
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    tables = {
+        "lineitem_b": (
+            load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_extendedprice"
+            ),
+            "l_orderkey",
+        ),
+        "orders_b": (
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+            "o_orderkey",
+        ),
+    }
+    for tname, (df, key) in tables.items():
+        full = f"{db}.{tname}"
+        if not spark.catalog.tableExists(full):
+            # EXTERNAL table (explicit /tmp path): a vanilla session's
+            # in-memory catalog forgets tables between runs while a managed
+            # location would linger under ./spark-warehouse and collide —
+            # external + overwrite is re-runnable from any session
+            (
+                df.write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", os.path.join(BUCKET_ROOT, sf_tag, tname))
+                .mode("overwrite")
+                .saveAsTable(full)
+            )
+    li = spark.table(f"{db}.lineitem_b")
+    o = spark.table(f"{db}.orders_b")
+    # MERGE hint: at test SF the build side fits the broadcast threshold and
+    # Catalyst would pick BHJ, hiding the point of the exercise — force the
+    # sort-merge path, which with bucketed+sorted tables needs neither an
+    # Exchange nor a Sort (at 100 TB SMJ is what you'd get anyway)
+    joined = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    return joined.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.any_value("o_totalprice").alias("o_totalprice"),
+    )

@@ -159,3 +159,44 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"dedup_{abs(hash(sf_dir)) % 10**8}"
     return _run_stream(spark, d, dedup, sink, "append")
+
+
+@query("stream_custom_state")  # rows-only: custom streaming state
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (event count, value sum) maintained in explicit group state across
+    micro-batches — the escape hatch for stateful semantics the built-in
+    windowed aggregates can't express (the generalization of the
+    reference's per-reducer ETS accumulation loop, mapreduce.erl:232-255,
+    which is likewise keyed mutable state fed by a stream of messages).
+    Update-mode emission: one row per (user, batch-where-user-appeared);
+    the running counts are cumulative, so the per-user MAX equals the batch
+    groupBy total (pinned in tests/test_streaming.py). State is bounded by
+    the user-key cardinality; production variants add a timeout to evict
+    idle keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _materialize_chunks(sf_dir, "dup")
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    def transform(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    sink = f"custom_state_{abs(hash(sf_dir)) % 10**8}"
+    return _run_stream(spark, d, transform, sink, "update")

@@ -42,3 +42,27 @@ def test_stateful_dedup_suppresses_replay(spark, sf_dir):
     n_out = out.count()
     n_src = load(spark, sf_dir, "events").select("event_id").distinct().count()
     assert n_out == n_src, f"dedup emitted {n_out}, expected {n_src}"
+
+
+def test_custom_state_running_counts(spark, sf_dir):
+    """Per-user running counts: the last (max) emission per user must equal
+    the batch ground truth over the replayed stream (chunks 0-3 plus the
+    re-sent final quartile = events + duplicated q4 rows)."""
+    from erlang_mapreduce_spark.streaming.streams import stream_custom_state
+
+    out = stream_custom_state(spark, sf_dir)
+    final = {
+        r.user_id: r.n_events
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    q4 = n - 3 * (n // 4) - (1 if n % 4 >= 1 else 0) - (
+        1 if n % 4 >= 2 else 0
+    ) - (1 if n % 4 >= 3 else 0)
+    truth_total = sum(final.values())
+    # total emitted-event mass = all events + the re-sent final quartile
+    assert truth_total == n + q4, f"{truth_total} != {n} + {q4}"
+    assert len(final) == ev.select("user_id").distinct().count()
