@@ -223,3 +223,34 @@ def sink_text_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts.write.mode("overwrite").text(out)
     return spark.read.text(out).select(F.col("value").alias("line"))
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority, o_orderstatus
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning over the hive-layout sink written by
+    sink_partitioned: the o_orderpriority predicate is resolved against the
+    directory structure, so non-matching partitions are never opened (the
+    scan's PartitionFilters — asserted in tests/test_plans.py). At 100 TB
+    this is the difference between reading 2/5 of the table and all of it;
+    the reference's per-letter files (mapreduce.erl:73-77) are the same
+    idea with the pruning done by hand (`main/1` reads only its letter)."""
+    out = os.path.join(
+        SINK_ROOT, os.path.basename(os.path.normpath(sf_dir)), "orders_by_prio"
+    )
+    if not os.path.isdir(out):
+        o = load(spark, sf_dir, "orders")
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )

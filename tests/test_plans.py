@@ -79,3 +79,10 @@ def test_ratio_of_total_no_single_partition_window(spark, sf_dir):
     p = plan_of(QUERIES["agg_ratio_of_total"](spark, sf_dir))
     assert count_nodes(p, "Window") == 0
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    p = plan_of(QUERIES["scan_partition_pruned"](spark, sf_dir))
+    assert "PartitionFilters" in p
+    line = [l for l in p.splitlines() if "PartitionFilters" in l][0]
+    assert "o_orderpriority" in line and "IN (1-URGENT,2-HIGH" in line, line
