@@ -1,0 +1,47 @@
+"""Operator behaviors the DuckDB oracle can't check: approximate sketches
+(different sketch implementations across engines) and other
+engine-internal guarantees, pinned against exact in-engine ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erlang_mapreduce_spark.tables import load
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct (HLL++) — the 100 TB path for agg_distinct —
+    must land within its configured relative error of the exact count."""
+    li = load(spark, sf_dir, "lineitem")
+    rsd = 0.02
+    row = li.agg(
+        F.count_distinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 5 * rsd * row.exact, row
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """approx_percentile — the sketch swap-in for agg_percentile — must
+    track the exact interpolated percentile within the accuracy bound."""
+    li = load(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("approx"),
+    ).collect()[0]
+    # accuracy=10000 → rank error ≤ n/10000; translate loosely to value
+    # space by allowing 1% relative deviation at the median
+    assert abs(row.approx - row.exact) <= 0.01 * abs(row.exact), row
+
+
+def test_hash_sample_rate(spark, sf_dir):
+    """The md5-nibble sample keeps ~1/16 of rows (binomial bound)."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    o = load(spark, sf_dir, "orders").count()
+    s = QUERIES["sample_hash"](spark, sf_dir).count()
+    p = s / o
+    assert 1 / 16 - 0.03 < p < 1 / 16 + 0.03, (s, o)
