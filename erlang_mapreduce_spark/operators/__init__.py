@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     joins,
     relational,
     similarity,
+    sql_suite,
     text,
     windows,
 )

@@ -220,3 +220,101 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         "doc_id long, width int, height int, n_frames int, feature array<double>",
     )
+
+
+FRAME_STEP = 5
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH v AS (
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) % 3 = 2   -- media_type = 'video'
+),
+f AS (
+    SELECT doc_id, n_bytes,
+           1 + n_bytes % 30 AS n_frames,
+           unnest(range(0, 1 + n_bytes % 30, {FRAME_STEP})) AS frame_idx
+    FROM v
+)
+SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(doc_id || ':' || frame_idx) AS frame_sig
+FROM f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: every {FRAME_STEP}-th frame index
+    of each 'video' document (frame count derived deterministically from the
+    payload bytes, standing in for the container's stream header). The
+    explode is a NARROW op — sampling never shuffles; at 100 TB each task
+    expands its own payloads and the sampled-frame rows flow straight into
+    the decode UDF (multimodal_decode) without a repartition. md5 frame
+    signature is cross-engine, so unlike the decode stub this op is fully
+    oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode("text", "utf-8"))
+    n_frames = (F.col("n_bytes") % 30 + 1).cast("int")
+    return (
+        d.select("doc_id", n_bytes.alias("n_bytes"))
+        .filter(F.col("n_bytes") % 3 == 2)
+        .select(
+            "doc_id",
+            n_frames.alias("n_frames"),
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STEP))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            F.md5(F.concat_ws(":", "doc_id", "frame_idx")).alias("frame_sig"),
+        )
+    )
+
+
+TARGET_EDGE = 224
+
+
+@query("multimodal_resize")  # rows-only: resize is a stubbed media op
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over mapInPandas: Arrow batches of
+    (doc_id, payload) → (doc_id, width, height, out_w, out_h, scale) with
+    aspect-ratio-preserving fit into 224×224. The pixel work is a
+    deterministic fake (no codec libs in this container — a real deployment
+    decodes with PIL and emits the resized bytes in an output binary
+    column); the batch shape, schema, and partition parallelism are the
+    real contract. Narrow op: resize never shuffles, and output size is
+    bounded by TARGET_EDGE² per row regardless of input payload size — the
+    property that makes a 100 TB image corpus tractable downstream."""
+    import hashlib
+
+    import pandas as pd
+
+    d = scan_parallel(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def resize_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.sha256(bytes(payload)).digest()
+                w, ht = 64 + h[0] % 192, 64 + h[1] % 192
+                scale = min(TARGET_EDGE / w, TARGET_EDGE / ht, 1.0)
+                rows.append(
+                    (doc_id, w, ht, round(w * scale), round(ht * scale),
+                     round(scale, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_w", "out_h", "scale"],
+            )
+
+    return d.mapInPandas(
+        resize_batches,
+        "doc_id long, width int, height int, out_w int, out_h int, scale double",
+    )

@@ -1,0 +1,123 @@
+"""Composite SQL surface — full multi-operator queries through ``spark.sql``.
+
+The reference packages its whole computation as one hard-coded pipeline
+(`mapreduce.erl:40-55`); the engine's generalization is an ANSI-SQL entry
+point where scan + filter + join + agg + sort compose declaratively and
+Catalyst picks the physical plan (join order, broadcast vs shuffle,
+partial aggregation) instead of the hard-coded process topology at
+`mapreduce.erl:85-127`. These are TPC-H-shaped (the fixtures are TPC-H-ish,
+TESTDATA.md) and run the SAME text on Spark and DuckDB — the strongest
+possible oracle: any divergence is an engine-semantics bug, not a
+translation artifact.
+
+Scale notes per query are in the docstrings; all three compile to
+whole-stage-codegen'd plans with the dimension side broadcast (verified in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..exact import davg_sql, dsum_sql
+from ..registry import query
+from ..tables import load
+
+# Tables each suite query touches — registered as temp views on demand so a
+# vanilla (driver-provided) session works.
+_Q1_TABLES = ("lineitem",)
+_Q3_TABLES = ("customer", "orders", "lineitem")
+_Q5_TABLES = ("customer", "orders", "lineitem", "nation", "region")
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], text: str) -> DataFrame:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(text)
+
+
+# TPC-H Q1 shape: one wide scan → filter → grouped multi-aggregate. The
+# filter and the 7-column projection both push into the parquet scan; the
+# aggregation is a partial/final HashAggregate pair (map-side combine ≙
+# mapreduce.erl:275-282) with shuffle volume O(4 groups), independent of
+# row count — the ideal 100 TB shape.
+_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pricing_summary", oracle=_Q1)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary via ``spark.sql`` — identical SQL
+    text runs on the oracle. Generalizes the reference's grouped-count +
+    derived-metric flagship (mapreduce.erl:275-282, :130-141) to a
+    multi-measure grouped report."""
+    return _sql(spark, sf_dir, _Q1_TABLES, _Q1)
+
+
+# TPC-H Q3 shape: selective dim filter → 3-way join → grouped revenue →
+# top-k. Catalyst broadcast-joins the filtered customer side under the
+# 10 MB threshold and AQE re-plans if stats lie; the top-10 is a
+# TakeOrderedAndProject (per-partition heap + driver merge of 10×P rows),
+# never a global sort — the same reason the reference could merge 26
+# pre-sorted reducer outputs cheaply (mapreduce.erl:116-127).
+_Q3 = f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_top_revenue_orders", oracle=_Q3)
+def sql_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query via ``spark.sql``: filtered
+    3-way join + grouped revenue + deterministic top-10 (revenue DESC,
+    orderkey tiebreak — a LIMIT without a total order is nondeterministic
+    across engines AND across Spark runs). o_orderdate is cast to DATE so
+    both engines transport identical date values."""
+    return _sql(spark, sf_dir, _Q3_TABLES, _Q3)
+
+
+# TPC-H Q5 shape: star join through two dimension hops (customer → nation
+# → region) + facts. nation/region are constant-size at ANY scale factor
+# (BROADCAST_DIMS in tables.py) — broadcast them always; the only real
+# shuffle is orders ⋈ lineitem and the final 5-group aggregate.
+_Q5 = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lineitems
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+"""
+
+
+@query("sql_revenue_by_nation", oracle=_Q5)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped revenue-by-nation via ``spark.sql``: a star join
+    whose two dimension hops stay broadcast at every scale factor."""
+    return _sql(spark, sf_dir, _Q5_TABLES, _Q5)
