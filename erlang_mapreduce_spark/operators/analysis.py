@@ -318,3 +318,42 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches,
         "doc_id long, width int, height int, out_w int, out_h int, scale double",
     )
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_LONGNUM_RE}', '<NUM>', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_longnums
+FROM documents
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: replace email addresses and long digit runs with
+    typed placeholder tokens, and count what was redacted (the audit trail a
+    compliance pipeline needs). Pure narrow map — scales linearly, no
+    shuffle; patterns restricted to syntax shared by Java regex and RE2 so
+    the oracle runs the identical expressions."""
+    d = load(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_RE), 0)).alias(
+            "n_longnums"
+        ),
+    )

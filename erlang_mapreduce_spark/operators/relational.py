@@ -460,3 +460,35 @@ def fn_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
         F.count_distinct("o_custkey").alias("n_custs"),
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN
+      (CASE WHEN o_orderpriority = '1-URGENT' THEN '0' ELSE '' END,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN '1' ELSE '' END,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN '2' ELSE '' END,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN '3' ELSE '' END,
+       '0')
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: 4/16 of '1-URGENT' orders, 1/16 of
+    everything else, keyed on the md5 nibble of the primary key — the
+    rebalancing step a training pipeline uses to over-sample rare strata.
+    Like sample_hash it is reproducible across engines/runs/partitionings
+    and evaluates as an ordinary pushed-down predicate (no rand(), no
+    sampleBy seed dependence), so derived tables sampled on the same key
+    stay consistent."""
+    o = load(spark, sf_dir, "orders")
+    nib = F.md5(F.col("o_orderkey").cast("string")).substr(1, 1)
+    urgent_rate = nib.isin("0", "1", "2", "3")
+    base_rate = nib == "0"
+    return o.select("o_orderkey", "o_orderpriority", "o_totalprice").filter(
+        F.when(F.col("o_orderpriority") == "1-URGENT", urgent_rate).otherwise(
+            base_rate
+        )
+    )

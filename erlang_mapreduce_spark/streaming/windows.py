@@ -128,3 +128,59 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "rollup_time_hypertable",
+    oracle=f"""
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 1
+            THEN 'day' ELSE 'hour' END AS resolution,
+       count(*) AS cnt,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY GROUPING SETS
+    ((event_type, date_trunc('day', ts)),
+     (event_type, date_trunc('day', ts), date_trunc('hour', ts)))
+""",
+)
+def rollup_time_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over events
+    produces BOTH the hourly and the daily materialization (grouping-sets
+    rollup on truncated time), tagged by resolution — the batch equivalent
+    of a timeseries store's cascaded downsampling. Spark expands the sets
+    in a single Expand + HashAggregate: the fact table is scanned ONCE
+    however many resolutions are materialized, which is exactly what you
+    want when the scan is 100 TB; adding 'week'/'month' levels costs only
+    extra aggregate state, not extra scans."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "hour"
+        ),
+        "value",
+    )
+    # rollup(a,b,c) grouping_id: 0 = (a,b,c), 1 = (a,b) — keep just those
+    # two, i.e. the GROUPING SETS the oracle declares.
+    return (
+        e.rollup("event_type", "day", "hour")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("value").alias("sum_value"),
+            F.grouping_id().alias("_gid"),
+        )
+        .filter(F.col("_gid").isin(0, 1))
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            F.when(F.col("_gid") == 1, "day").otherwise("hour").alias(
+                "resolution"
+            ),
+            "cnt",
+            "sum_value",
+        )
+    )
