@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     analysis,
     dedup,
     joins,
+    pipeline,
     relational,
     similarity,
     sql_suite,

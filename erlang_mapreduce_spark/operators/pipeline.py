@@ -1,0 +1,102 @@
+"""End-to-end corpus-cleaning pipeline — the operators composed the way a
+real training-data pass runs them (quality gate → PII scrub → exact-dup
+removal → per-language accounting), in ONE Spark job.
+
+This is the composition showcase the individual ops exist for: the whole
+pipeline is declarative, so Catalyst fuses the narrow stages (gate + scrub +
+fingerprint are a single WholeStageCodegen span over the scan) and the only
+shuffles are (1) the fingerprint hash-partition for dup ranking and (2) the
+tiny per-language aggregate. At 100 TB this plan reads the corpus once,
+shuffles it once keyed by fingerprint, and reduces to a per-language
+summary — there is no materialization between stages to store or re-read.
+
+The reference's pipeline (read → filter → count → derive → sink,
+mapreduce.erl:40-55) has the same fused shape; this generalizes it to the
+north-star corpus workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from .analysis import _EMAIL_RE, _LONGNUM_RE
+
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "string_split_regex(lower(scrubbed), '\\s+'))), ' '))"
+)
+
+
+@query(
+    "pipeline_corpus_clean",
+    oracle=f"""
+WITH gated AS (
+    SELECT doc_id, lang,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    WHERE len(string_split_regex(lower(text), '\\s+')) BETWEEN 5 AND 100000
+      AND CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+          / length(text) < 0.2
+),
+ranked AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(scrubbed, '\\s+')) AS n_tokens,
+           row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
+    FROM gated
+)
+SELECT lang,
+       count(*) FILTER (WHERE rn = 1) AS n_docs_kept,
+       count(*) FILTER (WHERE rn > 1) AS n_dups_dropped,
+       CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+FROM ranked
+GROUP BY lang
+""",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate → PII scrub → fingerprint dedup (keep lowest doc_id per
+    content fingerprint) → per-language doc/token accounting. Fully
+    oracle-checked: every stage is deterministic and SQL-expressible."""
+    d = load(spark, sf_dir, "documents")
+
+    n_words = F.size(F.split(F.lower("text"), r"\s+"))
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    gated = d.filter(n_words.between(5, 100000) & (punct_ratio < 0.2)).select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _LONGNUM_RE,
+            "<NUM>",
+        ).alias("scrubbed"),
+    )
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.split(F.lower("scrubbed"), r"\s+"))
+            ),
+        )
+    )
+    ranked = gated.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("scrubbed", r"\s+")).alias("n_tokens"),
+        F.row_number()
+        .over(Window.partitionBy(fp).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_docs_kept"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dups_dropped"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )

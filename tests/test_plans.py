@@ -86,3 +86,56 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
     assert "PartitionFilters" in p
     line = [l for l in p.splitlines() if "PartitionFilters" in l][0]
     assert "o_orderpriority" in line and "IN (1-URGENT,2-HIGH" in line, line
+
+
+def nodes_of(df) -> list[str]:
+    """Operator names from the numbered node list of the formatted explain
+    (the full text prints the plan tree twice under AQE — counting raw
+    substrings double-counts)."""
+    import re
+
+    return [
+        m.group(1)
+        for line in plan_of(df).splitlines()
+        if (m := re.match(r"\s*\(\d+\) ([A-Za-z]+)", line))
+    ]
+
+
+def test_sql_suite_physical_strategies(spark, sf_dir):
+    # Q1 shape: pushed-down filter, no join, partial/final agg pair
+    n1 = nodes_of(QUERIES["sql_pricing_summary"](spark, sf_dir))
+    assert n1.count("HashAggregate") == 2
+    assert not any("Join" in n for n in n1)
+    # Q3 shape: dims broadcast, top-k is TakeOrderedAndProject (never a
+    # global sort of the full aggregate output)
+    n3 = nodes_of(QUERIES["sql_top_revenue_orders"](spark, sf_dir))
+    assert n3.count("BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in n3
+    assert "SortMergeJoin" not in n3
+    # Q5 shape: all four dimension hops broadcast
+    n5 = nodes_of(QUERIES["sql_revenue_by_nation"](spark, sf_dir))
+    assert n5.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in n5
+
+
+def test_rollup_single_scan_single_expand(spark, sf_dir):
+    # both time resolutions come from ONE scan + ONE Expand — adding
+    # resolutions must not add scans
+    n = nodes_of(QUERIES["rollup_time_hypertable"](spark, sf_dir))
+    assert n.count("Scan") == 1
+    assert n.count("Expand") == 1
+
+
+def test_pipeline_fuses_narrow_stages(spark, sf_dir):
+    # gate + scrub + fingerprint fuse over a single corpus scan; the only
+    # exchanges are the fingerprint partition and the per-language agg
+    n = nodes_of(QUERIES["pipeline_corpus_clean"](spark, sf_dir))
+    assert n.count("Scan") == 1
+    assert n.count("Exchange") == 2
+
+
+def test_frame_sample_is_narrow(spark, sf_dir):
+    # sampling must not shuffle: explode over the scan, zero exchanges
+    n = nodes_of(QUERIES["multimodal_frame_sample"](spark, sf_dir))
+    assert "Exchange" not in n
+    assert "Generate" in n  # the explode
