@@ -130,8 +130,33 @@ N_HASH = 64
 N_BANDS = 8  # 8 bands × 8 rows; P(candidate) = 1-(1-j^8)^8
 
 
+def _hashed_ngrams(df: DataFrame, n: int = N_GRAM) -> DataFrame:
+    """documents → distinct (doc_id, gh) with gh = xxhash64 of the word
+    n-gram, hashed INSIDE the explode lambda so the gram string never
+    leaves the projection. Everything downstream of this point (distinct
+    shuffle, minhash, candidate-verification joins) moves 8-byte longs
+    instead of ~25-byte shingle strings — at 100 TB that is the difference
+    between shuffling the corpus and shuffling a fingerprint of it. The
+    2^-64 hash-collision rate is far below the sketch's own error."""
+    toks = scan_parallel(df).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.xxhash64(F.array_join(F.slice("ws", i, n), " ")),
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+
+
 def minhash_signatures(grams: DataFrame) -> DataFrame:
-    """(doc_id, gram) → (doc_id, band_id, band_hash). All JVM-side, with
+    """(doc_id, gh) → (doc_id, band_id, band_hash). All JVM-side, with
     the standard double-hashing construction (Kirsch & Mitzenmacher): two
     base hashes per gram, permutation i = (h1 + i·h2) mod p — 2 hash
     evaluations instead of 64 per gram with equivalent collision behavior
@@ -141,9 +166,9 @@ def minhash_signatures(grams: DataFrame) -> DataFrame:
     p = F.lit(2147483647)  # 2^31 - 1
     hashed = grams.select(
         "doc_id",
-        F.pmod(F.xxhash64("gram"), p).alias("h1"),
+        F.pmod(F.col("gh"), p).alias("h1"),
         # h2 must be nonzero mod p or permutation i degenerates to h1
-        (F.pmod(F.xxhash64("gram", F.lit(1)), p - 1) + 1).alias("h2"),
+        (F.pmod(F.xxhash64("gh", F.lit(1)), p - 1) + 1).alias("h2"),
     )
     sig = hashed.groupBy("doc_id").agg(
         F.array(
@@ -191,7 +216,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster a lost executor fails the job, so at 100 TB materialize the
     # shingle table to parquet once per corpus snapshot instead (same
     # structure, durable).
-    grams = _word_ngrams(docs).localCheckpoint()
+    grams = _hashed_ngrams(docs).localCheckpoint()
     bands = minhash_signatures(grams)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -215,7 +240,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             gb,
             (F.col("doc_b") == F.col("gb.doc_id"))
-            & (F.col("ga.gram") == F.col("gb.gram")),
+            & (F.col("ga.gh") == F.col("gb.gh")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ix"))
