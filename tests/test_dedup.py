@@ -46,8 +46,7 @@ def test_minhash_self_duplicates_found(spark, sf_dir):
     both.cache()
     import erlang_mapreduce_spark.operators.dedup as dd
 
-    grams = dd._hashed_ngrams(both)
-    bands = dd.minhash_signatures(grams)
+    bands = dd.minhash_bands(dd._doc_gram_sets(both))
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
