@@ -83,6 +83,30 @@ def test_simhash_hamming_is_exact(spark, sf_dir):
     assert got == brute
 
 
+def test_pandas_cosine_matches_fold(spark, sf_dir):
+    """The Arrow/numpy cosine used for bulk scoring must agree with the
+    sequential JVM fold (DuckDB-parity reference) after round-to-6 — the
+    invariant that lets sim_search use the vectorized path while staying
+    oracle-checkable."""
+    import erlang_mapreduce_spark.operators.similarity as sim
+
+    e = load(spark, sf_dir, "embeddings").limit(200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos_pd = sim._cos_pandas()
+    diff = pairs.select(
+        (
+            F.round(sim.cosine_col(F.col("qv"), F.col("v")), 6)
+            != F.round(cos_pd(F.col("qv"), F.col("v")), 6)
+        ).alias("ne")
+    ).filter("ne").count()
+    assert diff == 0
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     """LSH-bucketed ANN must recover a solid fraction of the true top-k
     (4 bands x 4 bits over random data: each band matches 1/16 of corpus,
