@@ -357,3 +357,74 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_longnums"
         ),
     )
+
+
+TFIDF_TOP_K = 5
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM toks WHERE length(word) > 0
+    GROUP BY 1, 2
+),
+docfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word,
+           round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM tf JOIN docfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rn
+      FROM scored)
+WHERE rn <= {TFIDF_TOP_K}
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per document with smoothed
+    idf = ln((N+1)/(df+1)). The pipeline every corpus-curation stack runs
+    to summarize/cluster documents. Shape at scale: term-frequency groupBy
+    shuffles O(doc × distinct-word) rows AFTER map-side partial agg (a
+    doc's words sit in one input row, so most combining is local); the
+    document-frequency table is vocabulary-sized and joins back keyed on
+    word (AQE picks broadcast when the vocab fits, sort-merge when it
+    doesn't); the corpus size N rides along as a broadcast scalar, never a
+    repartition-to-one. idf is transcendental → rounded to 6 on both
+    engines BEFORE ranking (registry convention), with `word` as the total
+    tie-break."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = scan_parallel(d).select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tfidf", "rank")
+    )

@@ -46,7 +46,8 @@ def _materialize_chunks(sf_dir: str, mode: str) -> str:
     rows). mode='late': chunk 4 re-sends the EARLIEST quartile with shifted
     ids (arrives after the watermark has passed → must be dropped).
     mode='dup': chunk 4 re-sends chunk 3 verbatim (duplicate event_ids
-    within the watermark → must be suppressed by stateful dedup)."""
+    within the watermark → must be suppressed by stateful dedup).
+    mode='plain': just the 4 in-order chunks — no late/duplicate rows."""
     d = os.path.join(
         CHUNK_ROOT, os.path.basename(os.path.normpath(sf_dir)), mode
     )
@@ -76,16 +77,17 @@ def _materialize_chunks(sf_dir: str, mode: str) -> str:
                       FROM ev WHERE q = 1 ORDER BY ts, event_id)
                 TO '{d}/chunk_4.parquet' (FORMAT PARQUET)"""
         )
-    else:
+    elif mode == "dup":
         con.execute(
             f"""COPY (SELECT event_id, ts, user_id, event_type, value, props
                       FROM ev WHERE q = 4 ORDER BY ts, event_id)
                 TO '{d}/chunk_4.parquet' (FORMAT PARQUET)"""
         )
     con.close()
+    n_chunks = 4 if mode == "plain" else 5
     # strictly increasing mtimes so the file source replays in chunk order
     base = time.time() - 100
-    for i in range(5):
+    for i in range(n_chunks):
         os.utime(os.path.join(d, f"chunk_{i}.parquet"), (base + i, base + i))
     with open(sentinel, "w") as f:
         f.write("ok")
@@ -200,3 +202,77 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"custom_state_{abs(hash(sf_dir)) % 10**8}"
     return _run_stream(spark, d, transform, sink, "update")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream interval join: clicks attributed to the view they
+    followed within 10 minutes, per user — both sides are incremental
+    streams with 30-minute watermarks, and the time-range predicate is
+    what lets the state store evict buffered views once the click-side
+    watermark passes view_ts + 10 min (without it, both sides buffer
+    forever — THE scale constraint of streaming joins).
+
+    This op gets a full SQL oracle even though it runs incrementally:
+    with an in-order replay and an INNER join, no match can be lost —
+    a click in batch k is never late (its ts ≥ everything already
+    replayed), and its candidate views satisfy view_ts ≥ click_ts − 10 min
+    > watermark − 10 min, which is exactly the eviction bound — so the
+    availableNow result equals the batch join, row for row."""
+    d = _materialize_chunks(sf_dir, "plain")
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 minutes")
+        )
+
+    views = side("view", "view")
+    clicks = side("click", "click")
+    joined = views.join(
+        clicks,
+        F.expr(
+            """view_user = click_user
+               AND click_ts >= view_ts
+               AND click_ts <= view_ts + INTERVAL 10 MINUTES"""
+        ),
+    ).select(
+        "view_id",
+        F.col("click_id"),
+        F.col("view_user").alias("user_id"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    sink = f"ssjoin_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            f"/tmp/spark_graft_ckpt/{sink}-{time.time_ns()}",
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
