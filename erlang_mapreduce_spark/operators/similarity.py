@@ -224,3 +224,96 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+IVF_K = 16  # centroid count; at corpus scale use ~sqrt(N)
+IVF_NPROBE = 4  # clusters searched per query
+IVF_ITERS = 5
+
+
+def _train_centroids(e: DataFrame) -> list[list[float]]:
+    """Lloyd's k-means on a DETERMINISTIC sample, driver-side numpy — the
+    standard IVF recipe: the index structure is trained on a sample, never
+    the full corpus (at 100 TB: sample ~100k vectors; training cost is
+    independent of corpus size). Determinism: sample by vec_id hash,
+    order by vec_id, init with the first K — no RNG anywhere, so the
+    index (and therefore the op's output) is stable run to run."""
+    import numpy as np
+
+    sample = (
+        e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+        .orderBy("vec_id")
+        .select("v")
+        .collect()
+    )
+    X = np.array([r.v for r in sample])
+    C = X[:IVF_K].copy()
+    for _ in range(IVF_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for k in range(IVF_K):
+            if (a == k).any():
+                C[k] = X[a == k].mean(0)
+    return C.tolist()
+
+
+@query("sim_search_ivf")  # rows-only: index structure has no SQL twin
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the centroid-routed alternative to
+    the LSH path in sim_search_ann: k-means centroids partition the
+    corpus; each vector is assigned to its nearest centroid (narrow Arrow
+    pass); a query probes only its IVF_NPROBE nearest cells and exact
+    cosine re-ranks the candidates. Unlike LSH bands a vector lives in
+    exactly ONE cell, so the candidate join needs no distinct, and the
+    scanned fraction is a direct dial (nprobe/K ≈ 25% here). Skewed cells
+    are the scale hazard — AQE skew-join handles moderate imbalance;
+    production IVF rebalances by splitting hot cells. Recall vs brute
+    force is pinned in tests/test_dedup.py."""
+    import numpy as np
+
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _train_centroids(e)
+    C = np.array(cents)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1))
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return pd.Series(list(d.argsort(1)[:, :IVF_NPROBE]))
+
+    corpus = e.select("vec_id", "v", nearest_cell("v").alias("cell"))
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probe_cells("v")).alias("cell"),
+        )
+    )
+    cands = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _cos_pandas()
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -18,6 +18,7 @@ from erlang_mapreduce_spark.operators.similarity import (
     TOP_K,
     sim_search,
     sim_search_ann,
+    sim_search_ivf,
 )
 from erlang_mapreduce_spark.tables import load
 
@@ -81,6 +82,26 @@ def test_simhash_hamming_is_exact(spark, sf_dir):
         for r in dedup_simhash(spark, sf_dir).collect()
     }
     assert got == brute
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probes 4 of 16 cells (25% of the corpus); a query's nearest
+    neighbors concentrate in its own cell, so recall must beat the
+    scanned fraction. Same monotonicity contract as the LSH test."""
+    truth = sim_search(spark, sf_dir).collect()
+    approx = sim_search_ivf(spark, sf_dir).collect()
+    t = {(r.query_id, r.neighbor_id) for r in truth}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(a & t) / len(t) >= 0.3
+    per_q: dict[int, list] = {}
+    for r in sorted(approx, key=lambda r: (r.query_id, r.rank)):
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1)
+        )
+        assert len(rows) <= TOP_K
 
 
 def test_pandas_cosine_matches_fold(spark, sf_dir):
