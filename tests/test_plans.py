@@ -139,3 +139,32 @@ def test_frame_sample_is_narrow(spark, sf_dir):
     n = nodes_of(QUERIES["multimodal_frame_sample"](spark, sf_dir))
     assert "Exchange" not in n
     assert "Generate" in n  # the explode
+
+
+def test_minhash_bands_no_key_exchange(spark, sf_dir):
+    """Gram sets and signatures must be NARROW: the only exchange allowed
+    before the LSH band self-join is the round-robin parallelism bootstrap
+    (scan_parallel) — never a key-hash exchange over the gram stream."""
+    from erlang_mapreduce_spark.operators.dedup import (
+        _doc_gram_sets,
+        minhash_bands,
+    )
+    from erlang_mapreduce_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    p = plan_of(minhash_bands(_doc_gram_sets(docs)))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "ArrowEvalPython" in p  # the numpy signature stage
+
+
+def test_tfidf_scalar_broadcast_not_repartition(spark, sf_dir):
+    """The corpus-size scalar must ride a broadcast nested-loop join (the
+    one-row count legitimately gathers to a single partition — one long
+    per upstream partition — but the corpus tables must not); term and
+    document frequency aggs must run as partial/final pairs, and the
+    top-5-per-doc rank filter must push into WindowGroupLimit so each
+    task keeps 5 rows per doc instead of ranking everything."""
+    p = plan_of(QUERIES["text_tfidf"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("HashAggregate") >= 4  # 2 aggs x partial/final
+    assert "WindowGroupLimit" in p
