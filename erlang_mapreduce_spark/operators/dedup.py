@@ -206,13 +206,17 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
         import numpy as np
 
         perm = np.arange(N_HASH, dtype=np.int64)
+        # splitmix64's odd multiplier 0x9E3779B97F4A7C15 as SIGNED int64:
+        # the unsigned literal exceeds int64 and numpy would silently
+        # promote the product to float64, shearing off the low bits that
+        # make this a hash. The signed twin wraps mod 2^64 identically.
+        mult = np.int64(-7046029254386353131)
         out = []
         for g in ghs:
             a = np.asarray(g, dtype=np.int64)
             h1 = a % p
-            # fixed odd multiplier (splitmix64's) wraps mod 2^64, then
             # +1 keeps h2 nonzero mod p-1 or permutation i degenerates
-            h2 = ((a * 0x9E3779B97F4A7C15) % (p - 1)) + 1
+            h2 = ((a * mult) % (p - 1)) + 1
             m = (h1[None, :] + perm[:, None] * h2[None, :]) % p
             out.append(m.min(axis=1))
         return pd.Series(out)
