@@ -393,13 +393,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = ln((N+1)/(df+1)). The pipeline every corpus-curation stack runs
     to summarize/cluster documents. Shape at scale: term-frequency groupBy
     shuffles O(doc × distinct-word) rows AFTER map-side partial agg (a
-    doc's words sit in one input row, so most combining is local); the
-    document-frequency table is vocabulary-sized and joins back keyed on
-    word (AQE picks broadcast when the vocab fits, sort-merge when it
-    doesn't); the corpus size N rides along as a broadcast scalar, never a
-    repartition-to-one. idf is transcendental → rounded to 6 on both
-    engines BEFORE ranking (registry convention), with `word` as the total
-    tie-break."""
+    doc's words sit in one input row, so most combining is local);
+    document frequency is a COUNT window over the tf relation partitioned
+    by word — one extra exchange, but the corpus is tokenized exactly ONCE
+    (a separate docfreq aggregate + join recomputes the entire tf branch:
+    ReuseExchange does not fire across the differently-keyed aggregations,
+    verified via .explain); the corpus size N rides along as a broadcast
+    scalar, never a repartition-to-one. idf is transcendental → rounded to
+    6 on both engines BEFORE ranking (registry convention), with `word` as
+    the total tie-break."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
@@ -407,10 +409,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
     ).filter(F.length("word") > 0)
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    docfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(docfreq, "word")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("word")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
