@@ -209,10 +209,17 @@ FROM per_nation
 )
 def agg_ratio_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """value / global total — the reference's flagship shape (calcProb,
-    mapreduce.erl:137-141). Implemented as agg + broadcast of the single
-    total row (scalar cross join), NOT a partition-less window, which would
-    funnel all rows through one task at scale — the reference's own
-    collect-to-master anti-pattern (mapreduce.erl:98)."""
+    mapreduce.erl:137-141). The total is a partition-less window over the
+    ALREADY-AGGREGATED per-nation rows (≤ 25, bounded by the dimension, at
+    any fact-table scale) — O(1) data through the one-partition hop. A
+    partition-less window over raw rows would be the reference's
+    collect-to-master anti-pattern (mapreduce.erl:98); a scalar-subquery
+    crossJoin(broadcast(per_nation.agg(...))) avoids that too but
+    RECOMPUTES the whole join+agg branch (ReuseExchange does not fire
+    across the two consumers; verified via .explain — customer was scanned
+    twice)."""
+    from pyspark.sql import Window
+
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     per_nation = (
@@ -220,11 +227,13 @@ def agg_ratio_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("cnt"))
     )
-    total = per_nation.agg(F.sum("cnt").alias("_total"))
-    return per_nation.crossJoin(F.broadcast(total)).select(
+    return per_nation.select(
         "n_name",
         "cnt",
-        (F.col("cnt") / F.col("_total")).alias("ratio"),
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(Window.partitionBy())
+        ).alias("ratio"),
     )
 
 

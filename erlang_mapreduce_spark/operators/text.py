@@ -19,8 +19,11 @@ first-letter routing at mapreduce.erl:226 is a skew object lesson; English
 letter frequencies vary ~40×). Partial aggregation (the map-side ETS combine
 at mapreduce.erl:275-282) is Spark's built-in partial/final HashAggregate,
 so shuffle volume is O(distinct bigrams × partitions) ≤ 676 × P, independent
-of corpus size. The global total for probabilities is a single-row broadcast
-(scalar subquery), not a repartition-to-one window.
+of corpus size. The global total for probabilities is a partition-less
+window over the already-aggregated counts — bounded at 26² rows by the
+alphabet, so the one-partition hop is O(1) data and the corpus is scanned
+exactly once (a scalar-subquery crossJoin would recompute the whole
+aggregation branch).
 """
 
 from __future__ import annotations
@@ -82,19 +85,23 @@ def bigram_freq(words: DataFrame) -> DataFrame:
     filter → flatMap bigrams → count (partial+final hash agg,
     mapreduce.erl:275-282 + :236-255) → probability = cnt / Σcnt
     (mapreduce.erl:130-141) → sort by bigram (mapreduce.erl:49)."""
+    from pyspark.sql import Window
+
     counts = bigrams(dist_mode_filter(words)).groupBy("bigram").agg(
         F.count("*").alias("cnt")
     )
-    # scalar total broadcast-joined: one row crossing the wire, no single-
-    # partition window sort at scale
-    total = counts.agg(F.sum("cnt").alias("_total"))
+    # global total as a partition-less window over the AGGREGATED counts:
+    # post-agg cardinality is bounded by the alphabet (≤ 26² = 676 rows
+    # whatever the corpus size), so the single-partition hop moves O(1)
+    # data — while a scalar-subquery crossJoin(broadcast(counts.agg(...)))
+    # would RECOMPUTE the whole scan→tokenize→explode→agg branch
+    # (ReuseExchange does not fire across the two consumers; verified via
+    # .explain — the corpus was scanned twice).
     return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "bigram",
-            "cnt",
-            (F.col("cnt") / F.col("_total")).alias("prob"),
+        counts.withColumn(
+            "prob", F.col("cnt") / F.sum("cnt").over(Window.partitionBy())
         )
+        .select("bigram", "cnt", "prob")
         .orderBy("bigram")
     )
 

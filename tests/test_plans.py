@@ -72,13 +72,15 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     assert "Exchange" not in p, p  # co-located join AND aggregate
 
 
-def test_ratio_of_total_no_single_partition_window(spark, sf_dir):
-    # the global total must be a broadcast scalar (BroadcastNestedLoopJoin
-    # over a 1-row relation), not a partition-less window funneling all
-    # rows through one task
+def test_ratio_of_total_single_scan(spark, sf_dir):
+    # the global total is a partition-less window over the POST-AGGREGATE
+    # rows (bounded by the nation dimension), chosen over a broadcast
+    # scalar subquery because the subquery recomputes the join+agg branch:
+    # the fact table must appear in the plan exactly once
     p = plan_of(QUERIES["agg_ratio_of_total"](spark, sf_dir))
-    assert count_nodes(p, "Window") == 0
-    assert "BroadcastNestedLoopJoin" in p
+    assert count_nodes(p, "Window") == 1
+    # each scan prints its Location detail once; one mention = one scan
+    assert p.count("customer.parquet") == 1, p
 
 
 def test_partition_pruning_reaches_scan(spark, sf_dir):
