@@ -184,3 +184,84 @@ def rollup_time_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle=f"""
+WITH b AS (
+    SELECT event_type,
+           to_timestamp(floor(epoch(ts) / 300) * 300) AS bucket,
+           count(*) AS cnt,
+           {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+         FROM b GROUP BY 1),
+grid AS (
+    SELECT event_type,
+           unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bucket
+    FROM span
+),
+j AS (
+    SELECT g.event_type, g.bucket,
+           coalesce(b.cnt, 0) AS cnt,
+           CAST(b.cnt IS NULL AS INTEGER) AS filled,
+           b.sum_value
+    FROM grid g LEFT JOIN b USING (event_type, bucket)
+)
+SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       cnt, filled,
+       last_value(sum_value IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_ff
+FROM j
+""",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + forward fill — the timeseries-store feature every
+    metrics pipeline needs on top of bucketed aggregation: emit a row for
+    EVERY 5-minute bucket in each event_type's span (missing buckets get
+    cnt 0 and filled=1) and carry the last observed sum forward. The
+    bucket aggregate is materialized once (localCheckpoint) because the
+    grid derives from it AND left-joins back to it — two consumers, and
+    ReuseExchange would not save the recompute; post-agg cardinality is
+    O(buckets × types), tiny at any corpus scale. The dense grid comes
+    from explode(sequence(lo, hi)) per type (narrow), and the forward
+    fill is last(ignorenulls) over an unbounded-preceding frame — one
+    sort-window per type, no self-join."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    b = (
+        e.groupBy(
+            "event_type", F.window("ts", "5 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+        .select("event_type", F.col("w.start").alias("bucket"), "cnt",
+                "sum_value")
+        .localCheckpoint()
+    )
+    span = b.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))
+        ).alias("bucket"),
+    )
+    j = grid.join(b, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("bucket", _TS_FMT).alias("bucket"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.col("cnt").isNull().cast("int").alias("filled"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("value_ff"),
+    )
