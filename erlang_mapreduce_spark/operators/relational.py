@@ -501,3 +501,79 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             base_rate
         )
     )
+
+
+@query(
+    "hist_numeric",
+    oracle="""
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+       CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS bin_lo,
+       count(*) AS cnt,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def hist_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram — the profiling primitive for data
+    exploration and skew diagnosis. Binning is a narrow projection
+    (floor(x / width): one correctly-rounded double division + exact floor,
+    reproducible in any IEEE engine), so the whole plan is one partial/final
+    hash-agg on ~tens of bins: shuffle volume is O(bins × partitions),
+    independent of table size — this profiles 100 TB with a near-zero
+    exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    bin_ = F.floor(F.col("l_extendedprice") / 5000).alias("bin")
+    return (
+        li.select(bin_, "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 5000).alias("bin_lo"),
+            "cnt",
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+@query(
+    "agg_corr_stats",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS cnt,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: correlation, sample covariance and
+    regression slope — the feature-screening aggregates of a training
+    pipeline. All three are single-pass co-moment aggregates with
+    partial/final combining (Spark merges per-partition (n, Σx, Σy, Σxy)
+    states), so one shuffle of O(groups) rows covers all of them. Co-moment
+    accumulation order differs between engines → rounded on both sides
+    (6 dp for the unit-interval corr, coarser for the magnitude-1e4
+    covariance/slope), same policy as agg_multi's stddev."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope"
+        ),
+    )

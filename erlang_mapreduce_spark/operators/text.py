@@ -164,3 +164,38 @@ FROM counts
 def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship: bigram counts + probabilities (dist mode)."""
     return bigram_freq(tokenize(load(spark, sf_dir, "documents")))
+
+
+@query(
+    "text_normalize",
+    oracle="""
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+       CASE WHEN norm_text = '' THEN 0
+            ELSE len(string_split(norm_text, ' ')) END AS n_tokens
+FROM n
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first stage of every training-data
+    pipeline: casefold, squash every non-alphanumeric run to a single space,
+    trim, and count the resulting tokens. Entirely narrow (per-row regex in
+    whole-stage codegen, no shuffle, no Python), so at 100 TB it streams at
+    scan speed and fuses with whatever filter/dedup stage follows."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    ).alias("norm_text")
+    out = d.select("doc_id", norm)
+    return out.select(
+        "doc_id",
+        "norm_text",
+        F.when(F.col("norm_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("norm_text", " ")))
+        .alias("n_tokens"),
+    )

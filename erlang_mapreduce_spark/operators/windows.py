@@ -107,3 +107,78 @@ def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moving_avg3"
         ),
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+       percent_rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC) AS pct_rank,
+       cume_dist() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC) AS cume
+FROM customer
+""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank family: ntile quartiles + percent_rank + cume_dist
+    per nation by balance. ntile's bucket assignment depends on row order, so
+    it gets the unique tie-break; percent_rank/cume_dist are tie-stable
+    rationals ((rank-1)/(n-1), peers/n) — a single exact-int division is
+    correctly rounded identically in any IEEE engine, so no float rounding
+    is needed. Same single-shuffle one-sort plan as win_rank."""
+    c = load(spark, sf_dir, "customer")
+    w_total = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_ties = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.percent_rank().over(w_ties).alias("pct_rank"),
+        F.cume_dist().over(w_ties).alias("cume"),
+    )
+
+
+@query(
+    "cdc_latest_by_key",
+    oracle="""
+SELECT user_id, event_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot: the latest record per key, the materialized-view
+    primitive behind every CDC/upsert table. NOT implemented as the obvious
+    row_number()=1 window (which shuffles EVERY row, then sorts each key's
+    full history just to keep one row): a single max(struct(ts, event_id,
+    payload...)) aggregate gets partial/final combining (a SortAggregate
+    pair — struct max is not hash-aggregable — but the sort is per map
+    partition, pre-shuffle), so the exchange carries one row per
+    (key × map partition) regardless of history depth —
+    the same partial-agg leverage as the reference's per-mapper ETS combine
+    (mapreduce.erl:275-282). Struct comparison is lexicographic, so
+    (ts, event_id) leads the struct as the version key; the oracle states the
+    same semantics as the row_number formulation over the identical total
+    order."""
+    e = load(spark, sf_dir, "events")
+    latest = e.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("m")
+    )
+    return latest.select(
+        "user_id",
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.event_type").alias("event_type"),
+        F.col("m.value").alias("value"),
+        F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
