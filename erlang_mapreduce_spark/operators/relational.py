@@ -577,3 +577,75 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         ),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+    FROM c
+) WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group with a DETERMINISTIC tie-break
+    (highest count, then greatest value — built-in mode() leaves ties
+    engine-defined, which is a silent nondeterminism across partitionings).
+    Two partial/final hash-aggs: count per (group, value) — shuffle bounded
+    by distinct pairs — then max(struct(cnt, value)) per group; no sort, no
+    window over full history."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    m = c.groupBy("o_orderstatus").agg(
+        F.max(
+            F.struct(F.col("cnt"), F.col("o_orderpriority").alias("v"))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderstatus",
+        F.col("m.v").alias("mode_priority"),
+        F.col("m.cnt").alias("cnt"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS size_band,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+       least(o_totalprice, 150000.0) AS capped_price,
+       greatest(o_totalprice, 50000.0) AS floor_price
+FROM orders
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression family: CASE WHEN chains, nullif→coalesce
+    null plumbing, least/greatest clamping. All exact comparisons and value
+    selection (no float arithmetic), fully codegen'd narrow projection —
+    the branch-heavy business logic that must stay JVM-side rather than
+    leak into Python row loops."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.least("o_totalprice", F.lit(150000.0)).alias("capped_price"),
+        F.greatest("o_totalprice", F.lit(50000.0)).alias("floor_price"),
+    )

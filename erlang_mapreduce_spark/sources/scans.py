@@ -254,3 +254,21 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip: write the nation table as ORC (once per sf,
+    _SUCCESS-guarded) and scan it back. Exercises the second columnar
+    format's full write+read path — vectorized reader, predicate-pushdown
+    capable — so a deployment standardized on ORC instead of Parquet gets
+    the same engine surface. The oracle reads the original parquet: equal
+    values prove the round trip is lossless."""
+    d = fixture_dir(sf_dir)
+    path = os.path.join(d, "nation_orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
