@@ -170,3 +170,39 @@ def test_tfidf_scalar_broadcast_not_repartition(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert p.count("HashAggregate") >= 4  # 2 aggs x partial/final
     assert "WindowGroupLimit" in p
+
+
+def test_cdc_latest_aggregates_not_windows(spark, sf_dir):
+    """Latest-per-key must be a partial/final aggregate pair (one row per
+    key per map partition crosses the shuffle), NOT a row_number window
+    that shuffles and sorts every history row."""
+    p = plan_of(QUERIES["cdc_latest_by_key"](spark, sf_dir))
+    assert count_nodes(p, "Window") == 0
+    assert count_nodes(p, "Exchange") == 1
+    # struct max compiles to SortAggregate; the partial/final pair is what matters
+    assert count_nodes(p, "SortAggregate") + count_nodes(p, "HashAggregate") == 2
+
+
+def test_hist_numeric_prunes_to_one_column(spark, sf_dir):
+    """Histogram binning must read exactly the binned column and combine
+    map-side: shuffle is O(bins × partitions), independent of table size."""
+    p = plan_of(QUERIES["hist_numeric"](spark, sf_dir))
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and read_schema.count(",") == 0
+    assert count_nodes(p, "HashAggregate") == 2
+    assert count_nodes(p, "Exchange") == 1
+
+
+def test_text_normalize_is_narrow(spark, sf_dir):
+    """Normalization is a pure per-row projection: no shuffle, no Python."""
+    p = plan_of(QUERIES["text_normalize"](spark, sf_dir))
+    assert count_nodes(p, "Exchange") == 0
+    assert "Python" not in p
+
+
+def test_agg_mode_two_hash_aggs_no_window(spark, sf_dir):
+    """Mode = count-per-pair agg then max(struct) agg — never a sorted
+    window over the full table."""
+    p = plan_of(QUERIES["agg_mode"](spark, sf_dir))
+    assert count_nodes(p, "Window") == 0
+    assert count_nodes(p, "Exchange") == 2
