@@ -476,3 +476,38 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur
     return labels
+
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM supplier a
+JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) duplicate pairs with a BLOCKING key: candidate
+    pairs are generated only within a nation (equi-join, hash-shuffled),
+    then exact Levenshtein ≤ 2 filters them — the classic blocked
+    record-linkage plan. Never an all-pairs cross join: at 100 TB the
+    blocking key (here nation; in a real corpus a normalized prefix or
+    phonetic key) bounds the quadratic term to the largest block, and both
+    engines' levenshtein is the same deterministic integer DP."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    )
+    return pairs.select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias("dist"),
+    ).filter(F.col("dist") <= 2)

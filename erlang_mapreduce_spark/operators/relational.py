@@ -649,3 +649,30 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("o_totalprice", F.lit(150000.0)).alias("capped_price"),
         F.greatest("o_totalprice", F.lit(50000.0)).alias("floor_price"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+       l_extendedprice AS amount
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long), the inverse of agg_pivot and the
+    reshape every feature pipeline runs before a per-measure aggregate.
+    Spark's native unpivot is a single narrow Expand (each input row emits
+    one row per measure in the same task — no shuffle, no N self-scans);
+    the oracle states the same relation as the textbook UNION ALL."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    )
