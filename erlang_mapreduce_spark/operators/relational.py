@@ -676,3 +676,62 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "amount",
     )
+
+
+@query(
+    "agg_approx",
+    oracle=None,  # sketch outputs are engine-specific (HLL++ / GK vs t-digest)
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the sketches that replace exact
+    distinct/percentile at 100 TB: approx_count_distinct (HLL++, fixed
+    ~few-KB state per group instead of a distinct-value hash table) and
+    approx_percentile (Greenwald-Khanna, mergeable bounded state). Both are
+    partial/final aggregates — one O(groups × sketch-size) shuffle where the
+    exact versions shuffle every distinct value. Rows-only check: DuckDB's
+    approx sketches (t-digest) legitimately produce different estimates.
+    Exact twins are oracle-checked in agg_distinct / agg_percentile; the
+    sanity bounds (estimate within rtol of exact) are pinned in
+    tests/test_operators.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("and_part"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
+        ).alias("apx_price_p50_p95"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITHIN each group (vs topk's global limit): each customer's 3
+    most expensive orders. Spark 3.5+ plans the rank-then-filter idiom with
+    WindowGroupLimit: each map task keeps only k rows per key BEFORE the
+    shuffle, so exchange volume is O(keys × k), not O(rows) — the same
+    partial-vs-full leverage as map-side combine, applied to ordering."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
