@@ -100,3 +100,73 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_kept"),
     )
+
+
+@query(
+    "pipeline_dataset_export",
+    oracle="""
+WITH gated AS (
+    SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 100
+),
+dd AS (
+    SELECT doc_id, text, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+    ) WHERE rn = 1
+),
+sh AS (
+    SELECT (instr('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+               AS shard,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           n_chars
+    FROM dd
+)
+SELECT shard, count(*) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM sh GROUP BY shard
+""",
+)
+def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing stage that ends every training-data pipeline: gate →
+    exact-dedup (keep lowest doc_id per content hash) → assign each doc a
+    DETERMINISTIC shard (md5 nibble of the key, mod 8 — reproducible across
+    runs/engines, unlike rand() or Spark's internal hash) → write the
+    corpus partitionBy(shard) → read back and account per shard (docs,
+    whitespace tokens, chars). The returned accounting hash-matches the
+    oracle iff gate+dedup+shard+sink all round-tripped. One narrow span to
+    the dedup shuffle, one partitioned write; at 100 TB shard count scales
+    to O(corpus/target-file-size) and the sink is the shuffle-free
+    partitionBy writer (each task writes its own shard files)."""
+    import os
+
+    from ..sources.scans import SINK_ROOT
+
+    d = load(spark, sf_dir, "documents")
+    gated = d.filter(F.col("n_chars") >= 100)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sharded = dd.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        ((F.instr(F.lit("0123456789abcdef"), nib) - 1) % 8).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    out = os.path.join(
+        SINK_ROOT, os.path.basename(os.path.normpath(sf_dir)), "export_shards"
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+    )
