@@ -178,3 +178,32 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (k % 10).alias("k_bucket"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255 AS low_byte,
+       l_orderkey | 15 AS or_mask,
+       xor(l_orderkey, l_linenumber) AS xored,
+       l_orderkey << 2 AS shl2,
+       l_orderkey >> 3 AS shr3
+FROM lineitem
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (and/or/xor/shifts) — exact integer ops, identical in
+    every engine, used for key packing, bloom/bitmap probes and cheap
+    feature hashing. Pure codegen'd projection, no shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    k, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("or_mask"),
+        k.bitwiseXOR(ln.cast("bigint")).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )

@@ -399,3 +399,35 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice").alias("sum_price"),
         F.any_value("o_totalprice").alias("o_totalprice"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH a AS (SELECT event_id, nullif(event_type, 'click') AS k FROM events
+           WHERE event_id % 2 = 0),
+     b AS (SELECT event_id, nullif(event_type, 'click') AS k FROM events
+           WHERE event_id % 2 = 1)
+SELECT a.k AS k, count(*) AS pair_cnt
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — required when the join key is an
+    optional attribute and 'both missing' means 'same'. ('click' is mapped
+    to NULL here to exercise it.) Crucially <=> is still a HASH join key in
+    Spark (EqualNullSafe is sargable for hashing — NULL hashes to a
+    bucket), NOT a nested loop; the aggregate keeps the oracle comparison
+    compact. At scale a hot NULL bucket is a skew key like any other —
+    AQE skew split handles it."""
+    e = load(spark, sf_dir, "events")
+    k = F.nullif("event_type", F.lit("click")).alias("k")
+    a = e.filter(F.col("event_id") % 2 == 0).select("event_id", k).alias("a")
+    b = e.filter(F.col("event_id") % 2 == 1).select("event_id", k).alias("b")
+    return (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .groupBy(F.col("a.k").alias("k"))
+        .agg(F.count("*").alias("pair_cnt"))
+    )

@@ -182,3 +182,48 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.value").alias("value"),
         F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
+
+
+@query(
+    "win_range_interval",
+    oracle=f"""
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(SUM(CAST(value AS DECIMAL(29,6)))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS sum_10m,
+       COUNT(*) OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+           AS cnt_10m
+FROM events
+""",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based window frame (RANGE over a 10-minute trailing interval),
+    vs win_frame's row-count frames: each event sums every event of the
+    same user in the preceding 600 seconds — however many rows that is.
+    Spark's rangeBetween needs a numeric ordering key, so the frame orders
+    by WHOLE epoch seconds (unix_timestamp truncates; the oracle floors
+    DuckDB's fractional epoch() to match — sub-second precision would give
+    the two engines different frame boundaries). Same
+    single-shuffle one-sort WindowExec as row frames; the frame sum goes
+    through DECIMAL because a sliding accumulator is float-order-dependent.
+    RANGE frames peer-group ties (same timestamp ⇒ same frame), so the
+    result is deterministic even without a unique tie-break."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(29,6)")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.sum(dec).over(w).cast("double").alias("sum_10m"),
+        F.count("*").over(w).alias("cnt_10m"),
+    )
