@@ -177,14 +177,37 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # rows-only: decode is a stubbed media op
+_DECODE_BYTE = "CAST('0x' || substr(hx, {pos}, 2) AS INT)"
+_DECODE_FEAT = ", ".join(
+    f"printf('%.6f', {_DECODE_BYTE.format(pos=2 * i + 1)} / 255.0)"
+    for i in range(3, 11)
+)
+
+
+@query(
+    "multimodal_decode",
+    oracle=f"""
+WITH d AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+SELECT doc_id,
+       CAST(64 + {_DECODE_BYTE.format(pos=1)} % 192 AS INTEGER) AS width,
+       CAST(64 + {_DECODE_BYTE.format(pos=3)} % 192 AS INTEGER) AS height,
+       CAST(1 + {_DECODE_BYTE.format(pos=5)} % 30 AS INTEGER) AS n_frames,
+       concat_ws(',', {_DECODE_FEAT}) AS feature
+FROM d
+""",
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode / feature-extract plumbing over mapInPandas: Arrow
     batches of (doc_id, payload binary) → (doc_id, width, height, n_frames,
-    feature float[8]). The DECODE itself is a deterministic fake (codec libs
-    aren't in this container — a real deployment swaps `_fake_decode` for
+    feature). The DECODE itself is a deterministic fake (codec libs aren't
+    in this container — a real deployment swaps `_fake_decode` for
     PIL/ffmpeg); the Spark-side contract — schema, binary transport,
-    batching, partition parallelism — is real and tested."""
+    batching, partition parallelism — is real and tested. The feature
+    vector is emitted as a comma-joined '%.6f' STRING, not array<double>:
+    the driver canonicalizer cannot hash list cells, and fixed decimal
+    formatting of the same IEEE double is engine-independent — which also
+    lets the sha256-derived fake be checked by a full DuckDB oracle
+    (byte i of the digest = CAST('0x'||hex-pair AS INT))."""
     import hashlib
 
     import pandas as pd
@@ -193,14 +216,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 
-    def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
         # stand-in for PIL.Image.open / av.open: deterministic pseudo-
         # metadata from the content digest
         h = hashlib.sha256(payload).digest()
         width = 64 + h[0] % 192
         height = 64 + h[1] % 192
         n_frames = 1 + h[2] % 30
-        feat = [b / 255.0 for b in h[3:11]]
+        feat = ",".join(f"{b / 255.0:.6f}" for b in h[3:11])
         return width, height, n_frames, feat
 
     def decode_batches(batches):
@@ -218,7 +241,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         decode_batches,
-        "doc_id long, width int, height int, n_frames int, feature array<double>",
+        "doc_id long, width int, height int, n_frames int, feature string",
     )
 
 

@@ -451,7 +451,8 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_agg_collect",
     oracle="""
 SELECT o_orderpriority,
-       list_sort(list_distinct(array_agg(o_orderstatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(array_agg(o_orderstatus))), ',')
+           AS statuses,
        count(DISTINCT o_custkey) AS n_custs
 FROM orders
 GROUP BY o_orderpriority
@@ -462,11 +463,17 @@ def fn_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-building side of the function surface (fn_array covers the
     array-consuming side). Sorting is mandatory for any cross-engine or
     cross-run comparison: collection order is partition-schedule-dependent.
+    The sorted set is emitted as a comma-joined STRING, not a raw
+    array<string>: the driver canonicalizes every output column through a
+    pandas sort, which cannot hash list cells — array-typed outputs are
+    banned repo-wide (tests/test_correctness.py enforces it).
     At scale collect_* is safe only on bounded groups (statuses per
     priority ≤ 3 here); unbounded groups belong in explode-side joins."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.count_distinct("o_custkey").alias("n_custs"),
     )
 
@@ -694,10 +701,12 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity bounds (estimate within rtol of exact) are pinned in
     tests/test_operators.py."""
     li = load(spark, sf_dir, "lineitem")
+    apx = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("and_part"),
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
+        # stringified: array-typed outputs break the driver canonicalizer
+        F.array_join(
+            F.transform(apx, lambda x: F.round(x, 6).cast("string")), ","
         ).alias("apx_price_p50_p95"),
         F.count("*").alias("cnt"),
     )

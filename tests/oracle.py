@@ -51,13 +51,51 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
+def driver_canon(cols, rows) -> None:
+    """Replica of the driver's `_canon` preamble: load the collected rows
+    into a pandas DataFrame and `sort_values` over every column (sorted by
+    name). The driver canonicalizes EVERY query output this way — including
+    rows-only ops — before hashing, and pandas cannot factorize list/dict
+    cells (`TypeError: unhashable type: 'list'`), so any array/map/struct
+    output column that survives to here fails the driver even when the
+    values are right. Running it locally makes a local green imply a driver
+    green; it reproduces the round-1 fn_agg_collect/multimodal_decode
+    failures on the pre-fix code."""
+    import pandas as pd
+
+    order = sorted(cols)
+    pdf = pd.DataFrame(list(rows), columns=list(cols))
+    if len(pdf):
+        pdf[order].sort_values(by=order)  # raises on unhashable cells
+
+
+_SIMPLE_TYPES = {
+    "string", "boolean", "byte", "short", "integer", "long", "float",
+    "double", "date", "timestamp", "timestamp_ntz", "binary",
+}
+
+
+def assert_driver_hashable(df) -> None:
+    """Schema-level guard: no output column may be array/map/struct typed
+    (the driver canonicalizer dies on them — see driver_canon). Decimal
+    passes too; anything complex must be stringified (array_join/to_json)
+    before leaving an operator."""
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        assert tn in _SIMPLE_TYPES or tn.startswith("decimal"), (
+            f"column {f.name!r} has driver-unhashable type {f.dataType.simpleString()}"
+        )
+
+
 def run_compare(spark, name: str, sf_dir: str) -> None:
     """Assert the Spark query matches its oracle. Raises AssertionError with
     a focused diff on mismatch."""
     q = QUERIES[name]
     sdf = q(spark, sf_dir)
+    assert_driver_hashable(sdf)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
+    driver_canon(scols, srows)
 
     sql = ORACLES[name].replace(_ORACLE_SF, os.path.basename(os.path.normpath(sf_dir)))
     con = duck_con(sf_dir)
