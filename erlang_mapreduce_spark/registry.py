@@ -44,3 +44,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+# The driver's per-round correctness pass walks ``queries()`` in dict
+# insertion order and stops after 50 ops (CORRECTNESS_r01.json is exactly
+# registration positions 1-50). With 93 registered ops, insertion order
+# therefore decides which ops get a driver-verified row each round. This
+# list pins the first 50 slots: the full SURVEY.md §2.B contract (44 ops),
+# the two round-1 canonicalizer failures (now fixed — their green rows are
+# the proof), and the ANN + SQL + stream-join extensions. Ops listed after
+# position 50 are ordered most-valuable-first so a future higher cap (or a
+# round-over-round rotation of this list) picks them up next; everything
+# from position 66 on already has a green CORRECTNESS_r01 row.
+DRIVER_PRIORITY: list[str] = [
+    # --- §2.B contract + round-1 failures + key extensions (first 50) ---
+    "scan_parquet", "scan_text", "scan_csv_json", "sink_partitioned",
+    "project_select", "filter_pred",
+    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
+    "join_theta_range", "join_asof", "join_interval",
+    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
+    "agg_global", "agg_ratio_of_total",
+    "win_rank", "win_analytic", "win_frame",
+    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
+    "text_tokenize", "text_bigram_freq", "dedup_minhash", "sim_search",
+    "udf_scalar", "udf_grouped", "udaf", "udtf",
+    "fn_agg_collect", "multimodal_decode",
+    "sim_search_ann", "sim_search_ivf",
+    "sql_pricing_summary", "stream_stream_join",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_stateful_dedup",
+    # --- 51+: extensions never driver-checked in round 1 ---
+    "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
+    "win_range_interval", "cdc_latest_by_key", "text_normalize",
+    "scan_orc", "scan_partition_pruned", "sink_text_formatted",
+    "agg_approx", "topk_per_group", "fn_bitwise",
+    "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
+    # --- extensions with a green CORRECTNESS_r01 row already ---
+    "text_lang_id", "text_quality_score", "text_token_count",
+    "text_fingerprint", "text_pii_scrub", "text_tfidf",
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_cluster_cc", "dedup_levenshtein",
+    "join_skew_salted", "join_bucketed", "join_null_safe",
+    "pipeline_corpus_clean", "pipeline_dataset_export",
+    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
+    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
+    "agg_unpivot",
+]
+
+
+def finalize_order() -> None:
+    """Rebuild QUERIES/ORACLES in DRIVER_PRIORITY order (in place, since
+    callers hold references to the dicts). Unlisted ops keep their relative
+    registration order after all listed ones. Called once from
+    ``erlang_mapreduce_spark.__init__`` after every module has registered."""
+    rank = {n: i for i, n in enumerate(DRIVER_PRIORITY)}
+    for d in (QUERIES, ORACLES):
+        ordered = sorted(d, key=lambda n: (rank.get(n, len(rank)),))
+        snapshot = dict(d)
+        d.clear()
+        for n in ordered:
+            d[n] = snapshot[n]

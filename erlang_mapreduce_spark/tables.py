@@ -49,25 +49,28 @@ def scan_parallel(df: DataFrame) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
-    # The caller may hand us a vanilla session (the driver does). Two confs
-    # are correctness-critical and runtime-settable, so pin them here rather
-    # than only in our own session factory:
-    #  - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), unreadable
-    #    otherwise (converted back to a µs timestamp below)
-    #  - UTC session tz: timestamp→string formatting must match the
-    #    (naive/UTC) DuckDB oracle
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The caller may hand us a vanilla session (the driver does). UTC
+    # session tz is correctness-critical and runtime-settable, so pin it
+    # here rather than only in our own session factory: timestamp→string
+    # formatting must match the (naive/UTC) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
-        # rejects; spark.sql.legacy.parquet.nanosAsLong (set in session.py)
-        # surfaces it as a long of nanos. Truncate to micros exactly like
-        # DuckDB does (integer division — values are post-1970 so floor==trunc)
-        # and rebuild the timestamp.
+        # events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces it is
+        # version-dependent: 4.1+ reads it natively as TIMESTAMP_NTZ
+        # truncated to micros; older versions need
+        # spark.sql.legacy.parquet.nanosAsLong=true and emit a long of
+        # nanos. Normalize BOTH paths to a session-tz (UTC) TimestampType
+        # truncated to micros — exactly DuckDB's value (integer division;
+        # values are post-1970 so floor == trunc) — so every downstream
+        # operator sees one stable type regardless of Spark version.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ → TIMESTAMP is a pure re-tag under UTC tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
