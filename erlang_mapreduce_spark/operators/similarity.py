@@ -229,31 +229,52 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_K = 16  # centroid count; at corpus scale use ~sqrt(N)
 IVF_NPROBE = 4  # clusters searched per query
 IVF_ITERS = 5
+IVF_TRAIN_CAP = 100_000  # absolute bound on vectors collected for training
+
+
+def _train_sample(e: DataFrame) -> DataFrame:
+    """The k-means training sample as a DataFrame: a deterministic 1-in-4
+    hash spread, total-ordered by vec_id, then hard-capped by LIMIT. The
+    LIMIT is what makes the driver-side collect safe at ANY corpus size —
+    at 100 TB this plan still moves at most IVF_TRAIN_CAP vectors
+    (~50 MB at dim 64) to the driver, vs the unbounded 25 % fraction a
+    bare hash filter would ship. tests/test_dedup.py pins the GlobalLimit
+    in this plan."""
+    return (
+        e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_CAP)
+        .select("v")
+    )
 
 
 def _train_centroids(e: DataFrame) -> list[list[float]]:
-    """Lloyd's k-means on a DETERMINISTIC sample, driver-side numpy — the
-    standard IVF recipe: the index structure is trained on a sample, never
-    the full corpus (at 100 TB: sample ~100k vectors; training cost is
-    independent of corpus size). Determinism: sample by vec_id hash,
-    order by vec_id, init with the first K — no RNG anywhere, so the
-    index (and therefore the op's output) is stable run to run."""
+    """Lloyd's k-means on a DETERMINISTIC bounded sample, driver-side
+    numpy — the standard IVF recipe: the index structure is trained on a
+    sample, never the full corpus, so training cost is independent of
+    corpus size. Determinism: hash-spread sample, order by vec_id, init
+    with the first K — no RNG anywhere, so the index (and therefore the
+    op's output) is stable run to run. The centroid count is clamped to
+    the sample size (a tiny fixture may yield < IVF_K vectors); an empty
+    corpus degenerates to a single zero centroid."""
     import numpy as np
 
-    sample = (
-        e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
-        .orderBy("vec_id")
-        .select("v")
-        .collect()
-    )
+    sample = _train_sample(e).collect()
+    if len(sample) < IVF_K:
+        # hash sample too thin (tiny fixture): train on the whole corpus,
+        # still bounded by the same cap
+        sample = e.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("v").collect()
     X = np.array([r.v for r in sample])
-    C = X[:IVF_K].copy()
+    if len(X) == 0:
+        return [[0.0]]
+    k = min(IVF_K, len(X))
+    C = X[:k].copy()
     for _ in range(IVF_ITERS):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         a = d.argmin(1)
-        for k in range(IVF_K):
-            if (a == k).any():
-                C[k] = X[a == k].mean(0)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = X[a == j].mean(0)
     return C.tolist()
 
 

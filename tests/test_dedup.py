@@ -149,3 +149,101 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
             rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1)
         )
         assert len(rows) <= TOP_K
+
+
+def test_ivf_training_collect_is_bounded(spark, sf_dir):
+    """The IVF k-means sample plan must contain a hard LIMIT — the absolute
+    cap is what keeps the driver-side collect safe at any corpus size (a
+    bare fraction sample would ship 25% of a 100 TB corpus)."""
+    from erlang_mapreduce_spark.operators.similarity import (
+        IVF_TRAIN_CAP,
+        _train_sample,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    plan = _train_sample(e)._jdf.queryExecution().optimizedPlan().toString()
+    assert f"GlobalLimit {IVF_TRAIN_CAP}" in plan, plan
+
+
+def test_ivf_centroids_clamp_to_tiny_corpus(spark, sf_dir):
+    """Fewer vectors than IVF_K must not crash training (round-1 advice:
+    IndexError at C[k] on thin hash samples); centroid count clamps to the
+    corpus size, and an empty corpus degenerates gracefully."""
+    from erlang_mapreduce_spark.operators.similarity import (
+        IVF_K,
+        _train_centroids,
+    )
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(5)
+    )
+    cents = _train_centroids(e)
+    assert 1 <= len(cents) <= 5 < IVF_K
+    empty = e.filter(F.lit(False))
+    assert _train_centroids(empty) == [[0.0]]
+
+
+def test_gram_df_cap_drops_stop_grams(spark, sf_dir):
+    """A gram above the DF cap must generate NO candidate pairs, while
+    rare-gram pairs are unaffected. Synthetic corpus: every doc shares the
+    stop-gram 'x y z'; only docs 1/2 share a rare gram (and are true
+    near-dups)."""
+    from erlang_mapreduce_spark.operators.dedup import (
+        _doc_gram_sets,
+        _jaccard_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z rare gram here alpha"),
+            (2, "x y z rare gram here beta"),
+            (3, "x y z completely different words one"),
+            (4, "x y z utterly other tokens two"),
+        ],
+        "doc_id long, text string",
+    )
+    sets = _doc_gram_sets(docs)
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_candidates(sets, df_cap=100).collect()
+    }
+    # stop-gram 'x y z' (DF=4) links every pair when uncapped
+    assert uncapped == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_candidates(sets, df_cap=3).collect()
+    }
+    # cap 3 kills the stop-gram; only the rare-gram pair survives
+    assert capped == {(1, 2)}
+
+
+def test_cc_large_small_star_beats_diameter(spark, sf_dir):
+    """A 64-node chain has diameter 63: naive min-label propagation needs
+    ~63 rounds, large-star/small-star must finish in O(log² n) — assert
+    convergence well under the diameter AND exact labels (everything
+    reaches root 0)."""
+    from erlang_mapreduce_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(chain)
+    got = {(r.node, r.root) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(64)}
+    assert rounds <= 12, f"took {rounds} rounds on a 63-diameter chain"
+
+
+def test_cc_two_components_and_singletons(spark, sf_dir):
+    from erlang_mapreduce_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (7, 7)], "doc_a long, doc_b long"
+    )
+    labels, _ = connected_components(pairs)
+    got = {(r.node, r.root) for r in labels.collect()}
+    # self-loop (7,7) is dropped; singletons absent by contract
+    assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (21, 20)}
