@@ -31,6 +31,17 @@ from ..tables import load, scan_parallel
 
 N_GRAM = 3
 JACCARD_T = 0.5
+# Grams with document frequency above this cap are dropped from the
+# CANDIDATE index (never from verification): a stop-gram shared by d docs
+# fans the inverted self-join out to O(d²) rows while witnessing almost no
+# high-Jaccard pairs. The floor this puts on recall is the duplicate
+# cluster size — a pair whose EVERY shared gram has DF > cap is invisible,
+# which happens when > cap near-copies of one document exist; exact dedup
+# (dedup_exact / pipeline_corpus_clean) runs before fuzzy dedup in any
+# real pipeline precisely to collapse those. Fixture headroom: max gram DF
+# is 25 at sf0.1 and every true pair shares a gram with DF ≤ 10, so the
+# cap is inert for the oracle while bounding the 100 TB join.
+GRAM_DF_CAP = 10_000
 
 _GRAMS_CTE = f"""
 WITH toks AS (
@@ -76,6 +87,36 @@ def _verify_jaccard(cands: DataFrame, doc_sets: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_candidates(doc_sets: DataFrame, df_cap: int = GRAM_DF_CAP) -> DataFrame:
+    """(doc_id, ghs) → distinct (doc_a, doc_b) pairs sharing ≥1 gram whose
+    document frequency is ≤ df_cap. The DF is computed with a window count
+    over the exploded index — ONE shuffle keyed on gram hash, whose
+    partitioning the self-join then reuses (no second exchange of the gram
+    stream). Stop-grams above the cap never enter the join, so the fan-out
+    per gram is bounded by df_cap² instead of corpus²."""
+    from pyspark.sql import Window
+
+    inv = doc_sets.select("doc_id", F.explode("ghs").alias("gh"))
+    rare = (
+        inv.withColumn("df", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -95,53 +136,21 @@ WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= {JACCARD_T}
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup: inverted-index join for candidates
-    (only documents sharing a gram ever meet — an equi-join on the gram
-    hash, never a cross join), then exact verification via
-    `array_intersect` on the narrow per-doc gram sets. The candidate join
-    shuffles 8-byte gram hashes, is skew-prone on stop-grams (AQE skew
-    split handles it), and at 100 TB grams with document frequency above a
-    cap should be dropped: they can't witness a high-Jaccard pair but
-    dominate the join fan-out. Hashing grams (vs joining on strings) is
-    semantics-preserving up to 2^-64 collisions — the oracle joins on the
-    raw strings and agrees."""
+    (only documents sharing a RARE gram ever meet — an equi-join on the
+    gram hash with a document-frequency cap, never a cross join), then
+    exact verification via `array_intersect` on the narrow per-doc gram
+    sets. The DF cap (GRAM_DF_CAP) keeps stop-grams out of the join
+    entirely — they dominate fan-out at 100 TB but cannot witness a
+    high-Jaccard pair (see the cap's comment for the recall floor);
+    verification still uses FULL gram sets, so every emitted jaccard is
+    exact. Hashing grams (vs joining on strings) is semantics-preserving
+    up to 2^-64 collisions — the oracle joins on the raw strings and
+    agrees."""
     docs = load(spark, sf_dir, "documents")
-    # three consumers (inverted index ×2 + sizes): materialize once —
+    # three consumers (candidate index + verify ×2): materialize once —
     # see the localCheckpoint note in dedup_minhash
     doc_sets = _doc_gram_sets(docs).localCheckpoint()
-    inv = doc_sets.select("doc_id", F.explode("ghs").alias("gh"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    # gram sets are distinct per doc, so count(*) over the inverted join IS
-    # the intersection size — one groupBy, no candidate distinct, and the
-    # all-pairs-sharing-a-gram stream (large before thresholding) is never
-    # hydrated with gram arrays; sizes join tiny (doc_id, sz) rows instead
-    inter = (
-        a.join(
-            b,
-            (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("ix"))
-    )
-    sizes = doc_sets.select("doc_id", F.size("ghs").alias("sz"))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("ix").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("ix"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_T)
-    )
+    return _verify_jaccard(_jaccard_candidates(doc_sets), doc_sets)
 
 
 N_HASH = 64
@@ -443,39 +452,116 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-duplicate pair graph — the step
     every real dedup pipeline needs after pair generation (keep one doc per
     CLUSTER, not per pair; pairs alone under-delete transitive groups
-    A~B~C). Iterative min-label propagation: each round every vertex takes
-    the min label among itself and its neighbors; converges in O(diameter)
-    rounds (near-dup clusters are shallow). The label sum is monotonically
-    non-increasing, so an unchanged sum is an exact convergence test — one
-    scalar action per round, lineage truncated via localCheckpoint to keep
-    plans flat. The oracle walks the same graph with a recursive CTE.
-    At 100 TB, swap in the large-star/small-star formulation
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    same join primitive, fewer rounds on high-diameter graphs."""
+    A~B~C). Components are computed with alternating large-star/small-star
+    edge rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): O(log²) rounds on ANY graph shape vs O(diameter) for naive
+    min-label propagation — see `connected_components`. The oracle walks
+    the same graph with a recursive CTE."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=False)
+    labels, _ = connected_components(pairs)
+    return (
+        docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("root", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    prev_sum = None
-    for _ in range(20):  # diameter cap; convergence check exits earlier
-        neighbor = (
-            edges.join(labels, edges["doc_a"] == labels["doc_id"])
-            .select(F.col("doc_b").alias("doc_id"), "cluster_id")
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 25
+) -> tuple[DataFrame, int]:
+    """Connected components of an undirected edge list via alternating
+    large-star / small-star rewrites (Kiveris et al. 2014). Each rewrite is
+    one groupBy + one equi-join on the SAME key (node id) — the join reuses
+    the aggregation's partitioning — and strictly reduces the potential
+    function, converging in O(log² n) rounds on any graph (a chain of
+    length d converges in ~log d rounds where min-label needs d). The fixed
+    point is a star forest: every edge runs (component-min → member), so
+    labels fall straight out of the edge set with no extra pass.
+
+    - large-star: every node links its LARGER neighbors to its smallest
+      neighbor-or-self — long tails collapse toward minima without ever
+      growing a node's degree beyond its component size.
+    - small-star: every node links its smaller neighbors AND itself to
+      that minimum — stars re-center onto the true minimum.
+
+    Convergence test: the canonical edge set is a fixed point exactly when
+    (count, Σ xxhash64(edge)) is unchanged — one tiny scalar action per
+    round; lineage is truncated per round with localCheckpoint (swap for a
+    durable checkpoint on a real cluster — executor loss under
+    localCheckpoint fails the job).
+
+    Returns (labels: (node, root=component min) for every node with ≥1
+    edge, rounds executed). Singletons are absent — the caller left-joins
+    and coalesces to self."""
+
+    def canon(e: DataFrame, a: str, b: str) -> DataFrame:
+        return (
+            e.filter(F.col(a) != F.col(b))
+            .select(
+                F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+            )
+            .distinct()
         )
-        labels = (
-            labels.union(neighbor)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=False)
+
+    def nbrs(e: DataFrame) -> DataFrame:
+        return e.select(F.col("x").alias("u"), F.col("y").alias("v")).union(
+            e.select(F.col("y").alias("u"), F.col("x").alias("v"))
         )
-        cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur == prev_sum:
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        n = nbrs(e)
+        mins = (
+            n.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        j = n.join(mins, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = j.filter(F.col("v") < F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).union(
+                mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return canon(out, "a", "b")
+
+    def sig(e: DataFrame) -> tuple:
+        # bit_xor, not sum: order-independent over the distinct edge set
+        # and immune to ANSI long-overflow (sums of xxhash64 overflow)
+        r = e.agg(
+            F.count("*").alias("c"),
+            F.expr("bit_xor(xxhash64(x, y))").alias("s"),
+        ).collect()[0]
+        return (r.c, r.s)
+
+    edges = canon(pairs, "doc_a", "doc_b").localCheckpoint(eager=False)
+    cur = sig(edges)
+    rounds = 0
+    for _ in range(max_rounds):
+        edges = star(edges, large=True).localCheckpoint(eager=False)
+        edges = star(edges, large=False).localCheckpoint(eager=False)
+        rounds += 1
+        nxt = sig(edges)
+        if nxt == cur:
             break
-        prev_sum = cur
-    return labels
+        cur = nxt
+    # fixed point = star forest: x is the component min on every edge
+    labels = (
+        nbrs(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least("mv", F.col("u")).alias("root"),
+        )
+    )
+    return labels, rounds
 
 
 @query(
