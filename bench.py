@@ -30,7 +30,9 @@ from erlang_mapreduce_spark.tables import load  # noqa: E402
 # Headline set: one per engine pillar (flagship text workload, scans feed in
 # implicitly, hash-agg, ratio-of-total, broadcast + shuffle + as-of joins,
 # window frames, top-k, exact & near dedup, similarity, text analysis,
-# windowed events). Names are SURVEY.md §2.B op ids.
+# windowed events) plus the LLM-pipeline north-star ops (ngram dedup,
+# connected components, tfidf, dataset export) so their wall-times get
+# round-over-round regression tracking. Names are SURVEY.md §2.B op ids.
 HEADLINE = (
     "text_bigram_freq",
     "agg_hash_count",
@@ -46,6 +48,10 @@ HEADLINE = (
     "sim_search",
     "text_quality_score",
     "stream_tumbling",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "text_tfidf",
+    "pipeline_dataset_export",
 )
 
 

@@ -141,6 +141,7 @@ def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     to O(corpus/target-file-size) and the sink is the shuffle-free
     partitionBy writer (each task writes its own shard files)."""
     import os
+    import shutil
 
     from ..sources.scans import SINK_ROOT
 
@@ -160,13 +161,25 @@ def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.instr(F.lit("0123456789abcdef"), nib) - 1) % 8).alias("shard"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
+    # Namespace the sink per session: two concurrent sessions exporting the
+    # same sf would otherwise race on one path (one overwrites while the
+    # other reads back, silently corrupting the accounting).
     out = os.path.join(
-        SINK_ROOT, os.path.basename(os.path.normpath(sf_dir)), "export_shards"
+        SINK_ROOT,
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+        "export_shards",
     )
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
     back = spark.read.parquet(out)
-    return back.groupBy("shard").agg(
+    acct = back.groupBy("shard").agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.sum("n_chars").alias("chars"),
     )
+    # Materialize the per-shard accounting (bounded: one row per shard, 8
+    # here) so the scratch export can be deleted before returning — the
+    # result must not dangle on a temp dir that accumulates per run.
+    result = spark.createDataFrame(acct.collect(), acct.schema)
+    shutil.rmtree(out, ignore_errors=True)
+    return result

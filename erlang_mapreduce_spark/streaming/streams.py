@@ -18,6 +18,7 @@ because chunk boundaries are fixed quantiles of ts.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 import duckdb
@@ -103,16 +104,20 @@ def _run_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
+    ckpt = f"/tmp/spark_graft_ckpt/{sink_name}-{time.time_ns()}"
     q = (
         transform(stream)
         .writeStream.trigger(availableNow=True)
         .format("memory")
         .queryName(sink_name)
         .outputMode(output_mode)
-        .option("checkpointLocation", f"/tmp/spark_graft_ckpt/{sink_name}-{time.time_ns()}")
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
+    # the memory sink holds the results; the per-run state-store dir is
+    # dead weight once the query terminates — don't accumulate across runs
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink_name)
 
 
@@ -263,16 +268,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
     sink = f"ssjoin_{abs(hash(sf_dir)) % 10**8}"
+    ckpt = f"/tmp/spark_graft_ckpt/{sink}-{time.time_ns()}"
     q = (
         joined.writeStream.trigger(availableNow=True)
         .format("memory")
         .queryName(sink)
         .outputMode("append")
-        .option(
-            "checkpointLocation",
-            f"/tmp/spark_graft_ckpt/{sink}-{time.time_ns()}",
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)

@@ -45,3 +45,16 @@ def test_hash_sample_rate(spark, sf_dir):
     s = QUERIES["sample_hash"](spark, sf_dir).count()
     p = s / o
     assert 1 / 16 - 0.03 < p < 1 / 16 + 0.03, (s, o)
+
+
+def test_sort_global_emits_rows_in_total_order(spark, sf_dir):
+    """The driver's value hash is order-INsensitive, so sort_global's total
+    order must be pinned locally: collected row order must equal the
+    declared (o_totalprice DESC, o_orderkey) order, and rn must be the
+    1..N sequence in that order."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["sort_global"](spark, sf_dir).collect()
+    assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r.o_totalprice, r.o_orderkey) for r in rows]
+    assert keys == sorted(keys)
