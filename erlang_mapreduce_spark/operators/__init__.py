@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analysis,
+    curation,
     dedup,
     joins,
     pipeline,

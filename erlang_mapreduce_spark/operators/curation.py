@@ -1,0 +1,302 @@
+"""Training-data curation operators over `documents` — the decontamination
+and fine-grained dedup passes a 100 TB LLM pipeline runs between corpus
+cleaning and export (north-star extensions beyond SURVEY.md §2.B; the
+reference's own domain is word-level text processing, mapreduce.erl:260-295,
+generalized here to corpus hygiene).
+
+- text_decontaminate: drop/flag training docs sharing word n-grams with a
+  held-out eval set — the standard benchmark-contamination guard. The eval
+  gram set is tiny → broadcast; the corpus side stays a narrow scan.
+- dedup_passage: position-chunked passage-level exact dedup (keep the
+  globally-first occurrence of every repeated passage, reassemble docs) —
+  finer than doc-level dedup_exact, coarser than span-level below.
+- dedup_span_rolling: rolling fixed-width token-window duplicate detection
+  (the signal behind exact-substring dedup à la "Deduplicating Training
+  Data Makes Language Models Better"): per-doc count + fraction of
+  duplicated windows, intra- and inter-document.
+- sample_quality_weighted: deterministic quality-weighted sampling — keep
+  probability scales with a quality proxy, decided by an md5-derived
+  uniform so both engines (and any two runs) agree bit-for-bit.
+
+All four are single-shuffle shapes: gram/passage/window streams are
+generated narrowly per row (explode of a per-doc transform), meet exactly
+one hash exchange (broadcast join, window count, or groupBy), and reduce
+back to per-doc rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, scan_parallel
+
+EVAL_MAX_DOC = 10  # doc_id < 10 = the held-out eval set
+DECON_N = 5  # word n-gram width for contamination matching
+
+_TOKS_CTE = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+)
+"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+{_TOKS_CTE.strip()},
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ws[CAST(i AS INTEGER):CAST(i + {DECON_N} - 1 AS INTEGER)], ' ') AS gram
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {DECON_N} + 2)) AS i
+          FROM toks)
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id < {EVAL_MAX_DOC}),
+sh AS (
+    SELECT g.doc_id, count(*) AS n
+    FROM grams g JOIN ev USING (gram)
+    WHERE g.doc_id >= {EVAL_MAX_DOC}
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(sh.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+WHERE d.doc_id >= {EVAL_MAX_DOC}
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word {DECON_N}-gram with the held-out eval set (doc_id <
+    EVAL_MAX_DOC stands in for the benchmark corpus). Gram sets are built
+    narrowly per doc (array_distinct(transform(...)), no shuffle — same
+    shape as dedup's _doc_gram_sets) and hashed to 8-byte longs; the eval
+    gram set is DISTINCT and tiny relative to the corpus, so the
+    membership test is a broadcast semi-join against the streaming train
+    side — at 100 TB the corpus is scanned exactly once and never
+    shuffled. The oracle joins raw gram strings; xxhash64 equality is
+    collision-equivalent up to 2^-64."""
+    from .dedup import _doc_gram_sets
+
+    docs = load(spark, sf_dir, "documents")
+    sets = _doc_gram_sets(docs, n=DECON_N)
+    ev_grams = (
+        sets.filter(F.col("doc_id") < EVAL_MAX_DOC)
+        .select(F.explode("ghs").alias("gh"))
+        .distinct()
+    )
+    train = sets.filter(F.col("doc_id") >= EVAL_MAX_DOC)
+    shared = (
+        train.select("doc_id", F.explode("ghs").alias("gh"))
+        .join(F.broadcast(ev_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+PASSAGE_W = 8  # tokens per passage chunk
+
+
+@query(
+    "dedup_passage",
+    oracle=f"""
+{_TOKS_CTE.strip()},
+p AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS idx,
+           array_to_string(
+               ws[CAST(i * {PASSAGE_W} + 1 AS INTEGER):CAST((i + 1) * {PASSAGE_W} AS INTEGER)],
+               ' ') AS passage
+    FROM (SELECT doc_id, ws,
+                 unnest(range(0, CAST(ceil(len(ws) / {PASSAGE_W}.0) AS BIGINT))) AS i
+          FROM toks)
+),
+f AS (
+    SELECT doc_id, idx, passage,
+           row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn
+    FROM p
+)
+SELECT doc_id,
+       count(*) AS n_passages,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dup_passages,
+       coalesce(string_agg(passage, ' ' ORDER BY idx) FILTER (rn = 1), '')
+           AS clean_text
+FROM f GROUP BY doc_id
+""",
+)
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: chunk every document into fixed
+    PASSAGE_W-token passages, keep only the globally-FIRST occurrence of
+    each repeated passage (ordered by doc_id, then position), and
+    reassemble the surviving text per document — the mid-granularity pass
+    between doc-level dedup_exact and span-level dedup_span_rolling
+    (boilerplate headers/footers dominate real corpora and live exactly
+    here). Passage generation is narrow (explode of a per-row transform);
+    first-occurrence ranking is ONE hash exchange keyed on the passage;
+    reassembly is one groupBy doc with an order-restoring
+    array_sort(collect_list(struct(idx, …))) — collection order never
+    matters. At 100 TB the passage exchange keys on an 8-byte xxhash of
+    the passage instead of the string (same trick as dedup_ngram_jaccard);
+    here the raw string keeps the DuckDB oracle exact."""
+    toks = scan_parallel(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    p = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ws") / F.lit(PASSAGE_W)).cast("long") - 1,
+                ),
+                lambda i: F.struct(
+                    i.cast("long").alias("idx"),
+                    F.array_join(
+                        F.slice("ws", i * PASSAGE_W + 1, PASSAGE_W), " "
+                    ).alias("passage"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.idx", "c.passage")
+    rn = F.row_number().over(
+        Window.partitionBy("passage").orderBy("doc_id", "idx")
+    )
+    f = p.withColumn("rn", rn)
+    return f.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_passages"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("idx", "passage")
+                        )
+                    )
+                ),
+                lambda x: x["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+SPAN_W = 8  # rolling window width (tokens)
+
+
+@query(
+    "dedup_span_rolling",
+    oracle=f"""
+{_TOKS_CTE.strip()},
+w AS (
+    SELECT doc_id,
+           array_to_string(ws[CAST(i AS INTEGER):CAST(i + {SPAN_W} - 1 AS INTEGER)], ' ') AS win
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {SPAN_W} + 2)) AS i
+          FROM toks)
+),
+c AS (SELECT doc_id, count(*) OVER (PARTITION BY win) AS occ FROM w)
+SELECT doc_id,
+       count(*) AS n_windows,
+       CAST(count(*) FILTER (occ > 1) AS BIGINT) AS n_dup_windows,
+       round(CAST(count(*) FILTER (occ > 1) AS DOUBLE) / count(*), 6)
+           AS dup_frac
+FROM c GROUP BY doc_id
+""",
+)
+def dedup_span_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window duplicate-span detection — the per-document signal
+    behind exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): every overlapping SPAN_W-token window
+    is checked for repetition anywhere in the corpus (including within the
+    same document, so intra-doc boilerplate loops score too); a document's
+    dup_frac is the fraction of its windows that recur. Rolling windows
+    (stride 1) catch mis-ALIGNED overlap that the chunked dedup_passage
+    misses. Window generation is narrow; the occurrence count is ONE hash
+    exchange (window count over the span key — the same
+    partition-then-count shape as the gram DF cap); per-doc stats are one
+    groupBy. Docs shorter than SPAN_W tokens emit no windows and are
+    absent, matching the oracle's range() semantics."""
+    toks = scan_parallel(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    w = toks.filter(F.size("ws") >= SPAN_W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (SPAN_W - 1)),
+                lambda i: F.array_join(F.slice("ws", i, SPAN_W), " "),
+            )
+        ).alias("win"),
+    )
+    occ = w.withColumn(
+        "occ", F.count("*").over(Window.partitionBy("win"))
+    )
+    return occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_dup_windows"),
+        F.round(
+            F.sum((F.col("occ") > 1).cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+QUALITY_FULL_CHARS = 400  # docs at/above this length keep with p = 1
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       round(least(1.0, CAST(n_chars AS DOUBLE) / {QUALITY_FULL_CHARS}), 6)
+           AS keep_p
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0
+      < least(1.0, CAST(n_chars AS DOUBLE) / {QUALITY_FULL_CHARS})
+""",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling — the mixing knob of corpus
+    curation: each document's keep probability scales with a quality proxy
+    (here length / {QUALITY_FULL_CHARS}, capped at 1; a real pipeline plugs
+    in text_quality_score), and the keep decision compares it against an
+    md5-derived uniform in [0, 1) — NOT rand(): the same doc gets the same
+    verdict in both engines, every run, any partitioning. Entirely narrow
+    (a filter over the scan — pushes down to parquet row groups); at
+    100 TB this is the cheapest possible shape for corpus downsampling."""
+    d = load(spark, sf_dir, "documents")
+    keep_p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("n_chars").cast("double") / QUALITY_FULL_CHARS,
+        ),
+        6,
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.withColumn("keep_p", keep_p)
+        .filter(
+            u
+            < F.least(
+                F.lit(1.0),
+                F.col("n_chars").cast("double") / QUALITY_FULL_CHARS,
+            )
+        )
+        .select("doc_id", "n_chars", "keep_p")
+    )
