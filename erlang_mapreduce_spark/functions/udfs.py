@@ -180,12 +180,16 @@ SELECT word, count(*) AS n_bigrams FROM bg GROUP BY word
 def udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python table function (Spark UDTF): word → one row per bigram, via
     the state machine; aggregated to bigrams-per-word. Lateral-joined in
-    SQL — the row-generating UDF shape (vs udf_scalar's array-return)."""
+    SQL — the row-generating UDF shape (vs udf_scalar's array-return).
+    useArrow=True: the default pickle path plans as row-at-a-time
+    BatchEvalPythonUDTF; Arrow batches the transfer like every other
+    sanctioned Python boundary (pinned by the plan sweep in
+    tests/test_plans.py)."""
     from pyspark.sql.functions import udtf as _udtf
 
     from ..operators.text import dist_mode_filter, tokenize
 
-    @_udtf(returnType="word: string, bigram: string")
+    @_udtf(returnType="word: string, bigram: string", useArrow=True)
     class BigramUDTF:
         def eval(self, word: str):
             for bg in bigram_state_machine(word):

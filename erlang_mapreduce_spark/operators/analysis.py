@@ -302,7 +302,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TARGET_EDGE = 224
 
 
-@query("multimodal_resize")  # rows-only: resize is a stubbed media op
+@query(
+    "multimodal_resize",
+    oracle=f"""
+WITH d AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+dims AS (
+    SELECT doc_id,
+           64 + CAST('0x' || substr(hx, 1, 2) AS INT) % 192 AS w,
+           64 + CAST('0x' || substr(hx, 3, 2) AS INT) % 192 AS h
+    FROM d
+),
+s AS (
+    SELECT doc_id, w, h,
+           least({TARGET_EDGE}.0 / w, {TARGET_EDGE}.0 / h, 1.0) AS sc
+    FROM dims
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(floor(w * sc + 0.5) AS INTEGER) AS out_w,
+       CAST(floor(h * sc + 0.5) AS INTEGER) AS out_h,
+       floor(sc * 1000000 + 0.5) / 1000000 AS scale
+FROM s
+""",
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing over mapInPandas: Arrow batches of
     (doc_id, payload) → (doc_id, width, height, out_w, out_h, scale) with
@@ -310,10 +333,15 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fake (no codec libs in this container — a real deployment
     decodes with PIL and emits the resized bytes in an output binary
     column); the batch shape, schema, and partition parallelism are the
-    real contract. Narrow op: resize never shuffles, and output size is
-    bounded by TARGET_EDGE² per row regardless of input payload size — the
-    property that makes a 100 TB image corpus tractable downstream."""
+    real contract. Because the fake derives from the sha256 digest, the
+    whole op is DuckDB-oracle-checkable (same trick as multimodal_decode);
+    rounding is explicit half-up (floor(x + 0.5)) on BOTH sides — Python's
+    banker's round and DuckDB's half-away-from-zero would disagree on
+    ties. Narrow op: resize never shuffles, and output size is bounded by
+    TARGET_EDGE² per row regardless of input payload size — the property
+    that makes a 100 TB image corpus tractable downstream."""
     import hashlib
+    import math
 
     import pandas as pd
 
@@ -329,8 +357,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, ht = 64 + h[0] % 192, 64 + h[1] % 192
                 scale = min(TARGET_EDGE / w, TARGET_EDGE / ht, 1.0)
                 rows.append(
-                    (doc_id, w, ht, round(w * scale), round(ht * scale),
-                     round(scale, 6))
+                    (
+                        doc_id,
+                        w,
+                        ht,
+                        math.floor(w * scale + 0.5),
+                        math.floor(ht * scale + 0.5),
+                        math.floor(scale * 1_000_000 + 0.5) / 1_000_000,
+                    )
                 )
             yield pd.DataFrame(
                 rows,

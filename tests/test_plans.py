@@ -206,3 +206,50 @@ def test_agg_mode_two_hash_aggs_no_window(spark, sf_dir):
     p = plan_of(QUERIES["agg_mode"](spark, sf_dir))
     assert count_nodes(p, "Window") == 0
     assert count_nodes(p, "Exchange") == 2
+
+
+# Ops whose query function executes work eagerly (streaming replay,
+# partitioned sinks, iterative CC, driver-side index training): their final
+# DataFrame is a memory/local scan, so a plan sweep would just re-run the
+# job without asserting anything useful.
+_EAGER = {
+    "stream_watermark_late",
+    "stream_stateful_dedup",
+    "stream_custom_state",
+    "stream_stream_join",
+    "sink_partitioned",
+    "sink_text_formatted",
+    "dedup_cluster_cc",
+    "pipeline_dataset_export",
+    "sim_search_ivf",
+}
+
+# Non-equi joins where a broadcast nested-loop join IS the documented
+# physical strategy (small broadcast side bounds the quadratic term), plus
+# text_tfidf, whose BNLJ is a single-row scalar broadcast (corpus N).
+_BNLJ_BY_DESIGN = {
+    "join_theta_range",
+    "join_asof",
+    "dedup_embedding",
+    "sim_search",
+    "sim_search_ann",
+    "text_tfidf",
+}
+
+
+def test_no_cartesian_products_or_row_udfs_anywhere(spark, sf_dir):
+    """Sweep EVERY lazily-planned operator: no plan may contain a
+    CartesianProduct (unbounded all-pairs — banned at any scale), a
+    BroadcastNestedLoopJoin outside the non-equi allowlist, or a
+    BatchEvalPython (row-at-a-time Python UDF — only Arrow-batched pandas
+    evaluation is sanctioned)."""
+    offenders: list[str] = []
+    for name in sorted(set(QUERIES) - _EAGER):
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in p:
+            offenders.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
+        if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_BY_DESIGN:
+            offenders.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not offenders, offenders
