@@ -194,7 +194,7 @@ def test_gram_df_cap_drops_stop_grams(spark, sf_dir):
     near-dups)."""
     from erlang_mapreduce_spark.operators.dedup import (
         _doc_gram_sets,
-        _jaccard_candidates,
+        _rare_pair_stream,
     )
 
     docs = spark.createDataFrame(
@@ -209,13 +209,13 @@ def test_gram_df_cap_drops_stop_grams(spark, sf_dir):
     sets = _doc_gram_sets(docs)
     uncapped = {
         (r.doc_a, r.doc_b)
-        for r in _jaccard_candidates(sets, df_cap=100).collect()
+        for r in _rare_pair_stream(sets, df_cap=100).distinct().collect()
     }
     # stop-gram 'x y z' (DF=4) links every pair when uncapped
     assert uncapped == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
     capped = {
         (r.doc_a, r.doc_b)
-        for r in _jaccard_candidates(sets, df_cap=3).collect()
+        for r in _rare_pair_stream(sets, df_cap=3).distinct().collect()
     }
     # cap 3 kills the stop-gram; only the rare-gram pair survives
     assert capped == {(1, 2)}
