@@ -300,3 +300,91 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars", "keep_p")
     )
+
+
+HH_K = 256  # Misra-Gries counters per partition; guarantee: no key with
+# global count > total/HH_K is ever missed by the candidate set
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+{_TOKS_CTE.strip()},
+w AS (SELECT unnest(ws) AS word FROM toks),
+n AS (SELECT count(*) AS total FROM w)
+SELECT word, count(*) AS cnt
+FROM w, n
+GROUP BY word, n.total
+HAVING count(*) > n.total / {HH_K}.0
+""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters) over the corpus token stream via a
+    MERGEABLE Misra-Gries sketch — the 100 TB alternative to a full
+    groupBy when the key space has billions of distinct keys but only the
+    > total/HH_K outliers matter:
+
+    1. each partition summarizes its tokens with an HH_K-counter
+       Misra-Gries sketch (mapInPandas, Arrow-batched; ≤ HH_K rows out per
+       partition regardless of input size — per-partition error ≤ n_p/HH_K),
+    2. partial summaries merge by summing per-key (two-level MG: total
+       candidate error ≤ Σ n_p/HH_K = n/HH_K, so any key with true count
+       > n/HH_K SURVIVES into the candidate set — no false negatives),
+    3. candidates are re-counted EXACTLY with one broadcast semi-join over
+       the token stream, and the true threshold filter runs on exact
+       counts — no false positives either.
+
+    The output therefore equals the exact groupBy answer (the oracle) while
+    shuffling only P·HH_K summary rows plus the bounded candidate recount —
+    the same sketch-prune + exact-verify pattern as dedup_minhash. The
+    token scan happens twice (sketch + recount); at 100 TB that beats
+    shuffling billions of distinct keys once. The exactness guarantee is
+    pinned against a 10k-distinct-key adversarial stream in
+    tests/test_operators.py (the fixture vocabulary is far below HH_K, so
+    only the synthetic test exercises the pruning path)."""
+    toks = scan_parallel(load(spark, sf_dir, "documents")).select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+    return heavy_hitters(toks, HH_K)
+
+
+def heavy_hitters(toks: DataFrame, k: int) -> DataFrame:
+    """(word) stream → exact (word, cnt) for every key with cnt > total/k,
+    via per-partition Misra-Gries summaries + exact candidate recount (see
+    agg_heavy_hitters for the guarantee argument)."""
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for word in pdf["word"]:
+                if word in counters:
+                    counters[word] += 1
+                elif len(counters) < k:
+                    counters[word] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"word": list(counters), "c": list(counters.values())}
+        )
+
+    candidates = (
+        toks.mapInPandas(mg_partition, "word string, c long")
+        .groupBy("word")
+        .agg(F.sum("c").alias("c"))
+        .select("word")
+    )
+    total = toks.count()
+    exact = (
+        toks.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact.filter(F.col("cnt") > total / k)

@@ -58,3 +58,29 @@ def test_sort_global_emits_rows_in_total_order(spark, sf_dir):
     assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
     keys = [(-r.o_totalprice, r.o_orderkey) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_heavy_hitters_exact_on_adversarial_stream(spark, sf_dir):
+    """Misra-Gries guarantee under pruning pressure: 10k distinct rare keys
+    (far above the k=64 counter budget) plus a few hot keys — the sketch
+    candidate set must still surface every key above total/k, and the
+    recount must make the output EXACTLY equal the full groupBy answer."""
+    from collections import Counter
+
+    from erlang_mapreduce_spark.operators.curation import heavy_hitters
+
+    words = []
+    for i in range(10_000):
+        words.append(f"rare{i}")  # 10k singletons
+    for hot, reps in (("alpha", 900), ("beta", 400), ("gamma", 180)):
+        words.extend([hot] * reps)
+    k = 64
+    total = len(words)
+    truth = {
+        w: c for w, c in Counter(words).items() if c > total / k
+    }
+    toks = spark.createDataFrame(
+        [(w,) for w in words], "word string"
+    ).repartition(8)
+    got = {r.word: r.cnt for r in heavy_hitters(toks, k).collect()}
+    assert got == truth, (len(got), len(truth))

@@ -26,9 +26,13 @@ from erlang_mapreduce_spark.session import get_spark  # noqa: E402
 EAGER = {
     "stream_watermark_late",
     "stream_stateful_dedup",
+    "stream_custom_state",
+    "stream_stream_join",
     "sink_partitioned",
     "sink_text_formatted",
     "dedup_cluster_cc",
+    "pipeline_dataset_export",
+    "sim_search_ivf",
 }
 
 
