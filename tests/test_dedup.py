@@ -247,3 +247,38 @@ def test_cc_two_components_and_singletons(spark, sf_dir):
     got = {(r.node, r.root) for r in labels.collect()}
     # self-loop (7,7) is dropped; singletons absent by contract
     assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (21, 20)}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark, sf_dir):
+    """connected_components vs a plain union-find oracle on seeded random
+    graphs of varying density (including self-loops and duplicate edges) —
+    the distributed star rewrites must produce exactly the component-min
+    labeling for every node that touches an edge."""
+    import random
+
+    from erlang_mapreduce_spark.operators.dedup import connected_components
+
+    for seed, n, m in ((1, 30, 15), (2, 50, 60), (3, 80, 40), (4, 12, 66)):
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for p in pairs if p[0] != p[1] for x in p}
+        truth = {x: find(x) for x in touched}
+
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        labels, _ = connected_components(df)
+        got = {r.node: r.root for r in labels.collect()}
+        assert got == truth, f"seed {seed}"
