@@ -81,7 +81,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _doc_gram_sets
 
     docs = load(spark, sf_dir, "documents")
-    sets = _doc_gram_sets(docs, n=DECON_N)
+    # three consumers (eval grams + train explode + train doc_ids):
+    # materialize once — same localCheckpoint rationale as dedup_minhash
+    sets = _doc_gram_sets(docs, n=DECON_N).localCheckpoint()
     ev_grams = (
         sets.filter(F.col("doc_id") < EVAL_MAX_DOC)
         .select(F.explode("ghs").alias("gh"))
@@ -351,13 +353,19 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heavy_hitters(toks: DataFrame, k: int) -> DataFrame:
     """(word) stream → exact (word, cnt) for every key with cnt > total/k,
     via per-partition Misra-Gries summaries + exact candidate recount (see
-    agg_heavy_hitters for the guarantee argument)."""
+    agg_heavy_hitters for the guarantee argument). The sketch pass also
+    emits each partition's raw row count (word = NULL sentinel rows), so
+    the global total needs no separate scan: exactly two passes over the
+    token stream (sketch + recount). The summary table is tiny (≤ P·(k+1)
+    rows) and feeds two consumers, so it is materialized once."""
     import pandas as pd
 
     def mg_partition(batches):
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
             for word in pdf["word"]:
+                seen += 1
                 if word in counters:
                     counters[word] += 1
                 elif len(counters) < k:
@@ -372,16 +380,27 @@ def heavy_hitters(toks: DataFrame, k: int) -> DataFrame:
                     for key in dead:
                         del counters[key]
         yield pd.DataFrame(
-            {"word": list(counters), "c": list(counters.values())}
+            {
+                "word": list(counters) + [None],  # NULL = partition total
+                "c": list(counters.values()) + [seen],
+            }
         )
 
+    summaries = toks.mapInPandas(
+        mg_partition, "word string, c long"
+    ).localCheckpoint()
+    total = (
+        summaries.filter(F.col("word").isNull())
+        .agg(F.sum("c"))
+        .collect()[0][0]
+        or 0
+    )
     candidates = (
-        toks.mapInPandas(mg_partition, "word string, c long")
+        summaries.filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.sum("c").alias("c"))
         .select("word")
     )
-    total = toks.count()
     exact = (
         toks.join(F.broadcast(candidates), "word")
         .groupBy("word")

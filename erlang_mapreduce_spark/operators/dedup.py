@@ -97,12 +97,25 @@ def _rare_pair_stream(doc_sets: DataFrame, df_cap: int = GRAM_DF_CAP) -> DataFra
     high-Jaccard pair), and each surviving gram's sorted doc list expands
     to its C(d,2) ordered pairs NARROWLY via a nested transform — no
     self-join of the gram stream at all. Memory per gram is bounded by
-    df_cap doc ids; fan-out by df_cap² per gram."""
+    df_cap doc ids (the cap filters on a count aggregate BEFORE the list
+    collect); fan-out by df_cap² per gram."""
     inv = doc_sets.select("doc_id", F.explode("ghs").alias("gh"))
-    byg = (
+    # DF cap BEFORE any list is collected: a count aggregate (fixed-size
+    # state) decides which grams survive, and only survivors reach the
+    # collect_list — so aggregation state is bounded by df_cap ids per
+    # gram even when a stop-gram spans 10M documents. Both the semi-join
+    # and the collect group hash on gh, so the gram stream's partitioning
+    # is reused rather than re-exchanged.
+    keep = (
         inv.groupBy("gh")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select("gh")
+    )
+    byg = (
+        inv.join(keep, "gh")
+        .groupBy("gh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
     )
     return byg.select(
         F.explode(
@@ -490,7 +503,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 25
+    pairs: DataFrame, max_rounds: int = 64
 ) -> tuple[DataFrame, int]:
     """Connected components of an undirected edge list via alternating
     large-star / small-star rewrites (Kiveris et al. 2014). Each rewrite is
@@ -563,14 +576,24 @@ def connected_components(
     edges = canon(pairs, "doc_a", "doc_b").localCheckpoint(eager=False)
     cur = sig(edges)
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         edges = star(edges, large=True).localCheckpoint(eager=False)
         edges = star(edges, large=False).localCheckpoint(eager=False)
         rounds += 1
         nxt = sig(edges)
         if nxt == cur:
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # label extraction below assumes the star-forest fixed point —
+        # running it on an unconverged edge set would silently emit SPLIT
+        # clusters. Rounds grow ~2·log2(diameter), so 64 covers any graph
+        # that fits on hardware; hitting this means something is wrong.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
     # fixed point = star forest: x is the component min on every edge
     labels = (
         nbrs(edges)

@@ -164,22 +164,26 @@ def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Namespace the sink per session: two concurrent sessions exporting the
     # same sf would otherwise race on one path (one overwrites while the
     # other reads back, silently corrupting the accounting).
+    app_root = os.path.join(SINK_ROOT, spark.sparkContext.applicationId)
     out = os.path.join(
-        SINK_ROOT,
-        spark.sparkContext.applicationId,
+        app_root,
         os.path.basename(os.path.normpath(sf_dir)),
         "export_shards",
     )
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
-    back = spark.read.parquet(out)
-    acct = back.groupBy("shard").agg(
-        F.count("*").alias("docs"),
-        F.sum("n_tokens").alias("tokens"),
-        F.sum("n_chars").alias("chars"),
-    )
-    # Materialize the per-shard accounting (bounded: one row per shard, 8
-    # here) so the scratch export can be deleted before returning — the
-    # result must not dangle on a temp dir that accumulates per run.
-    result = spark.createDataFrame(acct.collect(), acct.schema)
-    shutil.rmtree(out, ignore_errors=True)
+    try:
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+        back = spark.read.parquet(out)
+        acct = back.groupBy("shard").agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+        )
+        # Materialize the per-shard accounting (bounded: one row per shard,
+        # 8 here) so the scratch export can be deleted before returning —
+        # the result must not dangle on a temp dir that accumulates per run.
+        result = spark.createDataFrame(acct.collect(), acct.schema)
+    finally:
+        # remove the whole per-application tree (not just the leaf), even
+        # when the read-back fails — nothing may accumulate under SINK_ROOT
+        shutil.rmtree(app_root, ignore_errors=True)
     return result

@@ -96,6 +96,29 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 
+# Ops whose query function executes work eagerly when CALLED (streaming
+# replay with awaitTermination, partitioned sinks that write+read back,
+# iterative CC, driver-side index/sketch training): building their final
+# DataFrame runs the whole job, and that DataFrame's plan is a memory or
+# local scan. Plan-inspection tooling (tools/explain_audit.py, the plan
+# sweep in tests/test_plans.py) must skip them — shared here so the two
+# consumers cannot drift.
+EAGER_OPS: frozenset[str] = frozenset(
+    {
+        "stream_watermark_late",
+        "stream_stateful_dedup",
+        "stream_custom_state",
+        "stream_stream_join",
+        "sink_partitioned",
+        "sink_text_formatted",
+        "dedup_cluster_cc",
+        "pipeline_dataset_export",
+        "sim_search_ivf",
+        "agg_heavy_hitters",
+    }
+)
+
+
 def finalize_order() -> None:
     """Rebuild QUERIES/ORACLES in DRIVER_PRIORITY order (in place, since
     callers hold references to the dicts). Unlisted ops keep their relative

@@ -54,6 +54,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # here rather than only in our own session factory: timestamp→string
     # formatting must match the (naive/UTC) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # Spark < 4.1 rejects parquet TIMESTAMP(NANOS) outright unless this
+        # legacy conf is on (read as long of nanos); Spark 4.1+ ignores it
+        # and reads NTZ natively — the type-adaptive branch below handles
+        # both. Wrapped defensively: a future Spark may drop the conf key.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces it is

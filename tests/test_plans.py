@@ -208,21 +208,9 @@ def test_agg_mode_two_hash_aggs_no_window(spark, sf_dir):
     assert count_nodes(p, "Exchange") == 2
 
 
-# Ops whose query function executes work eagerly (streaming replay,
-# partitioned sinks, iterative CC, driver-side index training): their final
-# DataFrame is a memory/local scan, so a plan sweep would just re-run the
-# job without asserting anything useful.
-_EAGER = {
-    "stream_watermark_late",
-    "stream_stateful_dedup",
-    "stream_custom_state",
-    "stream_stream_join",
-    "sink_partitioned",
-    "sink_text_formatted",
-    "dedup_cluster_cc",
-    "pipeline_dataset_export",
-    "sim_search_ivf",
-}
+# Ops whose query function executes work eagerly: shared with
+# tools/explain_audit.py via the registry so the two lists cannot drift.
+from erlang_mapreduce_spark.registry import EAGER_OPS as _EAGER  # noqa: E402
 
 # Non-equi joins where a broadcast nested-loop join IS the documented
 # physical strategy (small broadcast side bounds the quadratic term), plus

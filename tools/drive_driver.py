@@ -17,7 +17,7 @@ df = ent.entry(spark)
 rows = df.collect()
 print(f"entry: {len(rows)} rows, schema={df.columns}, top={rows[:2]}")
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 qs, oracles = ent.queries(), ent.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 con = duckdb.connect()

@@ -23,17 +23,7 @@ from erlang_mapreduce_spark.session import get_spark  # noqa: E402
 # ops that execute eagerly (streaming replay, sinks, iterative CC) are
 # skipped: their final DataFrame's plan is a memory/file scan, not the
 # interesting part, and building it runs the whole job
-EAGER = {
-    "stream_watermark_late",
-    "stream_stateful_dedup",
-    "stream_custom_state",
-    "stream_stream_join",
-    "sink_partitioned",
-    "sink_text_formatted",
-    "dedup_cluster_cc",
-    "pipeline_dataset_export",
-    "sim_search_ivf",
-}
+from erlang_mapreduce_spark.registry import EAGER_OPS as EAGER  # noqa: E402
 
 
 def main() -> None:
