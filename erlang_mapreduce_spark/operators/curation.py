@@ -407,3 +407,106 @@ def heavy_hitters(toks: DataFrame, k: int) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     return exact.filter(F.col("cnt") > total / k)
+
+
+REP_FLAG_T = 0.2  # Gopher-style repetition gates
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+{_TOKS_CTE.strip()},
+tc2 AS (
+    SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u
+        GROUP BY doc_id, w
+    ) GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id,
+           count(*) AS total_bg,
+           count(DISTINCT gram) AS distinct_bg
+    FROM (
+        SELECT doc_id,
+               array_to_string(ws[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ') AS gram
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)
+    ) g GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       round(CAST(tc2.top_cnt AS DOUBLE) / len(t.ws), 6) AS top_token_frac,
+       round(CAST(coalesce(bg.total_bg - bg.distinct_bg, 0) AS DOUBLE)
+             / greatest(coalesce(bg.total_bg, 0), 1), 6) AS dup_bigram_frac,
+       (CAST(tc2.top_cnt AS DOUBLE) / len(t.ws) > {REP_FLAG_T}
+        OR CAST(coalesce(bg.total_bg - bg.distinct_bg, 0) AS DOUBLE)
+           / greatest(coalesce(bg.total_bg, 0), 1) > {REP_FLAG_T}) AS flagged
+FROM toks t
+JOIN tc2 ON tc2.doc_id = t.doc_id
+LEFT JOIN bg ON bg.doc_id = t.doc_id
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gates (the Gopher quality rules'
+    repetition family): the most-frequent-token fraction and the duplicate
+    word-bigram fraction, plus a flag when either exceeds REP_FLAG_T —
+    looping/boilerplate text scores high on both. ENTIRELY NARROW in
+    Spark: the top-token count is the longest equal run in the doc's
+    SORTED token array, computed by a single `aggregate` fold over
+    `array_sort(ws)` (run-length state in a 3-field struct), and bigram
+    distinctness is `array_distinct(transform(...))` — per-row expressions
+    only, zero shuffles, the cheapest possible shape for a 100 TB quality
+    sweep. The oracle computes the same numbers with two grouped
+    aggregations; values agree exactly (integer counts, one IEEE divide,
+    round 6)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    null_s = F.lit(None).cast("string")
+    zero = F.lit(0).cast("long")
+    top_cnt = F.aggregate(
+        F.array_sort("ws"),
+        F.struct(
+            null_s.alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_tokens = F.size("ws").cast("long")
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.array_join(F.slice("ws", i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    scored = toks.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        top_cnt.alias("top_cnt"),
+        F.size(bigrams).cast("long").alias("total_bg"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("distinct_bg"),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    dup_frac = (
+        (F.col("total_bg") - F.col("distinct_bg")).cast("double")
+        / F.greatest(F.col("total_bg"), F.lit(1).cast("long"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        ((top_frac > REP_FLAG_T) | (dup_frac > REP_FLAG_T)).alias("flagged"),
+    )
