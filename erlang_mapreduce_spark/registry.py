@@ -47,34 +47,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops (CORRECTNESS_r01.json is exactly
-# registration positions 1-50). With 99 registered ops, insertion order
-# therefore decides which ops get a driver-verified row each round. This
-# list pins the first 50 slots: the full SURVEY.md §2.B contract (44 ops),
-# the two round-1 canonicalizer failures (now fixed — their green rows are
-# the proof), and the ANN + SQL + stream-join extensions. Ops listed after
-# position 50 are ordered most-valuable-first so a future higher cap (or a
-# round-over-round rotation of this list) picks them up next; everything
-# from position 66 on already has a green CORRECTNESS_r01 row.
+# insertion order and stops after 50 ops. With 99 registered ops, insertion
+# order therefore decides which ops get a driver-verified row each round, so
+# this list rotates round-over-round to spread driver evidence across the
+# whole registry:
+#   round 1-2 window: the full §2.B contract (44) + key extensions — all
+#     hash/rows green in CORRECTNESS_r01/r02.
+#   round 3 window (this ordering): the 21 extensions that had NEVER been
+#     driver-checked (they sat at 51-71 both rounds), then the 28 extensions
+#     whose only driver evidence is round 1, then the flagship
+#     text_bigram_freq (kept in-window every round). The contract ops rotate
+#     to the back — each already holds a green CORRECTNESS_r02 row, and
+#     tests/test_correctness.py re-proves all of them against the same
+#     DuckDB oracle locally each run.
 DRIVER_PRIORITY: list[str] = [
-    # --- §2.B contract + round-1 failures + key extensions (first 50) ---
-    "scan_parquet", "scan_text", "scan_csv_json", "sink_partitioned",
-    "project_select", "filter_pred",
-    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
-    "join_theta_range", "join_asof", "join_interval",
-    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
-    "agg_global", "agg_ratio_of_total",
-    "win_rank", "win_analytic", "win_frame",
-    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "text_tokenize", "text_bigram_freq", "dedup_minhash", "sim_search",
-    "udf_scalar", "udf_grouped", "udaf", "udtf",
-    "fn_agg_collect", "multimodal_decode",
-    "sim_search_ann", "sim_search_ivf",
-    "sql_pricing_summary", "stream_stream_join",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark_late", "stream_stateful_dedup",
-    # --- 51+: extensions never driver-checked in round 1 ---
+    # --- 1-21: never driver-checked before round 3 ---
     "text_decontaminate", "dedup_passage", "dedup_span_rolling",
     "sample_quality_weighted", "agg_heavy_hitters", "text_repetition_score",
     "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
@@ -82,7 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "scan_orc", "scan_partition_pruned", "sink_text_formatted",
     "agg_approx", "topk_per_group", "fn_bitwise",
     "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
-    # --- extensions with a green CORRECTNESS_r01 row already ---
+    # --- 22-49: driver evidence only from round 1 (oldest first-class rows) ---
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_pii_scrub", "text_tfidf",
     "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
@@ -93,6 +80,25 @@ DRIVER_PRIORITY: list[str] = [
     "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
     "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
     "agg_unpivot",
+    # --- 50: flagship, driver-checked every round ---
+    "text_bigram_freq",
+    # --- 51+: §2.B contract + extensions, all hash/rows green in r02 ---
+    "scan_parquet", "scan_text", "scan_csv_json", "sink_partitioned",
+    "project_select", "filter_pred",
+    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
+    "join_theta_range", "join_asof", "join_interval",
+    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
+    "agg_global", "agg_ratio_of_total",
+    "win_rank", "win_analytic", "win_frame",
+    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
+    "text_tokenize", "dedup_minhash", "sim_search",
+    "udf_scalar", "udf_grouped", "udaf", "udtf",
+    "fn_agg_collect", "multimodal_decode",
+    "sim_search_ann", "sim_search_ivf",
+    "sql_pricing_summary", "stream_stream_join",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_stateful_dedup",
 ]
 
 

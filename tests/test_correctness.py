@@ -9,22 +9,17 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# SURVEY.md §2.B contract — each must occupy one of the driver-checked
-# first 50 registry slots so CORRECTNESS_r{N} gets a row for it
-CONTRACT_OPS = [
-    "scan_parquet", "scan_text", "scan_csv_json", "sink_partitioned",
-    "project_select", "filter_pred",
-    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
-    "join_theta_range", "join_asof", "join_interval",
-    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
-    "agg_global", "agg_ratio_of_total",
-    "win_rank", "win_analytic", "win_frame",
-    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "text_tokenize", "text_bigram_freq", "dedup_minhash", "sim_search",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark_late", "stream_stateful_dedup",
-    "udf_scalar", "udf_grouped", "udaf", "udtf",
+# Round-3 driver window: the 21 ops with zero driver evidence from rounds
+# 1-2 MUST sit in the first-50 window this round (VERDICT_r02 item 1), plus
+# the flagship which stays in-window every round.
+NEVER_CHECKED_R12 = [
+    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
+    "sample_quality_weighted", "agg_heavy_hitters", "text_repetition_score",
+    "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
+    "win_range_interval", "cdc_latest_by_key", "text_normalize",
+    "scan_orc", "scan_partition_pruned", "sink_text_formatted",
+    "agg_approx", "topk_per_group", "fn_bitwise",
+    "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
 ]
 
 
@@ -37,12 +32,11 @@ def test_driver_priority_covers_registry():
     assert [n for n in ORACLES] == [n for n in DRIVER_PRIORITY if n in ORACLES]
 
 
-def test_contract_ops_in_first_50():
-    """Every §2.B contract op — plus the two round-1 canonicalizer failures
-    whose fixes need a driver-verified row — sits in the checked window."""
+def test_rotation_targets_in_first_50():
+    """Round-3 rotation goal: every op that lacked driver evidence after
+    round 2 sits in the checked window, and the flagship stays in it."""
     first50 = set(list(QUERIES)[:50])
-    must = set(CONTRACT_OPS) | {"fn_agg_collect", "multimodal_decode",
-                                "sim_search_ann", "sim_search_ivf"}
+    must = set(NEVER_CHECKED_R12) | {"text_bigram_freq"}
     missing = must - first50
     assert not missing, f"not in driver-checked first 50: {sorted(missing)}"
 
