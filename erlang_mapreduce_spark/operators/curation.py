@@ -350,39 +350,74 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, HH_K)
 
 
-def heavy_hitters(toks: DataFrame, k: int) -> DataFrame:
+HH_VOCAB_CAP = 1 << 20  # per-partition sketch compresses past ~1M keys
+
+
+def heavy_hitters(
+    toks: DataFrame, k: int, vocab_cap: int = HH_VOCAB_CAP
+) -> DataFrame:
     """(word) stream → exact (word, cnt) for every key with cnt > total/k,
-    via per-partition Misra-Gries summaries + exact candidate recount (see
+    via per-partition candidate summaries + exact candidate recount (see
     agg_heavy_hitters for the guarantee argument). The sketch pass also
     emits each partition's raw row count (word = NULL sentinel rows), so
     the global total needs no separate scan: exactly two passes over the
-    token stream (sketch + recount). The summary table is tiny (≤ P·(k+1)
-    rows) and feeds two consumers, so it is materialized once."""
+    token stream (sketch + recount). The summary table is small and feeds
+    two consumers, so it is materialized once.
+
+    The sketch pass is FULLY VECTORIZED (no per-token Python): each Arrow
+    batch collapses to its `value_counts()` in C, pending batch counts
+    fold together with one `concat + groupby(level=0).sum()`, and when the
+    folded vocabulary exceeds ``vocab_cap`` it is compressed to k counters
+    by the Misra-Gries merge rule (Agarwal et al., "Mergeable Summaries"):
+    subtract the (k+1)-th largest count from every counter, keep the
+    positive ones — a numpy-vectorized equivalent of k-at-a-time MG
+    decrements, error ≤ n_p/(k+1) no matter how many compressions run.
+    The partition emits keys whose stored count exceeds n_p/k − D_p (D_p =
+    total decrement actually applied, 0 when the vocab never hit the cap):
+    pigeonhole gives c_p(w) > n_p/k for some partition of any global heavy
+    hitter, and stored ≥ c_p − D_p, so no false negatives — the exact
+    recount then kills false positives. Replaces a per-token interpreted
+    dict loop that was 10-100× slower per byte (round-2 advisory)."""
     import pandas as pd
 
     def mg_partition(batches):
-        counters: dict[str, int] = {}
         seen = 0
+        dec = 0  # total MG decrement applied (exact error bound witness)
+        acc = None  # pd.Series: word -> stored count
+        pending: list = []
+        pending_rows = 0
+
+        def fold(compress: bool):
+            nonlocal acc, pending, pending_rows, dec
+            parts = ([acc] if acc is not None else []) + pending
+            if parts:
+                acc = (
+                    pd.concat(parts).groupby(level=0).sum()
+                    if len(parts) > 1
+                    else parts[0]
+                )
+            pending, pending_rows = [], 0
+            if compress and acc is not None and len(acc) > k:
+                v = int(acc.nlargest(k + 1).iloc[-1])
+                dec += v
+                acc = acc[acc > v] - v
+
         for pdf in batches:
-            for word in pdf["word"]:
-                seen += 1
-                if word in counters:
-                    counters[word] += 1
-                elif len(counters) < k:
-                    counters[word] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            seen += len(pdf)
+            vc = pdf["word"].value_counts()
+            pending.append(vc)
+            pending_rows += len(vc)
+            if pending_rows >= vocab_cap:
+                fold(compress=True)
+        fold(compress=False)
+        if acc is None:
+            cand = pd.Series(dtype="int64")
+        else:
+            cand = acc[acc > max(seen / k - dec, 0)]
         yield pd.DataFrame(
             {
-                "word": list(counters) + [None],  # NULL = partition total
-                "c": list(counters.values()) + [seen],
+                "word": list(cand.index) + [None],  # NULL = partition total
+                "c": list(cand.to_numpy()) + [seen],
             }
         )
 
@@ -444,6 +479,7 @@ SELECT t.doc_id,
 FROM toks t
 JOIN tc2 ON tc2.doc_id = t.doc_id
 LEFT JOIN bg ON bg.doc_id = t.doc_id
+WHERE t.ws IS NOT NULL
 """,
 )
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,9 +494,15 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, zero shuffles, the cheapest possible shape for a 100 TB quality
     sweep. The oracle computes the same numbers with two grouped
     aggregations; values agree exactly (integer counts, one IEEE divide,
-    round 6)."""
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    round 6). NULL-text documents are dropped on BOTH sides (the explicit
+    filter here; the tc2 inner join plus explicit WHERE in the oracle) —
+    without the engine-side filter a NULL doc would emit a row the oracle
+    lacks, the same drop-the-row semantics the explode-based curation ops
+    get for free."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
     )
     null_s = F.lit(None).cast("string")
     zero = F.lit(0).cast("long")

@@ -22,6 +22,8 @@ candidates against exact Jaccard/hamming ground truth computed in-engine.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # module scope: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,15 +35,18 @@ N_GRAM = 3
 JACCARD_T = 0.5
 # Grams with document frequency above this cap are dropped from the
 # CANDIDATE index (never from verification): a stop-gram shared by d docs
-# fans the inverted self-join out to O(d²) rows while witnessing almost no
+# fans the pair expansion out to C(d,2) rows while witnessing almost no
 # high-Jaccard pairs. The floor this puts on recall is the duplicate
 # cluster size — a pair whose EVERY shared gram has DF > cap is invisible,
 # which happens when > cap near-copies of one document exist; exact dedup
 # (dedup_exact / pipeline_corpus_clean) runs before fuzzy dedup in any
-# real pipeline precisely to collapse those. Fixture headroom: max gram DF
+# real pipeline precisely to collapse those. 2 000 keeps a cap-level
+# gram's fan-out at ~2e6 pair rows (streamed, never one giant row — see
+# _rare_pair_stream), small enough that a handful of cap-level grams
+# cannot skew a task for minutes at 100 TB. Fixture headroom: max gram DF
 # is 25 at sf0.1 and every true pair shares a gram with DF ≤ 10, so the
-# cap is inert for the oracle while bounding the 100 TB join.
-GRAM_DF_CAP = 10_000
+# cap is inert for the oracle while bounding the 100 TB expansion.
+GRAM_DF_CAP = 2_000
 
 _GRAMS_CTE = f"""
 WITH toks AS (
@@ -95,10 +100,15 @@ def _rare_pair_stream(doc_sets: DataFrame, df_cap: int = GRAM_DF_CAP) -> DataFra
     outside [2, df_cap] drop out (singletons witness nothing; stop-grams
     above the cap fan out quadratically while witnessing almost no
     high-Jaccard pair), and each surviving gram's sorted doc list expands
-    to its C(d,2) ordered pairs NARROWLY via a nested transform — no
-    self-join of the gram stream at all. Memory per gram is bounded by
-    df_cap doc ids (the cap filters on a count aggregate BEFORE the list
-    collect); fan-out by df_cap² per gram."""
+    to its C(d,2) ordered pairs NARROWLY in two chained generators — no
+    self-join of the gram stream at all. The expansion is STREAMED:
+    posexplode emits one (ds, i, doc_a) row per member and a second
+    explode over slice(ds, i+2, …) emits each doc_b, so no operator ever
+    materializes the C(d,2) pair array in a single row — peak per-row
+    memory is one O(df_cap)-long doc list (~16 KB at the default cap),
+    not O(df_cap²) structs (~5e7 at the old 10k cap — the executor-OOM
+    shape this replaces). Aggregation state is also bounded: the cap
+    filters on a count aggregate BEFORE the list collect."""
     inv = doc_sets.select("doc_id", F.explode("ghs").alias("gh"))
     # DF cap BEFORE any list is collected: a count aggregate (fixed-size
     # state) decides which grams survive, and only survivors reach the
@@ -118,14 +128,11 @@ def _rare_pair_stream(doc_sets: DataFrame, df_cap: int = GRAM_DF_CAP) -> DataFra
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     )
     return byg.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (a, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), "
-                "b -> struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+        "ds", F.posexplode("ds").alias("i", "doc_a")
+    ).select(
+        "doc_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
+    )
 
 
 @query(
@@ -489,10 +496,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge rewrites (Kiveris et al., "Connected Components in MapReduce and
     Beyond"): O(log²) rounds on ANY graph shape vs O(diameter) for naive
     min-label propagation — see `connected_components`. The oracle walks
-    the same graph with a recursive CTE."""
+    the same graph with a recursive CTE.
+
+    Per-round lineage truncation defaults to localCheckpoint (right for
+    local[N]); set $SPARK_GRAFT_CHECKPOINT_DIR to a fault-tolerant path
+    (HDFS/S3) on a real cluster to make every round durably checkpointed —
+    see `connected_components`."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels, _ = connected_components(pairs)
+    labels, _ = connected_components(
+        pairs, checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    )
     return (
         docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
@@ -503,7 +517,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 64
+    pairs: DataFrame,
+    max_rounds: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Connected components of an undirected edge list via alternating
     large-star / small-star rewrites (Kiveris et al. 2014). Each rewrite is
@@ -522,13 +538,27 @@ def connected_components(
 
     Convergence test: the canonical edge set is a fixed point exactly when
     (count, Σ xxhash64(edge)) is unchanged — one tiny scalar action per
-    round; lineage is truncated per round with localCheckpoint (swap for a
-    durable checkpoint on a real cluster — executor loss under
-    localCheckpoint fails the job).
+    round. Lineage is truncated per round; HOW is selected by
+    ``checkpoint_dir``:
+
+    - None (default, sandbox/local): ``localCheckpoint`` — executor-local
+      blocks, fastest, but unreplicated: losing any executor mid-iteration
+      fails the job. Fine on local[N]; NOT the 100 TB posture.
+    - a path (production): ``sparkContext.setCheckpointDir`` + durable
+      ``checkpoint()`` — each round's edge set lands in fault-tolerant
+      storage (HDFS/S3), so executor loss replays only the current round.
+      Point it at the cluster's checkpoint filesystem.
 
     Returns (labels: (node, root=component min) for every node with ≥1
     edge, rounds executed). Singletons are absent — the caller left-joins
     and coalesces to self."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def truncate(e: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return e.checkpoint(eager=False)
+        return e.localCheckpoint(eager=False)
 
     def canon(e: DataFrame, a: str, b: str) -> DataFrame:
         return (
@@ -573,13 +603,13 @@ def connected_components(
         ).collect()[0]
         return (r.c, r.s)
 
-    edges = canon(pairs, "doc_a", "doc_b").localCheckpoint(eager=False)
+    edges = truncate(canon(pairs, "doc_a", "doc_b"))
     cur = sig(edges)
     rounds = 0
     converged = False
     for _ in range(max_rounds):
-        edges = star(edges, large=True).localCheckpoint(eager=False)
-        edges = star(edges, large=False).localCheckpoint(eager=False)
+        edges = truncate(star(edges, large=True))
+        edges = truncate(star(edges, large=False))
         rounds += 1
         nxt = sig(edges)
         if nxt == cur:

@@ -183,7 +183,15 @@ def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the result must not dangle on a temp dir that accumulates per run.
         result = spark.createDataFrame(acct.collect(), acct.schema)
     finally:
-        # remove the whole per-application tree (not just the leaf), even
-        # when the read-back fails — nothing may accumulate under SINK_ROOT
-        shutil.rmtree(app_root, ignore_errors=True)
+        # remove only THIS invocation's leaf: two exports in one Spark
+        # application (different sf_dirs, or concurrent callers) must not
+        # delete each other's in-flight files. The surrounding per-sf dir
+        # and app_root are pruned only when empty, so the app tree still
+        # vanishes with the last invocation.
+        shutil.rmtree(out, ignore_errors=True)
+        for d_ in (os.path.dirname(out), app_root):
+            try:
+                os.rmdir(d_)
+            except OSError:
+                pass
     return result

@@ -84,3 +84,11 @@ def test_heavy_hitters_exact_on_adversarial_stream(spark, sf_dir):
     ).repartition(8)
     got = {r.word: r.cnt for r in heavy_hitters(toks, k).collect()}
     assert got == truth, (len(got), len(truth))
+    # force the vectorized Misra-Gries COMPRESSION path (vocab_cap far
+    # below the 10k distinct keys → many compress rounds per partition):
+    # the no-false-negative bound must hold through every compression,
+    # so the recount still yields the exact answer
+    got2 = {
+        r.word: r.cnt for r in heavy_hitters(toks, k, vocab_cap=128).collect()
+    }
+    assert got2 == truth, (len(got2), len(truth))
