@@ -1,7 +1,15 @@
 """Simulate the driver: vanilla SparkSession (NO engine configs), import
-__spark_entry__ from /root/repo, run entry + all queries at sf0.01, compare
-each oracle via DuckDB exactly like t2 (count + cols + values)."""
-import sys, os, math
+__spark_entry__ from /root/repo, run entry + ALL queries at sf0.01, compare
+each oracle via DuckDB exactly like t2 (count + cols + values), and write
+CORRECTNESS_local_full.json — a full-registry artifact in the driver's row
+format. The real driver caps its per-round check at the first 50 registry
+entries; this artifact keeps the rotated-out ops honest every round
+(round-2 verdict item 4)."""
+import json
+import math
+import os
+import sys
+
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
@@ -18,37 +26,78 @@ rows = df.collect()
 print(f"entry: {len(rows)} rows, schema={df.columns}, top={rows[:2]}")
 
 SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
+OUT = os.environ.get("DRIVE_OUT", "/root/repo/CORRECTNESS_local_full.json")
 qs, oracles = ent.queries(), ent.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+
+def canon(cols, rows):
+    """Driver-style canonicalization: pandas frame sorted over every column
+    (raises on unhashable cells, exactly like the driver's hasher)."""
+    import pandas as pd
+
+    order = sorted(cols)
+    pdf = pd.DataFrame(list(rows), columns=list(cols))
+    if len(pdf):
+        pdf[order].sort_values(by=order)
+
 
 def norm(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(str(r[i]) if not isinstance(r[i], float) else round(r[i], 9) for i in idx))
+        out.append(tuple(
+            str(r[i]) if not isinstance(r[i], float)
+            else ("NaN" if math.isnan(r[i]) else round(r[i], 9))
+            for i in idx
+        ))
     return sorted(out)
 
-fails = []
+
+fails, results = [], {}
 for name in sorted(qs):
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    results[name] = rec
     try:
         sdf = qs[name](spark, SF)
         srows = [tuple(r) for r in sdf.collect()]
+        canon(sdf.columns, srows)  # driver hashes rows-only ops too
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            rec["err"] = "no_oracle"
+            rec["rows_match"] = len(srows) > 0
             print(f"  {name}: rows-only, {len(srows)} rows OK")
             continue
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
-        ok_cols = sorted(sdf.columns) == sorted(dcols)
-        ok_cnt = len(srows) == len(drows)
-        ok_vals = norm(sdf.columns, srows) == norm(dcols, drows)
-        status = "OK" if (ok_cols and ok_cnt and ok_vals) else f"MISMATCH cols={ok_cols} cnt={ok_cnt} vals={ok_vals}"
+        rec["oracle_rows"] = len(drows)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(dcols)
+        rec["rows_match"] = len(srows) == len(drows)
+        rec["hash_match"] = norm(sdf.columns, srows) == norm(dcols, drows)
+        ok = rec["schema_match"] and rec["rows_match"] and rec["hash_match"]
+        status = "OK" if ok else (
+            f"MISMATCH cols={rec['schema_match']} "
+            f"cnt={rec['rows_match']} vals={rec['hash_match']}"
+        )
         print(f"  {name}: {len(srows)} rows {status}")
-        if "MISMATCH" in status: fails.append(name)
+        if not ok:
+            fails.append(name)
     except Exception as e:
-        print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+        rec["err"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(f"  {name}: ERROR {rec['err']}")
         fails.append(name)
+
+with open(OUT, "w") as f:
+    json.dump(results, f, indent=1, sort_keys=True)
+n_green = sum(
+    1 for r in results.values()
+    if (r["hash_match"] or (r["err"] == "no_oracle" and r["rows_match"]))
+)
+print(f"wrote {OUT}: {n_green}/{len(results)} green")
 print("FAILURES:", fails if fails else "none")
