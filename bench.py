@@ -31,7 +31,8 @@ from erlang_mapreduce_spark.tables import load  # noqa: E402
 # implicitly, hash-agg, ratio-of-total, broadcast + shuffle + as-of joins,
 # window frames, top-k, exact & near dedup, similarity, text analysis,
 # windowed events) plus the LLM-pipeline north-star ops (ngram dedup,
-# connected components, tfidf, dataset export) so their wall-times get
+# connected components, tfidf, dataset export, heavy hitters,
+# decontamination, passage dedup, ANN search) so their wall-times get
 # round-over-round regression tracking. Names are SURVEY.md §2.B op ids.
 HEADLINE = (
     "text_bigram_freq",
@@ -52,7 +53,18 @@ HEADLINE = (
     "dedup_cluster_cc",
     "text_tfidf",
     "pipeline_dataset_export",
+    "agg_heavy_hitters",
+    "text_decontaminate",
+    "dedup_passage",
+    "sim_search_ann",
 )
+
+# Timing methodology, recorded in the output so cross-round comparisons can
+# normalize: r01 = single pass, r02 = best-of-2, r03+ = median-of-3 with
+# every pass recorded (sub-second queries jitter ±30% pass-to-pass on a
+# shared 32-thread JVM; the median tames that without best-of's downward
+# bias).
+METHODOLOGY = "median-of-3"
 
 
 def _force(df) -> None:
@@ -76,18 +88,17 @@ def main() -> None:
     for name in HEADLINE:
         _force(QUERIES[name](spark, warm_dir))
 
-    # Best of two timed passes per query: the baseline's own numbers are
-    # best-of-runs (timings.txt records the fastest configuration), and a
-    # single pass on a 32-thread local JVM is noisy (GC, page cache).
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        ts = []
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            ts.append(round(time.perf_counter() - t0, 3))
+        passes[name] = ts
+        timings[name] = sorted(ts)[1]  # median of 3
 
     total = round(sum(timings.values()), 3)
     print(
@@ -97,6 +108,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
+                "methodology": METHODOLOGY,
                 "sf": sf,
             }
         )
