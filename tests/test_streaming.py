@@ -35,6 +35,54 @@ def test_watermark_drops_late_rows(spark, sf_dir):
         assert c == truth[w], f"window {w}: emitted {c} != on-time {truth[w]}"
 
 
+def test_watermark_late_equals_batch_twin(spark, sf_dir):
+    """FULL equality with the batch twin (not just a per-window subset
+    check): with an in-order replay, the availableNow append output must be
+    exactly the batch tumbling aggregation restricted to windows the final
+    watermark finalized (w.end ≤ max(ts) − 30 min) — the same replay
+    argument that gives stream_stream_join its SQL oracle."""
+    out = stream_watermark_late(spark, sf_dir)
+    emitted = sorted((r.win_start, r.cnt) for r in out.collect())
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    twin = sorted(
+        (r.win_start, r.cnt)
+        for r in ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(
+            F.col("w.end")
+            <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "cnt",
+        )
+        .collect()
+    )
+    assert emitted == twin, (
+        f"streaming {len(emitted)} windows != batch twin {len(twin)}"
+    )
+
+
+def test_stateful_dedup_equals_batch_twin(spark, sf_dir):
+    """FULL row-level equality with the batch twin: the streaming
+    dropDuplicates output must be exactly the batch
+    dropDuplicates(event_id, ts) over the replayed rows — which, since the
+    re-sent quartile is verbatim, is the source events projection."""
+    out = stream_stateful_dedup(spark, sf_dir)
+    got = sorted(
+        (r.event_id, r.user_id, r.event_type) for r in out.collect()
+    )
+    twin = sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in load(spark, sf_dir, "events")
+        .dropDuplicates(["event_id", "ts"])
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    assert got == twin
+
+
 def test_stateful_dedup_suppresses_replay(spark, sf_dir):
     """Re-sent final quartile must be fully suppressed: output == distinct
     events."""
