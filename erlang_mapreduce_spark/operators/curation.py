@@ -304,6 +304,79 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target language mix for sample_mix_rebalance (weights sum to 1; langs
+# absent from this map are dropped from the rebalanced corpus)
+MIX_TARGET = {"en": 0.35, "zh": 0.20, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+_MIX_CASE_SPARK = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {wt}D" for lang, wt in MIX_TARGET.items()
+) + " END"
+_MIX_VALUES_SQL = ", ".join(
+    f"('{lang}', {wt})" for lang, wt in MIX_TARGET.items()
+)
+
+
+@query(
+    "sample_mix_rebalance",
+    oracle=f"""
+WITH t(lang, w) AS (VALUES {_MIX_VALUES_SQL}),
+c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+p AS (
+    SELECT c.lang,
+           least(1.0, min(c.cnt / CAST(t.w AS DOUBLE)) OVER ()
+                      * CAST(t.w AS DOUBLE) / c.cnt) AS keep_p_raw
+    FROM c JOIN t USING (lang)
+)
+SELECT d.doc_id, d.lang, round(p.keep_p_raw, 6) AS keep_p
+FROM documents d JOIN p ON p.lang = d.lang
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0 < p.keep_p_raw
+""",
+)
+def sample_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing — the data-mixing step of a training
+    pipeline: downsample each language so the kept corpus matches a target
+    weight vector exactly in expectation, keeping as many documents as the
+    targets allow. The sampled-corpus size S maximizes total kept docs
+    subject to kept_l = S·w_l ≤ count_l, i.e. S = min_l(count_l / w_l);
+    each language then keeps with p_l = S·w_l / count_l (the binding
+    language keeps everything). Languages outside MIX_TARGET are dropped.
+
+    The keep decision compares an md5-derived uniform against p_l — NOT
+    rand(): deterministic per doc across runs, engines, partitionings
+    (same device as sample_quality_weighted). Scale shape: one tiny
+    per-language count (5 rows; partition-less window over those 5 rows
+    only), broadcast-joined back to a single corpus scan — the filter is
+    narrow, so at 100 TB this costs one pruned column scan for the counts
+    plus one full pass."""
+    d = load(spark, sf_dir, "documents")
+    cnts = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("w", F.expr(_MIX_CASE_SPARK))
+        .filter(F.col("w").isNotNull())
+    )
+    p = cnts.select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("cnt") / F.col("w")).over(Window.partitionBy())
+            * F.col("w")
+            / F.col("cnt"),
+        ).alias("keep_p_raw"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(p), "lang")
+        .filter(u < F.col("keep_p_raw"))
+        .select("doc_id", "lang", F.round("keep_p_raw", 6).alias("keep_p"))
+    )
+
+
 HH_K = 256  # Misra-Gries counters per partition; guarantee: no key with
 # global count > total/HH_K is ever missed by the candidate set
 

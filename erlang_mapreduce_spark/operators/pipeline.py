@@ -195,3 +195,69 @@ def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             except OSError:
                 pass
     return result
+
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "pipeline_seq_pack",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           (instr('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+               AS shard,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT shard, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM toks
+)
+SELECT shard,
+       CAST(floor((cum_tokens - n_tokens) / {SEQ_BUDGET}.0) AS BIGINT)
+           AS seq_id,
+       count(*) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens
+FROM cum
+GROUP BY 1, 2
+""",
+)
+def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step that turns a curated corpus into
+    fixed-token-budget training examples: documents are concatenated in a
+    deterministic order and CUT every {SEQ_BUDGET} tokens (GPT-style
+    concat-and-chunk); each document belongs to the sequence its first
+    token lands in. Returns per-sequence accounting (docs, tokens).
+
+    Scale shape: packing is per-SHARD (the same md5-nibble shard as
+    pipeline_dataset_export), so the running token sum is a window
+    partitioned by shard ordered by doc_id — parallel across shards, one
+    hash shuffle, and NO global sort or single-partition window anywhere.
+    At 100 TB raise the shard count so each shard's window sort fits an
+    executor (shard count ∝ corpus / target partition size); determinism
+    (md5 shard + doc_id order) makes the packing reproducible across
+    runs, engines, and partitionings — rand()-based packing is not."""
+    d = load(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    t = d.select(
+        "doc_id",
+        ((F.instr(F.lit("0123456789abcdef"), nib) - 1) % 8).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    seq_id = F.floor(
+        (F.col("cum_tokens") - F.col("n_tokens")) / float(SEQ_BUDGET)
+    )
+    return cum.groupBy("shard", seq_id.alias("seq_id")).agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )

@@ -138,27 +138,33 @@ def _hyperplanes(dim: int) -> list[list[float]]:
     return rng.standard_normal((N_PLANES, dim)).tolist()
 
 
-def lsh_bands(e: DataFrame, dim: int) -> DataFrame:
-    """vec → (vec_id, v, band_id, band_val) via sign-of-projection bits."""
+def _sig_pandas(dim: int):
+    """Arrow-vectorized LSH signature: one numpy matmul per batch
+    ((batch × dim) @ (dim × N_PLANES)), sign bits packed into an int —
+    replaces N_PLANES interpreted zip_with/aggregate folds per row (HOF
+    lambdas evaluate per-element outside codegen; the matmul is the same
+    10-100× win as `_cos_pandas`). The hyperplanes are seeded constants
+    captured in the UDF closure (a few KB shipped once per executor)."""
+    from pyspark.sql.functions import pandas_udf
+
     planes = _hyperplanes(dim)
-    bits = [
-        F.when(
-            dot_col(
-                F.col("v"),
-                F.array(*[F.lit(x) for x in planes[p]]),
-            )
-            > 0,
-            1,
-        ).otherwise(0)
-        for p in range(N_PLANES)
-    ]
-    sig = e.withColumn(
-        "sig",
-        sum(
-            [(b.cast("int") * F.lit(1 << i)) for i, b in enumerate(bits)],
-            F.lit(0),
-        ),
-    )
+
+    @pandas_udf("integer")
+    def sig(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        proj = np.stack(v.to_numpy()) @ np.asarray(planes).T
+        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+        return pd.Series(((proj > 0) @ weights).astype("int32"))
+
+    return sig
+
+
+def lsh_bands(e: DataFrame, dim: int) -> DataFrame:
+    """vec → (vec_id, v, sig, band_id, band_val) via sign-of-projection
+    bits; the full 16-bit signature rides along so consumers can detect
+    which OTHER bands a pair also collides in without a second lookup."""
+    sig = e.withColumn("sig", _sig_pandas(dim)(F.col("v")))
     per_band = N_PLANES // ANN_BANDS
     mask = (1 << per_band) - 1
     return sig.select(
@@ -176,7 +182,7 @@ def lsh_bands(e: DataFrame, dim: int) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "v", "bb.band_id", "bb.band_val")
+    ).select("vec_id", "v", "sig", "bb.band_id", "bb.band_val")
 
 
 @query("sim_search_ann")  # rows-only: LSH bucket structure has no SQL twin
@@ -185,7 +191,15 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-ranks candidates. A query only scores vectors sharing ≥1 of
     4 signature bands (~expected candidate fraction (1/16)·4 per band ≈ 25%
     here; at 100 TB use more planes/bands for sharper pruning + multiprobe
-    for recall). Recall vs brute force is measured in tests/test_dedup.py."""
+    for recall). Recall vs brute force is measured in tests/test_dedup.py.
+
+    A pair colliding in several bands is emitted once per band by the
+    bucket join; it is deduplicated NARROWLY by keeping only the FIRST
+    band both signatures agree on (both full signatures are in the joined
+    row, so "is this the lowest matching band" is a per-row bit test) —
+    zero extra shuffle, versus a distinct() that would shuffle and hash
+    two 64-dim double arrays per candidate row. The only shuffle in the
+    whole plan is the final per-query top-k window over 24-byte rows."""
     dim = 64
     e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -196,9 +210,17 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("sig").alias("q_sig"),
             F.col("band_id").alias("q_band_id"),
             F.col("band_val").alias("q_band_val"),
         )
+    )
+    per_band = N_PLANES // ANN_BANDS
+    mask = (1 << per_band) - 1
+    first_match = F.expr(
+        f"array_position(transform(sequence(0, {ANN_BANDS - 1}), b -> "
+        f"(shiftrightunsigned(sig, {per_band} * b) & {mask}) = "
+        f"(shiftrightunsigned(q_sig, {per_band} * b) & {mask})), true) - 1"
     )
     cands = (
         bands.join(
@@ -207,8 +229,8 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("band_val") == F.col("q_band_val"))
             & (F.col("vec_id") != F.col("query_id")),
         )
+        .filter(F.col("band_id") == first_match)
         .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
-        .distinct()
     )
     cos = _cos_pandas()
     scored = cands.select(

@@ -92,3 +92,66 @@ def test_heavy_hitters_exact_on_adversarial_stream(spark, sf_dir):
         r.word: r.cnt for r in heavy_hitters(toks, k, vocab_cap=128).collect()
     }
     assert got2 == truth, (len(got2), len(truth))
+
+
+def test_mix_rebalance_hits_target_mix(spark, sf_dir):
+    """The rebalanced corpus must track MIX_TARGET: each language's kept
+    share within binomial noise of its target weight, the binding language
+    (max count/weight ratio ... i.e. min ratio) kept in full, and no
+    language outside the target map surviving."""
+    from erlang_mapreduce_spark.operators.curation import (
+        MIX_TARGET,
+        sample_mix_rebalance,
+    )
+    from erlang_mapreduce_spark.tables import load
+
+    kept = sample_mix_rebalance(spark, sf_dir)
+    by_lang = {r.lang: r.cnt for r in
+               kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert set(by_lang) <= set(MIX_TARGET)
+    src = {r.lang: r.cnt for r in
+           load(spark, sf_dir, "documents").groupBy("lang")
+           .agg(F.count("*").alias("cnt")).collect()}
+    binding = min(MIX_TARGET, key=lambda l: src[l] / MIX_TARGET[l])
+    assert by_lang[binding] == src[binding], "binding language must keep all"
+    total = sum(by_lang.values())
+    for lang, w in MIX_TARGET.items():
+        share = by_lang.get(lang, 0) / total
+        # 4-sigma binomial tolerance around the target share
+        tol = 4 * (w * (1 - w) / total) ** 0.5
+        assert abs(share - w) <= tol, (lang, share, w, tol)
+
+
+def test_seq_pack_accounting(spark, sf_dir):
+    """Packing conserves tokens (Σ per-seq tokens = Σ per-doc tokens),
+    every shard starts at seq 0, and no sequence except a shard's last can
+    end before its budget boundary (cut semantics: the next doc starts in
+    a later sequence only after the boundary is crossed)."""
+    from erlang_mapreduce_spark.operators.pipeline import (
+        SEQ_BUDGET,
+        pipeline_seq_pack,
+    )
+    from erlang_mapreduce_spark.tables import load
+
+    out = pipeline_seq_pack(spark, sf_dir).collect()
+    total_out = sum(r.tokens for r in out)
+    total_in = (
+        load(spark, sf_dir, "documents")
+        .select(F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total_out == total_in
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in per_shard.items():
+        rows.sort(key=lambda r: r.seq_id)
+        assert rows[0].seq_id == 0, f"shard {shard} missing seq 0"
+        # cumulative tokens through each non-final listed sequence must
+        # reach that sequence's budget boundary (docs spanning a boundary
+        # are counted in their starting sequence, so >= not ==)
+        cum = 0
+        for r in rows[:-1]:
+            cum += r.tokens
+            assert cum >= (r.seq_id + 1) * SEQ_BUDGET, (shard, r.seq_id)
