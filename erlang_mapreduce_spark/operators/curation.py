@@ -26,7 +26,7 @@ back to per-doc rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -34,6 +34,23 @@ from ..tables import load, scan_parallel
 
 EVAL_MAX_DOC = 10  # doc_id < 10 = the held-out eval set
 DECON_N = 5  # word n-gram width for contamination matching
+
+# Deterministic per-doc uniform in [0, 1): first 8 md5 hex digits of the
+# id, scaled — NOT rand(): the same row gets the same draw in both engines,
+# every run, any partitioning. _MD5_UNIFORM_SQL is the DuckDB twin of the
+# Spark expression; they encode ONE device — edit them together.
+_MD5_UNIFORM_SQL = (
+    "CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+def _md5_uniform(col: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
 
 _TOKS_CTE = """
 WITH toks AS (
@@ -264,8 +281,7 @@ SELECT doc_id, n_chars,
        round(least(1.0, CAST(n_chars AS DOUBLE) / {QUALITY_FULL_CHARS}), 6)
            AS keep_p
 FROM documents
-WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-      / 4294967296.0
+WHERE {_MD5_UNIFORM_SQL.format(col="doc_id")}
       < least(1.0, CAST(n_chars AS DOUBLE) / {QUALITY_FULL_CHARS})
 """,
 )
@@ -286,15 +302,10 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
     return (
         d.withColumn("keep_p", keep_p)
         .filter(
-            u
+            _md5_uniform(F.col("doc_id"))
             < F.least(
                 F.lit(1.0),
                 F.col("n_chars").cast("double") / QUALITY_FULL_CHARS,
@@ -329,8 +340,7 @@ p AS (
 )
 SELECT d.doc_id, d.lang, round(p.keep_p_raw, 6) AS keep_p
 FROM documents d JOIN p ON p.lang = d.lang
-WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-      / 4294967296.0 < p.keep_p_raw
+WHERE {_MD5_UNIFORM_SQL.format(col="d.doc_id")} < p.keep_p_raw
 """,
 )
 def sample_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,14 +375,9 @@ def sample_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cnt"),
         ).alias("keep_p_raw"),
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
     return (
         d.join(F.broadcast(p), "lang")
-        .filter(u < F.col("keep_p_raw"))
+        .filter(_md5_uniform(F.col("doc_id")) < F.col("keep_p_raw"))
         .select("doc_id", "lang", F.round("keep_p_raw", 6).alias("keep_p"))
     )
 
@@ -482,7 +487,13 @@ def heavy_hitters(
             pending_rows += len(vc)
             if pending_rows >= vocab_cap:
                 fold(compress=True)
-        fold(compress=False)
+        # compress the FINAL fold too: emission stays ≤ k keys per
+        # partition even when earlier compressions drove the threshold
+        # n_p/k − D_p low (without this, a post-compression refill could
+        # emit up to vocab_cap keys and bloat the candidate broadcast);
+        # the no-false-negative argument is unchanged — stored ≥ c_p − D_p
+        # still clears the filter for any key with c_p > n_p/k
+        fold(compress=True)
         if acc is None:
             cand = pd.Series(dtype="int64")
         else:

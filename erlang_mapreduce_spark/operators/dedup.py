@@ -547,18 +547,38 @@ def connected_components(
     - a path (production): ``sparkContext.setCheckpointDir`` + durable
       ``checkpoint()`` — each round's edge set lands in fault-tolerant
       storage (HDFS/S3), so executor loss replays only the current round.
-      Point it at the cluster's checkpoint filesystem.
+      Point it at the cluster's checkpoint filesystem. Each round's edge
+      set is ``persist()``-ed before the reliable checkpoint: without the
+      cache, Spark recomputes the whole round's lineage in the separate
+      job that writes the checkpoint files (localCheckpoint does not have
+      this problem — it persists blocks as a side effect of the first
+      computation). Superseded rounds are unpersisted once their
+      checkpoint is on disk. The session checkpoint dir is restored on
+      exit when the caller had one configured.
 
     Returns (labels: (node, root=component min) for every node with ≥1
     edge, rounds executed). Singletons are absent — the caller left-joins
     and coalesces to self."""
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        prev_ckpt_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
+    cached: list[DataFrame] = []  # durable mode: persisted per-round DFs
 
     def truncate(e: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
+            e = e.persist()
+            cached.append(e)
             return e.checkpoint(eager=False)
         return e.localCheckpoint(eager=False)
+
+    def release_cached() -> None:
+        # the sig() action just materialized this round's checkpoints, so
+        # every cached plan now reads from durable files — drop the caches
+        for e in cached:
+            e.unpersist()
+        cached.clear()
 
     def canon(e: DataFrame, a: str, b: str) -> DataFrame:
         return (
@@ -603,19 +623,25 @@ def connected_components(
         ).collect()[0]
         return (r.c, r.s)
 
-    edges = truncate(canon(pairs, "doc_a", "doc_b"))
-    cur = sig(edges)
-    rounds = 0
-    converged = False
-    for _ in range(max_rounds):
-        edges = truncate(star(edges, large=True))
-        edges = truncate(star(edges, large=False))
-        rounds += 1
-        nxt = sig(edges)
-        if nxt == cur:
-            converged = True
-            break
-        cur = nxt
+    try:
+        edges = truncate(canon(pairs, "doc_a", "doc_b"))
+        cur = sig(edges)
+        release_cached()
+        rounds = 0
+        converged = False
+        for _ in range(max_rounds):
+            edges = truncate(star(edges, large=True))
+            edges = truncate(star(edges, large=False))
+            rounds += 1
+            nxt = sig(edges)
+            release_cached()
+            if nxt == cur:
+                converged = True
+                break
+            cur = nxt
+    finally:
+        if prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
     if not converged:
         # label extraction below assumes the star-forest fixed point —
         # running it on an unconverged edge set would silently emit SPLIT

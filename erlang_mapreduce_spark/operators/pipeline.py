@@ -17,7 +17,7 @@ north-star corpus workload.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -28,6 +28,23 @@ _FP_SQL = (
     "md5(array_to_string(list_sort(list_distinct("
     "string_split_regex(lower(scrubbed), '\\s+'))), ' '))"
 )
+
+# Deterministic shard: first md5 nibble of the doc id, mod N_SHARDS —
+# reproducible across runs/engines/partitionings, unlike rand() or Spark's
+# internal hash. Shared by pipeline_dataset_export and pipeline_seq_pack so
+# packed sequences land inside export shards by construction. _SHARD_SQL is
+# the DuckDB twin of the Spark expression; they encode ONE device — edit
+# them together. At 100 TB raise N_SHARDS ∝ corpus / target shard size.
+N_SHARDS = 8
+_SHARD_SQL = (
+    "(instr('0123456789abcdef',"
+    " substring(md5(CAST({col} AS VARCHAR)), 1, 1)) - 1) % " + str(N_SHARDS)
+)
+
+
+def _shard_col(col: Column) -> Column:
+    nib = F.substring(F.md5(col.cast("string")), 1, 1)
+    return (F.instr(F.lit("0123456789abcdef"), nib) - 1) % N_SHARDS
 
 
 @query(
@@ -104,7 +121,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_dataset_export",
-    oracle="""
+    oracle=f"""
 WITH gated AS (
     SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 100
 ),
@@ -116,9 +133,7 @@ dd AS (
     ) WHERE rn = 1
 ),
 sh AS (
-    SELECT (instr('0123456789abcdef',
-                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
-               AS shard,
+    SELECT {_SHARD_SQL.format(col="doc_id")} AS shard,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
            n_chars
     FROM dd
@@ -153,12 +168,11 @@ def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     sharded = dd.select(
         "doc_id",
         "text",
         "n_chars",
-        ((F.instr(F.lit("0123456789abcdef"), nib) - 1) % 8).alias("shard"),
+        _shard_col(F.col("doc_id")).alias("shard"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
     # Namespace the sink per session: two concurrent sessions exporting the
@@ -205,9 +219,7 @@ SEQ_BUDGET = 512  # tokens per packed training sequence
     oracle=f"""
 WITH toks AS (
     SELECT doc_id,
-           (instr('0123456789abcdef',
-                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
-               AS shard,
+           {_SHARD_SQL.format(col="doc_id")} AS shard,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens
     FROM documents
 ),
@@ -242,10 +254,9 @@ def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 shard + doc_id order) makes the packing reproducible across
     runs, engines, and partitionings — rand()-based packing is not."""
     d = load(spark, sf_dir, "documents")
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     t = d.select(
         "doc_id",
-        ((F.instr(F.lit("0123456789abcdef"), nib) - 1) % 8).alias("shard"),
+        _shard_col(F.col("doc_id")).alias("shard"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
     w = (

@@ -35,15 +35,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 
-def canon(cols, rows):
-    """Driver-style canonicalization: pandas frame sorted over every column
-    (raises on unhashable cells, exactly like the driver's hasher)."""
-    import pandas as pd
-
-    order = sorted(cols)
-    pdf = pd.DataFrame(list(rows), columns=list(cols))
-    if len(pdf):
-        pdf[order].sort_values(by=order)
+# the one shared replica of the driver's canonicalization preamble — the
+# same function the pytest oracle mirror uses, so the two checks can't drift
+from tests.oracle import driver_canon as canon  # noqa: E402
 
 
 def norm(cols, rows):
