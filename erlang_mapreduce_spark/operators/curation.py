@@ -382,6 +382,104 @@ def sample_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SOURCE_CAP = 10  # max documents kept per source
+
+
+@query(
+    "sample_cap_per_source",
+    oracle=f"""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+    FROM documents
+) WHERE rn <= {SOURCE_CAP}
+""",
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document capping — the "no more than N docs per domain"
+    rule every web-scale corpus applies so no single crawl host dominates
+    the training mix. Which N survive is decided by a DETERMINISTIC
+    priority (md5 of the doc id, doc_id tiebreak — both engines sort the
+    same lowercase-hex strings bytewise), never rand() or arrival order:
+    the kept set is reproducible across runs, engines, partitionings.
+
+    Scale shape: one hash shuffle on source + per-group row_number; a
+    pathologically hot source is exactly the skew AQE's skew-join/agg
+    split handles, and the window never materializes a group in memory
+    (row_number streams over the sorted run). The md5 priority doubles as
+    an unbiased uniform sample WITHIN each source — capping is sampling,
+    so the kept subset is representative of the source, not its first N
+    doc ids."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source")
+    )
+
+
+NGRAM_N = 2  # word n-gram width for corpus LM statistics
+NGRAM_MIN_COUNT = 5  # prune grams below this corpus frequency
+
+
+@query(
+    "agg_ngram_counts",
+    oracle=f"""
+{_TOKS_CTE.strip()},
+grams AS (
+    SELECT array_to_string(
+               ws[CAST(i AS INTEGER):CAST(i + {NGRAM_N} - 1 AS INTEGER)], ' ')
+               AS gram
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {NGRAM_N} + 2)) AS i
+          FROM toks)
+)
+SELECT gram, count(*) AS cnt
+FROM grams
+GROUP BY gram
+HAVING count(*) >= {NGRAM_MIN_COUNT}
+""",
+)
+def agg_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-n-gram frequency table with a min-count prune — the
+    statistic behind n-gram language models, tokenizer/vocab training and
+    corpus QA (the corpus-level generalization of the reference's
+    within-word char-bigram counts, mapreduce.erl:260-295: same
+    count-overlapping-grams shape, word stream instead of char stream).
+    Grams are generated NARROWLY per row (transform over the token array,
+    positional — NOT distinct: LM counts weight repeats), so the plan is
+    scan → explode → one partial/final hash aggregate; map-side partial
+    aggregation collapses each partition's duplicate grams before the
+    shuffle, and the singleton long tail that survives it is exactly what
+    the HAVING prunes after the final count. At 100 TB the long tail IS
+    the shuffle cost — if that hurts, front it with agg_heavy_hitters'
+    sketch as a candidate filter; the exact contract here keeps the
+    HAVING semantics oracle-checkable."""
+    toks = scan_parallel(load(spark, sf_dir, "documents")).select(
+        F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= NGRAM_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (NGRAM_N - 1)),
+                    lambda i: F.array_join(F.slice("ws", i, NGRAM_N), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= NGRAM_MIN_COUNT)
+    )
+
+
 HH_K = 256  # Misra-Gries counters per partition; guarantee: no key with
 # global count > total/HH_K is ever missed by the candidate set
 

@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 101 registered ops, insertion
+# insertion order and stops after 50 ops. With 103 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry:
@@ -101,6 +101,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_watermark_late", "stream_stateful_dedup",
     # --- new in round 3 (first driver-checked when rotated forward) ---
     "pipeline_seq_pack", "sample_mix_rebalance",
+    "sample_cap_per_source", "agg_ngram_counts",
 ]
 
 

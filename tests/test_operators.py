@@ -5,6 +5,7 @@ engine-internal guarantees, pinned against exact in-engine ground truth.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from erlang_mapreduce_spark.tables import load
@@ -155,3 +156,36 @@ def test_seq_pack_accounting(spark, sf_dir):
         for r in rows[:-1]:
             cum += r.tokens
             assert cum >= (r.seq_id + 1) * SEQ_BUDGET, (shard, r.seq_id)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_heavy_hitters",       # sketch partitioning must not leak into the exact answer
+        "dedup_minhash",           # signatures/bands deterministic per doc
+        "dedup_ngram_jaccard",     # integer-exact candidate + verify path
+        "sample_mix_rebalance",    # md5-uniform decisions, per-lang counts
+        "pipeline_seq_pack",       # per-shard cumsum independent of layout
+    ],
+)
+def test_partition_invariance(spark, sf_dir, name):
+    """Distributed-correctness pin: the answer must be a pure function of
+    the DATA, not of how Spark happened to partition it. Re-running with a
+    tiny files.maxPartitionBytes (many small scan partitions — different
+    mapInPandas batches, different per-partition sketches) and a prime
+    shuffle partition count must reproduce byte-identical rows."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    fn = QUERIES[name]
+    base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    conf = spark.conf
+    old_bytes = conf.get("spark.sql.files.maxPartitionBytes")
+    old_shuffle = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        conf.set("spark.sql.shuffle.partitions", "7")
+        alt = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+        conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    assert base == alt, f"{name}: output depends on partitioning"
