@@ -57,6 +57,8 @@ HEADLINE = (
     "text_decontaminate",
     "dedup_passage",
     "sim_search_ann",
+    "agg_ngram_counts",
+    "pipeline_seq_pack",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can
