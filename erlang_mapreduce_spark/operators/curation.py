@@ -529,31 +529,12 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_VOCAB_CAP = 1 << 20  # per-partition sketch compresses past ~1M keys
 
 
-def heavy_hitters(
-    toks: DataFrame, k: int, vocab_cap: int = HH_VOCAB_CAP
-) -> DataFrame:
-    """(word) stream → exact (word, cnt) for every key with cnt > total/k,
-    via per-partition candidate summaries + exact candidate recount (see
-    agg_heavy_hitters for the guarantee argument). The sketch pass also
-    emits each partition's raw row count (word = NULL sentinel rows), so
-    the global total needs no separate scan: exactly two passes over the
-    token stream (sketch + recount). The summary table is small and feeds
-    two consumers, so it is materialized once.
-
-    The sketch pass is FULLY VECTORIZED (no per-token Python): each Arrow
-    batch collapses to its `value_counts()` in C, pending batch counts
-    fold together with one `concat + groupby(level=0).sum()`, and when the
-    folded vocabulary exceeds ``vocab_cap`` it is compressed to k counters
-    by the Misra-Gries merge rule (Agarwal et al., "Mergeable Summaries"):
-    subtract the (k+1)-th largest count from every counter, keep the
-    positive ones — a numpy-vectorized equivalent of k-at-a-time MG
-    decrements, error ≤ n_p/(k+1) no matter how many compressions run.
-    The partition emits keys whose stored count exceeds n_p/k − D_p (D_p =
-    total decrement actually applied, 0 when the vocab never hit the cap):
-    pigeonhole gives c_p(w) > n_p/k for some partition of any global heavy
-    hitter, and stored ≥ c_p − D_p, so no false negatives — the exact
-    recount then kills false positives. Replaces a per-token interpreted
-    dict loop that was 10-100× slower per byte (round-2 advisory)."""
+def mg_sketch_partition(k: int, vocab_cap: int):
+    """Factory for the per-partition vectorized Misra-Gries sketch pass of
+    `heavy_hitters` (see its docstring for the algorithm and guarantee).
+    Module-level so the pure-pandas generator is property-testable without
+    a Spark session (tests/test_property.py fuzzes the no-false-negative
+    and ≤ k-emission invariants over random streams/batchings)."""
     import pandas as pd
 
     def mg_partition(batches):
@@ -603,8 +584,36 @@ def heavy_hitters(
             }
         )
 
+    return mg_partition
+
+
+def heavy_hitters(
+    toks: DataFrame, k: int, vocab_cap: int = HH_VOCAB_CAP
+) -> DataFrame:
+    """(word) stream → exact (word, cnt) for every key with cnt > total/k,
+    via per-partition candidate summaries + exact candidate recount (see
+    agg_heavy_hitters for the guarantee argument). The sketch pass also
+    emits each partition's raw row count (word = NULL sentinel rows), so
+    the global total needs no separate scan: exactly two passes over the
+    token stream (sketch + recount). The summary table is small and feeds
+    two consumers, so it is materialized once.
+
+    The sketch pass is FULLY VECTORIZED (no per-token Python): each Arrow
+    batch collapses to its `value_counts()` in C, pending batch counts
+    fold together with one `concat + groupby(level=0).sum()`, and when the
+    folded vocabulary exceeds ``vocab_cap`` it is compressed to k counters
+    by the Misra-Gries merge rule (Agarwal et al., "Mergeable Summaries"):
+    subtract the (k+1)-th largest count from every counter, keep the
+    positive ones — a numpy-vectorized equivalent of k-at-a-time MG
+    decrements, error ≤ n_p/(k+1) no matter how many compressions run.
+    The partition emits keys whose stored count exceeds n_p/k − D_p (D_p =
+    total decrement actually applied, 0 when the vocab never hit the cap):
+    pigeonhole gives c_p(w) > n_p/k for some partition of any global heavy
+    hitter, and stored ≥ c_p − D_p, so no false negatives — the exact
+    recount then kills false positives. Replaces a per-token interpreted
+    dict loop that was 10-100× slower per byte (round-2 advisory)."""
     summaries = toks.mapInPandas(
-        mg_partition, "word string, c long"
+        mg_sketch_partition(k, vocab_cap), "word string, c long"
     ).localCheckpoint()
     total = (
         summaries.filter(F.col("word").isNull())

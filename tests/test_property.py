@@ -53,3 +53,60 @@ def test_known_edge_cases():
     assert bigram_state_machine("") == []
     assert bigram_state_machine("1st") == ["st"]
     assert bigram_state_machine("a'b") == []  # skip-2 drops the (b-less) window
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries sketch pass of heavy_hitters: pure-pandas generator, fuzzed
+# without a Spark session. For ANY stream, ANY batch boundaries, ANY
+# partition split, and ANY (k, vocab_cap), the merged candidate set must
+# contain every key with global count > total/k (no false negatives — the
+# exact recount then removes false positives), and each partition must emit
+# at most k candidate rows plus exactly one NULL total-sentinel row.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _mg_case(draw):
+    vocab = draw(st.integers(min_value=1, max_value=40))
+    words = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=vocab - 1),
+            min_size=0,
+            max_size=300,
+        )
+    )
+    k = draw(st.integers(min_value=2, max_value=16))
+    vocab_cap = draw(st.integers(min_value=k + 1, max_value=48))
+    n_parts = draw(st.integers(min_value=1, max_value=4))
+    batch = draw(st.integers(min_value=1, max_value=50))
+    return [f"w{w}" for w in words], k, vocab_cap, n_parts, batch
+
+
+@settings(max_examples=300, deadline=None)
+@given(_mg_case())
+def test_mg_sketch_no_false_negatives(case):
+    import pandas as pd
+
+    from erlang_mapreduce_spark.operators.curation import mg_sketch_partition
+
+    words, k, vocab_cap, n_parts, batch = case
+    total = len(words)
+    from collections import Counter
+
+    truth = {w for w, c in Counter(words).items() if c > total / k}
+
+    candidates: set = set()
+    for p in range(n_parts):
+        part = words[p::n_parts]  # deterministic round-robin split
+        batches = [
+            pd.DataFrame({"word": part[i : i + batch]})
+            for i in range(0, len(part), batch)
+        ] or [pd.DataFrame({"word": pd.Series([], dtype="object")})]
+        out = pd.concat(list(mg_sketch_partition(k, vocab_cap)(iter(batches))))
+        sentinel = out[out["word"].isnull()]
+        emitted = out[out["word"].notnull()]
+        assert len(sentinel) == 1 and int(sentinel["c"].iloc[0]) == len(part)
+        assert len(emitted) <= k, "per-partition emission exceeds k"
+        candidates |= set(emitted["word"])
+    missing = truth - candidates
+    assert not missing, (missing, total, k)
