@@ -121,14 +121,37 @@ def _run_stream(
     return spark.table(sink_name)
 
 
-@query("stream_watermark_late")  # rows-only: streaming-state semantics
+@query(
+    "stream_watermark_late",
+    oracle="""
+WITH w AS (
+    SELECT floor(epoch(ts) / 300) * 300 AS ws, count(*) AS cnt
+    FROM events
+    GROUP BY 1
+),
+m AS (SELECT epoch(max(ts)) - 1800 AS wm FROM events)
+SELECT strftime(to_timestamp(w.ws), '%Y-%m-%d %H:%M:%S') AS win_start, cnt
+FROM w, m
+WHERE w.ws + 300 <= m.wm
+""",
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregation with real late-data dropping: the
     replay source sends 4 in-order chunks, then re-sends the earliest
     quartile. By then the 30-minute watermark sits near end-of-stream, so
     every replayed row is late → dropped from the aggregation state.
     Output (append mode): only windows finalized by the watermark — counts
-    exclude all late rows (pinned in tests/test_streaming.py)."""
+    exclude all late rows (pinned in tests/test_streaming.py).
+
+    SQL-oracle-checkable even though it runs incrementally, by the same
+    in-order-replay argument as stream_stream_join: replayed chunks arrive
+    in event-time order, so (a) no on-time row is ever late (watermark
+    lags the max ts already replayed), (b) every replayed chunk-4 row IS
+    late (its quartile passed 30+ min of stream ago), and (c) append mode
+    emits exactly the windows whose end ≤ final watermark = max(ts) −
+    30 min. The oracle is that batch aggregation with that filter; the
+    equality is additionally pinned as a batch-twin test in
+    tests/test_streaming.py."""
     d = _materialize_chunks(sf_dir, "late")
 
     def agg(stream):
@@ -148,13 +171,25 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, d, agg, sink, "append")
 
 
-@query("stream_stateful_dedup")  # rows-only: streaming-state semantics
+@query(
+    "stream_stateful_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+)
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dropDuplicates: the replay source re-sends the
     final quartile verbatim (duplicate event_ids, within the watermark).
     Dedup state suppresses them; watermark bounds the state store (at
     100 TB/day the watermark IS what makes streaming dedup feasible —
-    unbounded key state otherwise grows forever)."""
+    unbounded key state otherwise grows forever).
+
+    SQL-oracle-checkable: (event_id, ts) is unique in the source (checked
+    by the batch-twin test), the re-sent rows are verbatim copies arriving
+    within the watermark (so state suppresses every one), and no on-time
+    row is dropped (in-order replay keeps the watermark behind every
+    unseen ts) — the streaming output is therefore exactly the source
+    projection."""
     d = _materialize_chunks(sf_dir, "dup")
 
     def dedup(stream):
