@@ -203,7 +203,32 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, d, dedup, sink, "append")
 
 
-@query("stream_custom_state")  # rows-only: custom streaming state
+@query(
+    "stream_custom_state",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, value, ntile(4) OVER (ORDER BY ts, event_id) AS q
+    FROM events
+),
+batches AS (
+    SELECT user_id, value, q AS b FROM ev
+    UNION ALL
+    SELECT user_id, value, 5 AS b FROM ev WHERE q = 4
+),
+per AS (
+    SELECT user_id, b,
+           count(*) AS c,
+           sum(CAST(round(value * 1000000) AS BIGINT)) AS micros
+    FROM batches GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(c) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT)
+           AS n_events,
+       sum(micros) OVER (PARTITION BY user_id ORDER BY b) / 1000000.0
+           AS sum_value
+FROM per
+""",
+)
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     (event count, value sum) maintained in explicit group state across
@@ -215,27 +240,42 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running counts are cumulative, so the per-user MAX equals the batch
     groupBy total (pinned in tests/test_streaming.py). State is bounded by
     the user-key cardinality; production variants add a timeout to evict
-    idle keys."""
+    idle keys.
+
+    SQL-oracle-checkable: the replay chunks are DuckDB ntile(4) quantiles
+    plus a verbatim re-send of the last one (_materialize_chunks), so the
+    oracle reconstructs the exact (user, micro-batch) emission grid with
+    the same ntile and a cumulative window. The running sum accumulates
+    per-value MICRO-units as integers (round(value·1e6)), not floats —
+    float addition is order-sensitive across batch boundaries and the two
+    engines would disagree in the last ulp; integer micros make the
+    cumulative sum exact and order-free on both sides."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     d = _materialize_chunks(sf_dir, "dup")
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            micros += int(
+                (pdf["value"] * 1_000_000).round().astype("int64").sum()
+            )
+        state.update((n, micros))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [micros / 1_000_000.0],
+            }
         )
 
     def transform(stream):
         return stream.groupBy("user_id").applyInPandasWithState(
             update,
             outputStructType="user_id long, n_events long, sum_value double",
-            stateStructType="n long, total double",
+            stateStructType="n long, micros long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
