@@ -138,6 +138,58 @@ def _hyperplanes(dim: int) -> list[list[float]]:
     return rng.standard_normal((N_PLANES, dim)).tolist()
 
 
+def _ann_oracle_sql(dim: int = 64) -> str:
+    """DuckDB twin of sim_search_ann. Everything in the ANN path is
+    DETERMINISTIC — seeded hyperplanes (embedded below as double literals;
+    repr round-trips bit-exactly through DuckDB's decimal-string→double
+    parse), sign-bit signatures, band membership, cosine re-rank rounded
+    to 6 — so the "approximate" search has an exact cross-engine oracle.
+    The only engine divergence possible is a sign flip on a projection
+    within ~1e-15 of zero (numpy pairwise vs sequential summation), the
+    same last-ulp class the round-6 already handles for cosine; with O(1)
+    projection magnitudes that is a measure-zero coincidence, not a real
+    risk. The oracle dedupes band collisions with DISTINCT where the
+    engine keeps the first matching band — same pair set either way."""
+    planes = _hyperplanes(dim)
+    per_band = N_PLANES // ANN_BANDS
+    mask = (1 << per_band) - 1
+    bit_terms = "\n         + ".join(
+        "(CASE WHEN list_inner_product(v, CAST(["
+        + ", ".join(repr(x) for x in planes[p])
+        + f"] AS DOUBLE[])) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+    SELECT vec_id, v,
+           {bit_terms}
+               AS sig
+    FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig
+      FROM sig WHERE vec_id < {N_QUERIES}),
+cand AS (
+    SELECT DISTINCT q.query_id, q.qv, s.vec_id AS neighbor_id, s.v
+    FROM sig s
+    JOIN q ON s.vec_id <> q.query_id
+    JOIN (SELECT unnest(range(0, {ANN_BANDS})) AS b) bands
+      ON ((s.sig >> (bands.b * {per_band})) & {mask})
+         = ((q.qsig >> (bands.b * {per_band})) & {mask})
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(qv, v), 6) AS cos
+    FROM cand
+)
+SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
 def _sig_pandas(dim: int):
     """Arrow-vectorized LSH signature: one numpy matmul per batch
     ((batch × dim) @ (dim × N_PLANES)), sign bits packed into an int —
@@ -185,7 +237,7 @@ def lsh_bands(e: DataFrame, dim: int) -> DataFrame:
     ).select("vec_id", "v", "sig", "bb.band_id", "bb.band_val")
 
 
-@query("sim_search_ann")  # rows-only: LSH bucket structure has no SQL twin
+@query("sim_search_ann", oracle=_ann_oracle_sql())
 def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: random-hyperplane LSH buckets prune the corpus, exact
     cosine re-ranks candidates. A query only scores vectors sharing ≥1 of
