@@ -69,7 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "scan_orc", "scan_partition_pruned", "sink_text_formatted",
     "agg_approx", "topk_per_group", "fn_bitwise",
     "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
-    # --- 22-49: driver evidence only from round 1 (oldest first-class rows) ---
+    # --- 22-45: driver evidence only from round 1 (oldest first-class rows) ---
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_pii_scrub", "text_tfidf",
     "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
@@ -78,8 +78,11 @@ DRIVER_PRIORITY: list[str] = [
     "join_skew_salted", "join_bucketed", "join_null_safe",
     "pipeline_corpus_clean", "pipeline_dataset_export",
     "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
-    "agg_unpivot",
+    "hist_numeric", "agg_corr_stats",
+    # --- 47-49: rows-only in r01/r02, upgraded to SQL oracles in round 3
+    # (stream_custom_state, likewise upgraded, is already in the 1-21
+    # block) — their first driver HASH check must happen this round ---
+    "stream_watermark_late", "stream_stateful_dedup", "sim_search_ann",
     # --- 50: flagship, driver-checked every round ---
     "text_bigram_freq",
     # --- 51+: §2.B contract + extensions, all hash/rows green in r02 ---
@@ -94,11 +97,10 @@ DRIVER_PRIORITY: list[str] = [
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
     "text_tokenize", "dedup_minhash", "sim_search",
     "udf_scalar", "udf_grouped", "udaf", "udtf",
-    "fn_agg_collect", "multimodal_decode",
-    "sim_search_ann", "sim_search_ivf",
+    "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
     "sql_pricing_summary", "stream_stream_join",
     "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark_late", "stream_stateful_dedup",
+    "agg_mode", "fn_conditional", "agg_unpivot",
     # --- new in round 3 (first driver-checked when rotated forward) ---
     "pipeline_seq_pack", "sample_mix_rebalance",
     "sample_cap_per_source", "agg_ngram_counts",
