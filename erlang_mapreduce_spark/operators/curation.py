@@ -52,6 +52,23 @@ def _md5_uniform(col: Column) -> Column:
         / F.lit(4294967296.0)
     )
 
+
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """Positional (overlapping, repeat-preserving) word n-grams of a token
+    array, space-joined; empty array when the doc is shorter than n — the
+    ONE sliding-gram generator for every such op in this module (span
+    windows, LM n-gram counts, repetition bigrams). Its DuckDB twin is the
+    ``ws[i : i+n-1]`` slice-over-range idiom in the corresponding oracles;
+    each engine/oracle pair is hash-tested, so a semantic change here
+    fails every dependent oracle test instead of drifting silently."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
 _TOKS_CTE = """
 WITH toks AS (
     SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
@@ -248,14 +265,9 @@ def dedup_span_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = scan_parallel(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
     )
-    w = toks.filter(F.size("ws") >= SPAN_W).select(
+    w = toks.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (SPAN_W - 1)),
-                lambda i: F.array_join(F.slice("ws", i, SPAN_W), " "),
-            )
-        ).alias("win"),
+        F.explode(_word_ngrams(F.col("ws"), SPAN_W)).alias("win"),
     )
     occ = w.withColumn(
         "occ", F.count("*").over(Window.partitionBy("win"))
@@ -463,15 +475,7 @@ def agg_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower("text"), r"\s+").alias("ws")
     )
     grams = toks.select(
-        F.explode(
-            F.when(
-                F.size("ws") >= NGRAM_N,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (NGRAM_N - 1)),
-                    lambda i: F.array_join(F.slice("ws", i, NGRAM_N), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram")
+        F.explode(_word_ngrams(F.col("ws"), NGRAM_N)).alias("gram")
     )
     return (
         grams.groupBy("gram")
@@ -717,13 +721,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc: acc["best"],
     )
     n_tokens = F.size("ws").cast("long")
-    bigrams = F.when(
-        F.size("ws") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - 1),
-            lambda i: F.array_join(F.slice("ws", i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _word_ngrams(F.col("ws"), 2)
     scored = toks.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

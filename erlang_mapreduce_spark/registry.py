@@ -69,7 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "scan_orc", "scan_partition_pruned", "sink_text_formatted",
     "agg_approx", "topk_per_group", "fn_bitwise",
     "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
-    # --- 22-45: driver evidence only from round 1 (oldest first-class rows) ---
+    # --- 22-46: driver evidence only from round 1 (oldest first-class rows) ---
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_pii_scrub", "text_tfidf",
     "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",

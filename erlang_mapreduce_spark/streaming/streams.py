@@ -218,7 +218,7 @@ batches AS (
 per AS (
     SELECT user_id, b,
            count(*) AS c,
-           sum(CAST(round(value * 1000000) AS BIGINT)) AS micros
+           sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS micros
     FROM batches GROUP BY 1, 2
 )
 SELECT user_id,
@@ -246,22 +246,27 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a verbatim re-send of the last one (_materialize_chunks), so the
     oracle reconstructs the exact (user, micro-batch) emission grid with
     the same ntile and a cumulative window. The running sum accumulates
-    per-value MICRO-units as integers (round(value·1e6)), not floats —
-    float addition is order-sensitive across batch boundaries and the two
-    engines would disagree in the last ulp; integer micros make the
-    cumulative sum exact and order-free on both sides."""
+    per-value MICRO-units as integers, not floats — float addition is
+    order-sensitive across batch boundaries and the two engines would
+    disagree in the last ulp; integer micros make the cumulative sum
+    exact and order-free. The micro conversion is floor(v·1e6 + 0.5) on
+    BOTH sides (never each engine's round(): numpy rounds half-to-even,
+    DuckDB half-away-from-zero — a half-tie value would silently diverge
+    by one micro), and NULL values are skipped like the float sum the
+    rewrite replaced (n_events still counts their rows)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     d = _materialize_chunks(sf_dir, "dup")
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            micros += int(
-                (pdf["value"] * 1_000_000).round().astype("int64").sum()
-            )
+            v = pdf["value"].dropna().to_numpy()
+            micros += int(np.floor(v * 1_000_000.0 + 0.5).astype("int64").sum())
         state.update((n, micros))
         yield pd.DataFrame(
             {
