@@ -6,17 +6,20 @@ Four detectors, from exact-SQL-checkable to sketch-based:
 - dedup_ngram_jaccard: EXACT word-n-gram Jaccard via an inverted-index
   self-join (pairs must share ≥1 gram) — the scalable exact baseline: the
   join is an equi-join on gram, never a cross join.
-- dedup_minhash: shingle → 64 minhash permutations (xxhash64, JVM-side) →
-  8 bands × 8 rows → band-bucket join → exact-Jaccard verification of
-  candidates. At 100 TB the band join touches only colliding buckets;
-  memory per doc is 64 longs regardless of doc size.
-- dedup_simhash: 64-bit SimHash over token hashes, banded 4×16 bits for
+- dedup_minhash: shingle → 64 minhash permutations (md5-derived double
+  hashing, JVM-side + numpy) → 8 bands × 8 rows → band-bucket join →
+  exact-Jaccard verification of candidates. At 100 TB the band join
+  touches only colliding buckets; memory per doc is 64 longs regardless
+  of doc size.
+- dedup_simhash: SimHash over md5-derived token hashes, banded for
   candidate generation, verified by hamming distance (bit_count(xor)) ≤ k.
 - dedup_embedding: exact cosine near-dup pairs (test scale); the LSH-bucketed
   scale path lives in similarity.py (sim_search_ann shares its machinery).
 
-Sketch ops are rows-only for the driver (no cross-engine hash function);
-their internal consistency is pinned by tests/test_dedup.py, which verifies
+The sketch ops carry EXACT DuckDB oracles despite being "approximate":
+every hash they use is deterministic md5-derived integer arithmetic both
+engines compute identically (the sim_search_ann trick), so the driver
+hash-checks them end to end. tests/test_dedup.py additionally verifies
 candidates against exact Jaccard/hamming ground truth computed in-engine.
 """
 
@@ -195,6 +198,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASH = 64
 N_BANDS = 8  # 8 bands × 8 rows; P(candidate) = 1-(1-j^8)^8
+MERSENNE_P = 2147483647  # 2^31 - 1: permutation arithmetic modulus
 
 
 def _doc_gram_sets(df: DataFrame, n: int = N_GRAM) -> DataFrame:
@@ -230,14 +234,54 @@ def _doc_gram_sets(df: DataFrame, n: int = N_GRAM) -> DataFrame:
     )
 
 
+def _doc_gram_sets_md5(df: DataFrame, n: int = N_GRAM) -> DataFrame:
+    """documents → (doc_id, ghs, gh2s) — the doc's DISTINCT word n-grams
+    as two ALIGNED 60-bit hash arrays derived from disjoint md5 halves
+    (hex chars 1-15 → ghs, 16-30 → gh2s). md5 + conv is computable
+    bit-identically in DuckDB (``('0x'||substr(md5(g),1,15))::BIGINT``),
+    which is what buys dedup_minhash its EXACT cross-engine oracle — the
+    xxhash64 twin (`_doc_gram_sets`) has no such twin and stays the choice
+    where only in-engine equality matters (dedup_ngram_jaccard hashes are
+    an internal join key there; its oracle joins raw strings).
+
+    Same narrow shape as `_doc_gram_sets`: grams never leave the
+    projection, zero shuffles, 16 bytes/gram per row. Distinctness is
+    taken on the md5 strings so the two hash arrays stay aligned. md5 is
+    ~2× the per-gram cost of xxhash64 (both JVM codegen); at 100 TB where
+    nothing cross-checks DuckDB, swap back to the xxhash64 variant."""
+    toks = scan_parallel(df).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    ms = F.when(
+        F.size("ws") >= n,  # sequence(1, k<1) would count DOWN
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                lambda i: F.md5(F.array_join(F.slice("ws", i, n), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", ms.alias("ms")).select(
+        "doc_id",
+        F.transform(
+            "ms", lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        ).alias("ghs"),
+        F.transform(
+            "ms", lambda m: F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
+        ).alias("gh2s"),
+    )
+
+
 def minhash_bands(doc_sets: DataFrame) -> DataFrame:
-    """(doc_id, ghs) → (doc_id, band_id, band_hash).
+    """(doc_id, ghs, gh2s) → (doc_id, band_id, band_hash).
 
     Standard double-hashing construction (Kirsch & Mitzenmacher): two base
     hashes per gram, permutation i = (h1 + i·h2) mod p — 2 hash
     evaluations per gram instead of 64, with equivalent collision behavior
-    for minhash. Arithmetic is mod the Mersenne prime 2^31-1 so every
-    intermediate fits a long under ANSI overflow checking.
+    for minhash. The bases are the two independent md5 halves from
+    `_doc_gram_sets_md5` (reduced mod p / mod p-1), so every intermediate
+    is a positive long ≤ 63·(p-1)+p and `%` agrees across numpy, Spark,
+    and DuckDB — the whole signature is cross-engine reproducible.
 
     The 64 permutation-mins are computed in an Arrow-batched pandas UDF
     (one numpy broadcast-matmul per doc) — measured 2× faster than the
@@ -245,38 +289,34 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
     64 `array_min(transform(...))` higher-order calls by 1.8× (HOF
     lambdas evaluate interpreted, outside codegen). The whole step is
     NARROW: signatures derive from each doc's own row, so no exchange at
-    any scale; band keys then hash 8 consecutive signature entries."""
+    any scale; band keys then hash 8 consecutive signature entries
+    (xxhash64 — in-engine equality only; see dedup_minhash's collision
+    note)."""
     from pyspark.sql.functions import pandas_udf
 
-    p = 2147483647  # 2^31 - 1
+    p = MERSENNE_P
 
     @pandas_udf("array<long>")
-    def sig64(ghs: pd.Series) -> pd.Series:
+    def sig64(ghs: pd.Series, gh2s: pd.Series) -> pd.Series:
         import numpy as np
 
         perm = np.arange(N_HASH, dtype=np.int64)
-        # splitmix64's odd multiplier 0x9E3779B97F4A7C15 as SIGNED int64:
-        # the unsigned literal exceeds int64 and numpy would silently
-        # promote the product to float64, shearing off the low bits that
-        # make this a hash. The signed twin wraps mod 2^64 identically.
-        mult = np.int64(-7046029254386353131)
         # Per-doc broadcast (64 × n_grams) matmul-style min. A flattened
         # minimum.reduceat variant (one pass per permutation over the whole
         # batch) was measured ~18% SLOWER at the corpus's ~100-gram doc
         # profile — the 64 full-array modulo passes are memory-bound while
         # these per-doc matrices stay cache-resident; keep the loop.
         out = []
-        for g in ghs:
-            a = np.asarray(g, dtype=np.int64)
-            h1 = a % p
+        for g, g2 in zip(ghs, gh2s):
+            h1 = np.asarray(g, dtype=np.int64) % p
             # +1 keeps h2 nonzero mod p-1 or permutation i degenerates
-            h2 = ((a * mult) % (p - 1)) + 1
+            h2 = (np.asarray(g2, dtype=np.int64) % (p - 1)) + 1
             m = (h1[None, :] + perm[:, None] * h2[None, :]) % p
             out.append(m.min(axis=1))
         return pd.Series(out)
 
     sig = doc_sets.filter(F.size("ghs") > 0).select(
-        "doc_id", sig64("ghs").alias("sig")
+        "doc_id", sig64("ghs", "gh2s").alias("sig")
     )
     rows_per_band = N_HASH // N_BANDS
     return sig.select(
@@ -300,12 +340,63 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band_id", "bb.band_hash")
 
 
-@query("dedup_minhash")  # rows-only: xxhash64 has no DuckDB twin
+@query(
+    "dedup_minhash",
+    oracle=f"""
+{_GRAMS_CTE.strip()},
+gh AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h1,
+           ('0x' || substr(md5(gram), 16, 15))::BIGINT AS h2
+    FROM grams
+),
+sig AS (
+    SELECT doc_id, p.i,
+           min(((h1 % {MERSENNE_P})
+                + p.i * ((h2 % {MERSENNE_P - 1}) + 1)) % {MERSENNE_P}) AS s
+    FROM gh CROSS JOIN (SELECT unnest(range(0, {N_HASH})) AS i) p
+    GROUP BY doc_id, p.i
+),
+bands AS (
+    SELECT doc_id, i // {N_HASH // N_BANDS} AS band_id,
+           string_agg(s::VARCHAR, '-' ORDER BY i) AS bkey
+    FROM sig GROUP BY doc_id, i // {N_HASH // N_BANDS}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey
+              AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS ix
+    FROM cands c
+    JOIN grams ga ON ga.doc_id = c.doc_a
+    JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= {JACCARD_T}
+""",
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → 64-perm minhash → 8-band LSH
     bucket join → candidates verified with EXACT Jaccard (so the output has
     no false positives; bands only bound recall). Verified against exact
-    ground truth in tests/test_dedup.py.
+    ground truth in tests/test_dedup.py AND an exact DuckDB oracle: every
+    ingredient — md5-derived double hashes (`_doc_gram_sets_md5`), the
+    (h1 + i·h2) mod p permutation mins, band grouping, Jaccard verify —
+    is deterministic integer arithmetic both engines compute identically,
+    so the "approximate" sketch has an exact cross-engine twin (the same
+    trick as sim_search_ann's hyperplane oracle). Sole caveat: Spark keys
+    band buckets by xxhash64 of the 8-row slice while the oracle compares
+    the slices directly — a false CANDIDATE needs a 2^-64 band-hash
+    collision and would still have to pass exact-Jaccard verification to
+    diverge; measure-zero, same class as the ANN oracle's sign-flip note.
 
     Shuffle budget — 3 exchanges, every one O(docs) or O(candidates),
     never O(grams): the band self-join keyed on (band_id, band_hash), the
@@ -320,7 +411,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the job, so at 100 TB materialize the gram-set table to parquet
     once per corpus snapshot instead (same structure, durable)."""
     docs = load(spark, sf_dir, "documents")
-    doc_sets = _doc_gram_sets(docs).localCheckpoint()
+    doc_sets = _doc_gram_sets_md5(docs).localCheckpoint()
     bands = minhash_bands(doc_sets)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -340,24 +431,38 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HAMMING_T = 3
+SIMHASH_BITS = 60  # 15 md5 hex chars — the widest value both engines
+#                    parse into a BIGINT without overflow ('0x…'::BIGINT
+#                    in DuckDB caps at 63 bits; 60 keeps nibble alignment)
+SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ 3 ⟹ ≥1 of 4 bands equal
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_BAND_MASK = (1 << _BAND_BITS) - 1
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document from token hashes — fully declarative:
-    per-token xxhash64, per-bit vote via sign sums, bit-pack. One narrow
-    pass + one groupBy doc."""
+    """60-bit SimHash per document from md5-derived token hashes — fully
+    declarative: per-token 60-bit hash (cross-engine, see
+    `_doc_gram_sets_md5`), per-bit vote via sign sums, bit-pack. One
+    narrow pass + one groupBy doc. Token MULTIPLICITY counts (explode, not
+    distinct): a token appearing 10× casts 10 votes, the standard SimHash
+    weighting."""
     toks = scan_parallel(docs).select(
         "doc_id",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     votes = h.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     packed = votes.select(
@@ -368,7 +473,7 @@ def simhash(docs: DataFrame) -> DataFrame:
                     F.col(f"b{i}") > 0,
                     F.shiftleft(F.lit(1).cast("long"), i),
                 ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
+                for i in range(SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -376,12 +481,56 @@ def simhash(docs: DataFrame) -> DataFrame:
     return packed
 
 
-@query("dedup_simhash")  # rows-only: no cross-engine hash
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks WHERE len(tok) > 0
+),
+votes AS (
+    SELECT doc_id, b.i,
+           sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS i) b
+    GROUP BY doc_id, b.i
+),
+sh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, simhash,
+           (simhash >> ({_BAND_BITS} * b.band_id)) & {_BAND_MASK}
+               AS band_val,
+           b.band_id
+    FROM sh CROSS JOIN
+         (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band_id) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {HAMMING_T}
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, candidates generated by
-    4×16-bit band equality (hamming ≤ 3 ⟹ at least one of 4 bands equal,
+    """SimHash near-dup pairs: 60-bit signature, candidates generated by
+    4×15-bit band equality (hamming ≤ 3 ⟹ at least one of 4 bands equal,
     pigeonhole — candidate generation is exact for the verify threshold),
-    verified by bit_count(xor) ≤ 3."""
+    verified by bit_count(xor) ≤ 3. Every ingredient — md5-derived token
+    hash, vote sums, bit-pack, banding, hamming — is deterministic integer
+    arithmetic both engines compute identically, so the sketch carries an
+    EXACT DuckDB oracle (same construction as dedup_minhash's). A vote tie
+    (sum = 0, even token count) packs bit 0 in both engines."""
     docs = load(spark, sf_dir, "documents")
     sh = simhash(docs)
     banded = sh.select(
@@ -392,11 +541,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(0xFFFF)
+                        F.shiftrightunsigned(F.col("simhash"), _BAND_BITS * b)
+                        .bitwiseAND(_BAND_MASK)
                         .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bb"),

@@ -69,7 +69,11 @@ DRIVER_PRIORITY: list[str] = [
     "scan_orc", "scan_partition_pruned", "sink_text_formatted",
     "agg_approx", "topk_per_group", "fn_bitwise",
     "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
-    # --- 22-46: driver evidence only from round 1 (oldest first-class rows) ---
+    # --- 22-41: driver evidence only from round 1 (oldest first-class
+    # rows). agg_pivot / agg_percentile / sample_hash / sample_stratified /
+    # hist_numeric rotated out this round to make room for the five ops
+    # below with ZERO driver evidence — all five evictees are untouched
+    # since their green r01 rows and re-proven locally every pytest run ---
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_pii_scrub", "text_tfidf",
     "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
@@ -77,8 +81,13 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_cluster_cc", "dedup_levenshtein",
     "join_skew_salted", "join_bucketed", "join_null_safe",
     "pipeline_corpus_clean", "pipeline_dataset_export",
-    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric", "agg_corr_stats",
+    "agg_corr_stats",
+    # --- 42-46: new/oracle-upgraded in round 3, no driver row yet:
+    # dedup_minhash's first HASH check (rows-only in r01/r02; exact
+    # md5-arithmetic oracle added this round) + the four new ops ---
+    "dedup_minhash",
+    "pipeline_seq_pack", "sample_mix_rebalance",
+    "sample_cap_per_source", "agg_ngram_counts",
     # --- 47-49: rows-only in r01/r02, upgraded to SQL oracles in round 3
     # (stream_custom_state, likewise upgraded, is already in the 1-21
     # block) — their first driver HASH check must happen this round ---
@@ -95,15 +104,15 @@ DRIVER_PRIORITY: list[str] = [
     "win_rank", "win_analytic", "win_frame",
     "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "text_tokenize", "dedup_minhash", "sim_search",
+    "text_tokenize", "sim_search",
     "udf_scalar", "udf_grouped", "udaf", "udtf",
     "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
     "sql_pricing_summary", "stream_stream_join",
     "stream_tumbling", "stream_sliding", "stream_session",
     "agg_mode", "fn_conditional", "agg_unpivot",
-    # --- new in round 3 (first driver-checked when rotated forward) ---
-    "pipeline_seq_pack", "sample_mix_rebalance",
-    "sample_cap_per_source", "agg_ngram_counts",
+    # --- rotated out in round 3 (green r01 rows, unchanged since) ---
+    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
+    "hist_numeric",
 ]
 
 

@@ -47,7 +47,7 @@ def test_minhash_self_duplicates_found(spark, sf_dir):
     both.cache()
     import erlang_mapreduce_spark.operators.dedup as dd
 
-    bands = dd.minhash_bands(dd._doc_gram_sets(both))
+    bands = dd.minhash_bands(dd._doc_gram_sets_md5(both))
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -148,13 +148,13 @@ def test_minhash_bands_no_key_exchange(spark, sf_dir):
     before the LSH band self-join is the round-robin parallelism bootstrap
     (scan_parallel) — never a key-hash exchange over the gram stream."""
     from erlang_mapreduce_spark.operators.dedup import (
-        _doc_gram_sets,
+        _doc_gram_sets_md5,
         minhash_bands,
     )
     from erlang_mapreduce_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
-    p = plan_of(minhash_bands(_doc_gram_sets(docs)))
+    p = plan_of(minhash_bands(_doc_gram_sets_md5(docs)))
     assert "Exchange hashpartitioning" not in p, p
     assert "ArrowEvalPython" in p  # the numpy signature stage
 
