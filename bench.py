@@ -59,6 +59,7 @@ HEADLINE = (
     "sim_search_ann",
     "agg_ngram_counts",
     "pipeline_seq_pack",
+    "text_unigram_logprob",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can

@@ -486,3 +486,83 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "word", "tfidf", "rank")
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents)
+    WHERE length(tok) > 0
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM t),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(tf.tf * round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+                         AS DECIMAL(29,6))) AS DOUBLE)
+               / sum(tf.tf) AS alp
+    FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens, round(alp, 6) AS avg_logprob
+FROM scored
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean ln p(token) per document under the
+    corpus's own unigram distribution — the cheap perplexity proxy every
+    training-data pipeline runs before a real LM scorer (documents full of
+    rare tokens score low; boilerplate scores high). MLE probabilities
+    need no OOV smoothing because the vocabulary comes from the same
+    corpus (every token has count ≥ 1).
+
+    Shape at scale: tokenize once, per-doc term frequency via hash agg
+    (map-side combine — a doc's tokens sit in one input row), corpus
+    count per token as a SUM window over the tf relation partitioned by
+    tok (one extra exchange; same single-tokenize trick as text_tfidf),
+    total token count as a broadcast scalar aggregated from the tf branch
+    (ReuseExchange collapses the identical sub-plan), weighted per-doc
+    mean as one more hash agg. Never a join against a separate vocab
+    table — the window IS the vocab lookup, co-partitioned for free.
+
+    Hash-safety: ln is transcendental → rounded to 6 before the weighted
+    sum; the sum runs through DECIMAL (order-independent, exact.py); the
+    mean divides in double and rounds to 6 (registry convention)."""
+    from pyspark.sql import Window
+
+    from ..exact import _DEC
+
+    d = load(spark, sf_dir, "documents")
+    toks = scan_parallel(d).select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n = tf.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("tok")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("n_total")), 6
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum((F.col("tf") * F.col("lp")).cast(_DEC)).cast("double")
+                / F.sum("tf")
+            ).alias("alp"),
+        )
+        .select("doc_id", "n_tokens", F.round("alp", 6).alias("avg_logprob"))
+    )

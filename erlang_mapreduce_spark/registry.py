@@ -113,6 +113,9 @@ DRIVER_PRIORITY: list[str] = [
     # --- rotated out in round 3 (green r01 rows, unchanged since) ---
     "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
     "hist_numeric",
+    # --- new in round 3, after the window (local-full evidence only;
+    # rotate forward next round) ---
+    "text_unigram_logprob",
 ]
 
 
