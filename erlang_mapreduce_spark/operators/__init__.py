@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     analysis,
     curation,
     dedup,
+    events_analytics,
     joins,
     pipeline,
     relational,

@@ -272,6 +272,22 @@ def _doc_gram_sets_md5(df: DataFrame, n: int = N_GRAM) -> DataFrame:
     )
 
 
+def minhash_signature(ghs, gh2s):
+    """The 64 permutation-mins for ONE document: numpy int64 broadcast of
+    (h1 + i·h2) mod p over the doc's gram hashes. Module-level (not a UDF
+    closure) so the property tests can pin it against a pure-Python
+    reference — the numpy arithmetic here must agree element-for-element
+    with the DuckDB oracle's integer SQL."""
+    import numpy as np
+
+    p = MERSENNE_P
+    perm = np.arange(N_HASH, dtype=np.int64)
+    h1 = np.asarray(ghs, dtype=np.int64) % p
+    # +1 keeps h2 nonzero mod p-1 or permutation i degenerates
+    h2 = (np.asarray(gh2s, dtype=np.int64) % (p - 1)) + 1
+    return ((h1[None, :] + perm[:, None] * h2[None, :]) % p).min(axis=1)
+
+
 def minhash_bands(doc_sets: DataFrame) -> DataFrame:
     """(doc_id, ghs, gh2s) → (doc_id, band_id, band_hash).
 
@@ -294,26 +310,16 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
     note)."""
     from pyspark.sql.functions import pandas_udf
 
-    p = MERSENNE_P
-
     @pandas_udf("array<long>")
     def sig64(ghs: pd.Series, gh2s: pd.Series) -> pd.Series:
-        import numpy as np
-
-        perm = np.arange(N_HASH, dtype=np.int64)
         # Per-doc broadcast (64 × n_grams) matmul-style min. A flattened
         # minimum.reduceat variant (one pass per permutation over the whole
         # batch) was measured ~18% SLOWER at the corpus's ~100-gram doc
         # profile — the 64 full-array modulo passes are memory-bound while
         # these per-doc matrices stay cache-resident; keep the loop.
-        out = []
-        for g, g2 in zip(ghs, gh2s):
-            h1 = np.asarray(g, dtype=np.int64) % p
-            # +1 keeps h2 nonzero mod p-1 or permutation i degenerates
-            h2 = (np.asarray(g2, dtype=np.int64) % (p - 1)) + 1
-            m = (h1[None, :] + perm[:, None] * h2[None, :]) % p
-            out.append(m.min(axis=1))
-        return pd.Series(out)
+        return pd.Series(
+            [minhash_signature(g, g2) for g, g2 in zip(ghs, gh2s)]
+        )
 
     sig = doc_sets.filter(F.size("ghs") > 0).select(
         "doc_id", sig64("ghs", "gh2s").alias("sig")

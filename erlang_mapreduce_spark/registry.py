@@ -116,6 +116,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- new in round 3, after the window (local-full evidence only;
     # rotate forward next round) ---
     "text_unigram_logprob",
+    "analytics_cohort_retention", "analytics_funnel",
 ]
 
 

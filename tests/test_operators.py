@@ -189,3 +189,37 @@ def test_partition_invariance(spark, sf_dir, name):
         conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
         conf.set("spark.sql.shuffle.partitions", old_shuffle)
     assert base == alt, f"{name}: output depends on partitioning"
+
+
+def test_funnel_matches_independent_pandas_walk(spark, sf_dir):
+    """Third-implementation check for analytics_funnel: a per-user pandas
+    walk over the sorted event list (find the first 'view', then the first
+    'click' strictly after it, then the first 'purchase' after that) must
+    reproduce the engine's step counts. Independent of both Spark and the
+    DuckDB oracle, so a SHARED misreading of the ordered-step semantics in
+    the two SQL dialects would still be caught — and pins monotonicity
+    (step k counts can never grow)."""
+    import pandas as pd
+
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    got = {
+        r.step: r.n_users
+        for r in QUERIES["analytics_funnel"](spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_type", "ts"]
+    ]
+    steps = ("view", "click", "purchase")
+    counts = [0, 0, 0]
+    for _, g in ev.sort_values("ts").groupby("user_id"):
+        depth, last_t = 0, None
+        for etype, t in zip(g["event_type"], g["ts"]):
+            if depth < 3 and etype == steps[depth] and (
+                last_t is None or t > last_t
+            ):
+                counts[depth] += 1
+                last_t = t
+                depth += 1
+    assert got == {1: counts[0], 2: counts[1], 3: counts[2]}
+    assert got[1] >= got[2] >= got[3]

@@ -214,7 +214,8 @@ from erlang_mapreduce_spark.registry import EAGER_OPS as _EAGER  # noqa: E402
 
 # Non-equi joins where a broadcast nested-loop join IS the documented
 # physical strategy (small broadcast side bounds the quadratic term), plus
-# text_tfidf, whose BNLJ is a single-row scalar broadcast (corpus N).
+# text_tfidf / text_unigram_logprob, whose BNLJ is a single-row scalar
+# broadcast (corpus N / total token count).
 _BNLJ_BY_DESIGN = {
     "join_theta_range",
     "join_asof",
@@ -222,6 +223,7 @@ _BNLJ_BY_DESIGN = {
     "sim_search",
     "sim_search_ann",
     "text_tfidf",
+    "text_unigram_logprob",
 }
 
 

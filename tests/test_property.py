@@ -110,3 +110,39 @@ def test_mg_sketch_no_false_negatives(case):
         candidates |= set(emitted["word"])
     missing = truth - candidates
     assert not missing, (missing, total, k)
+
+
+@st.composite
+def _gram_hash_case(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    bits60 = st.integers(min_value=0, max_value=(1 << 60) - 1)
+    return (
+        draw(st.lists(bits60, min_size=n, max_size=n)),
+        draw(st.lists(bits60, min_size=n, max_size=n)),
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_gram_hash_case())
+def test_minhash_signature_matches_pure_python(case):
+    """The vectorized numpy signature (the op's hot path) must agree
+    element-for-element with a direct pure-Python transcription of the
+    DuckDB oracle's SQL — (h1%p + i*((h2%(p-1))+1)) % p, min over grams —
+    on arbitrary 60-bit hash inputs. Guards the int64 broadcast arithmetic
+    (overflow, precedence, axis) that the sf-fixture oracle comparison
+    only exercises on realistic gram profiles."""
+    from erlang_mapreduce_spark.operators.dedup import (
+        MERSENNE_P as p,
+        N_HASH,
+        minhash_signature,
+    )
+
+    ghs, gh2s = case
+    expect = [
+        min(
+            ((h1 % p) + i * ((h2 % (p - 1)) + 1)) % p
+            for h1, h2 in zip(ghs, gh2s)
+        )
+        for i in range(N_HASH)
+    ]
+    assert list(minhash_signature(ghs, gh2s)) == expect
