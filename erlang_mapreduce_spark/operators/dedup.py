@@ -615,9 +615,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_cluster_cc",
-    oracle=f"""
+# Shared oracle scaffolding for the cluster ops: near-dup pairs (same
+# construction as dedup_ngram_jaccard's oracle) → undirected edges →
+# transitive closure via recursive CTE → per-node component minimum, then
+# `labels` assigns every document its cluster id (singletons label
+# themselves).
+_CC_CTES = f"""
 WITH RECURSIVE {_GRAMS_CTE.split('WITH', 1)[1].strip()},
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
@@ -641,11 +644,22 @@ reach AS (
     UNION
     SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 ),
-comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
-SELECT d.doc_id,
-       CAST(least(coalesce(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
-FROM documents d
-LEFT JOIN comp c ON c.doc_id = d.doc_id
+comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+labels AS (
+    SELECT d.doc_id, d.n_chars,
+           CAST(least(coalesce(c.mn, d.doc_id), d.doc_id) AS BIGINT)
+               AS cluster_id
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+"""
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+{_CC_CTES.strip()}
+SELECT doc_id, cluster_id FROM labels
 """,
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,3 +870,56 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.s_suppkey").alias("supp_b"),
         F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias("dist"),
     ).filter(F.col("dist") <= 2)
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+{_CC_CTES.strip()},
+best AS (
+    SELECT cluster_id, doc_id AS keeper_id
+    FROM (SELECT cluster_id, doc_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM labels)
+    WHERE rn = 1
+)
+SELECT l.doc_id, l.cluster_id, (l.doc_id = b.keeper_id) AS keep
+FROM labels l JOIN best b ON b.cluster_id = l.cluster_id
+""",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-dedup ENDPOINT: after near-dup pairs are clustered
+    (dedup_cluster_cc), keep exactly one document per cluster — the
+    longest (max n_chars, ties to the smallest doc_id) — and flag the
+    rest for deletion. This keep/drop decision, not the pair list, is
+    what a curation pipeline actually applies to the corpus.
+
+    The keeper is selected with a max(struct(n_chars, -doc_id)) hash
+    aggregate + equi-join back on cluster_id — partial aggregation
+    collapses each partition to one candidate per cluster before the
+    exchange, so the selection costs one O(docs) shuffle regardless of
+    cluster-size skew (a sort-based row_number window over a pathological
+    billion-doc cluster would funnel it through one task; the oracle uses
+    that window shape only because its corpus is small). Singleton
+    documents are their own cluster and always kept."""
+    labels = dedup_cluster_cc(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lab = labels.join(docs, "doc_id")
+    best = (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b.neg_id")).alias("keeper_id"))
+    )
+    return lab.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )

@@ -69,25 +69,29 @@ DRIVER_PRIORITY: list[str] = [
     "scan_orc", "scan_partition_pruned", "sink_text_formatted",
     "agg_approx", "topk_per_group", "fn_bitwise",
     "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
-    # --- 22-41: driver evidence only from round 1 (oldest first-class
-    # rows). agg_pivot / agg_percentile / sample_hash / sample_stratified /
-    # hist_numeric rotated out this round to make room for the five ops
-    # below with ZERO driver evidence — all five evictees are untouched
-    # since their green r01 rows and re-proven locally every pytest run ---
-    "text_lang_id", "text_quality_score", "text_token_count",
+    # --- 22-37: driver evidence only from round 1 (oldest first-class
+    # rows). Nine r01-green ops rotated to the back this round (agg_pivot,
+    # agg_percentile, sample_hash, sample_stratified, hist_numeric,
+    # agg_corr_stats, join_null_safe, text_token_count, text_lang_id) to
+    # make room for the round-3 ops below with ZERO driver evidence — all
+    # evictees are untouched since their green r01 rows and re-proven
+    # locally every pytest run ---
+    "text_quality_score",
     "text_fingerprint", "text_pii_scrub", "text_tfidf",
     "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
     "dedup_cluster_cc", "dedup_levenshtein",
-    "join_skew_salted", "join_bucketed", "join_null_safe",
+    "join_skew_salted", "join_bucketed",
     "pipeline_corpus_clean", "pipeline_dataset_export",
-    "agg_corr_stats",
-    # --- 42-46: new/oracle-upgraded in round 3, no driver row yet:
+    # --- 38-46: new/oracle-upgraded in round 3, no driver row yet:
     # dedup_minhash's first HASH check (rows-only in r01/r02; exact
-    # md5-arithmetic oracle added this round) + the four new ops ---
+    # md5-arithmetic oracle added this round) + the eight new ops ---
     "dedup_minhash",
     "pipeline_seq_pack", "sample_mix_rebalance",
     "sample_cap_per_source", "agg_ngram_counts",
+    "text_unigram_logprob",
+    "analytics_cohort_retention", "analytics_funnel",
+    "dedup_cluster_keep_best",
     # --- 47-49: rows-only in r01/r02, upgraded to SQL oracles in round 3
     # (stream_custom_state, likewise upgraded, is already in the 1-21
     # block) — their first driver HASH check must happen this round ---
@@ -112,11 +116,8 @@ DRIVER_PRIORITY: list[str] = [
     "agg_mode", "fn_conditional", "agg_unpivot",
     # --- rotated out in round 3 (green r01 rows, unchanged since) ---
     "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric",
-    # --- new in round 3, after the window (local-full evidence only;
-    # rotate forward next round) ---
-    "text_unigram_logprob",
-    "analytics_cohort_retention", "analytics_funnel",
+    "hist_numeric", "agg_corr_stats", "join_null_safe",
+    "text_token_count", "text_lang_id",
 ]
 
 
@@ -136,6 +137,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "sink_partitioned",
         "sink_text_formatted",
         "dedup_cluster_cc",
+        "dedup_cluster_keep_best",
         "pipeline_dataset_export",
         "sim_search_ivf",
         "agg_heavy_hitters",
