@@ -60,6 +60,8 @@ HEADLINE = (
     "agg_ngram_counts",
     "pipeline_seq_pack",
     "text_unigram_logprob",
+    "analytics_cohort_retention",
+    "analytics_funnel",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can

@@ -186,7 +186,11 @@ def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
-        back = spark.read.parquet(out)
+        # writer's schema, not inference: a fully-gated (empty) corpus
+        # writes zero data files, and schema inference would fail on them
+        # (see sink_partitioned) — an empty export must account as empty,
+        # not error
+        back = spark.read.schema(sharded.schema).parquet(out)
         acct = back.groupBy("shard").agg(
             F.count("*").alias("docs"),
             F.sum("n_tokens").alias("tokens"),

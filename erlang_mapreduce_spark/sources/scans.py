@@ -171,7 +171,11 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderpriority")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # Read back with the writer's schema: inference needs at least one
+    # parquet footer, so an EMPTY source (zero data files under the sink
+    # root) would otherwise fail with UNABLE_TO_INFER_SCHEMA — a real
+    # hazard at scale where a filtered export can legitimately be empty.
+    back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
@@ -245,10 +249,11 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         SINK_ROOT, os.path.basename(os.path.normpath(sf_dir)), "orders_by_prio"
     )
+    o = load(spark, sf_dir, "orders")
     if not os.path.isdir(out):
-        o = load(spark, sf_dir, "orders")
         o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: see sink_partitioned's empty-source note
+    back = spark.read.schema(o.schema).parquet(out)
     return (
         back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy("o_orderpriority", "o_orderstatus")

@@ -1,0 +1,77 @@
+"""Degenerate-input sweep: every operator must handle EMPTY tables.
+
+At 100 TB, empty inputs are not hypothetical — a partition filter, a
+fully-gated corpus slice, or a cold bootstrap day yields zero rows, and
+an operator that crashes there takes the whole pipeline run with it.
+This sweep runs EVERY registered operator against a fixture directory
+holding schema-correct parquet files with zero rows and requires a clean
+(possibly empty) result. Specific empty-edge guards this pins:
+
+- sequence()-direction guards in the gram builders (size < n);
+- connected_components converging on a zero-edge graph in one round;
+- the IVF trainer degenerating to a single zero centroid;
+- partitioned sinks reading back with the WRITER's schema (zero data
+  files under a sink root make schema inference fail otherwise);
+- the funnel emitting its three step rows with zero counts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from erlang_mapreduce_spark.registry import QUERIES
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Streaming-replay ops drive a file-source stream from the fixture dir;
+# replaying an empty stream exercises the streaming engine's no-data
+# micro-batch handling, not our operators — and triggers long idle
+# timeouts. Out of scope for this sweep.
+_SKIP = {
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_stateful_dedup",
+    "stream_custom_state", "stream_stream_join",
+}
+
+# Ops whose output is a fixed-shape summary (rows even on empty input).
+_NONZERO_ON_EMPTY = {
+    "agg_global": 1,        # one global summary row (counts = 0)
+    "analytics_funnel": 3,  # one row per funnel step
+}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    src = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    d = str(tmp_path_factory.mktemp("empty_fixture"))
+    for t in _TABLES:
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0) "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_every_op_survives_empty_tables(spark, empty_dir):
+    failures = []
+    for name, fn in QUERIES.items():
+        if name in _SKIP:
+            continue
+        try:
+            n = fn(spark, empty_dir).count()
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: {type(e).__name__}: "
+                            f"{str(e).splitlines()[0][:120]}")
+            continue
+        want = _NONZERO_ON_EMPTY.get(name, 0)
+        if n != want:
+            failures.append(f"{name}: {n} rows on empty input (want {want})")
+    assert not failures, "\n".join(failures)
