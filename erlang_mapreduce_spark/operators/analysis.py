@@ -123,14 +123,18 @@ SELECT doc_id,
        count(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
            string_split_regex(lower(text), '\\s+'))), ' '))) AS cluster_size
 FROM documents
+WHERE text IS NOT NULL
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set
     (order/multiplicity-insensitive content signature — catches shuffled
     copies exact dedup misses). cluster_size > 1 marks fingerprint dups.
-    md5 is identical across engines, so this is fully oracle-checked."""
-    d = load(spark, sf_dir, "documents")
+    md5 is identical across engines, so this is fully oracle-checked.
+    NULL-text docs have no fingerprint and are dropped on both sides
+    (without the filter Spark's concat_ws would fingerprint them as ''
+    while DuckDB's array_to_string yields NULL — a latent divergence)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     fp = F.md5(
         F.concat_ws(
             " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), r"\s+")))
@@ -187,7 +191,8 @@ _DECODE_FEAT = ", ".join(
 @query(
     "multimodal_decode",
     oracle=f"""
-WITH d AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+WITH d AS (SELECT doc_id, sha256(text) AS hx FROM documents
+           WHERE text IS NOT NULL)
 SELECT doc_id,
        CAST(64 + {_DECODE_BYTE.format(pos=1)} % 192 AS INTEGER) AS width,
        CAST(64 + {_DECODE_BYTE.format(pos=3)} % 192 AS INTEGER) AS height,
@@ -212,9 +217,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    # a NULL payload is undecodable — dropped identically on both sides
+    # (and the Arrow batch otherwise hands the UDF a None it would crash on)
     d = scan_parallel(load(spark, sf_dir, "documents")).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    ).filter(F.col("payload").isNotNull())
 
     def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
         # stand-in for PIL.Image.open / av.open: deterministic pseudo-
@@ -305,7 +312,8 @@ TARGET_EDGE = 224
 @query(
     "multimodal_resize",
     oracle=f"""
-WITH d AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+WITH d AS (SELECT doc_id, sha256(text) AS hx FROM documents
+           WHERE text IS NOT NULL),
 dims AS (
     SELECT doc_id,
            64 + CAST('0x' || substr(hx, 1, 2) AS INT) % 192 AS w,
@@ -345,9 +353,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    # NULL payload = nothing to resize; dropped on both sides (see
+    # multimodal_decode)
     d = scan_parallel(load(spark, sf_dir, "documents")).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    ).filter(F.col("payload").isNotNull())
 
     def resize_batches(batches):
         for pdf in batches:

@@ -41,12 +41,16 @@ from tests.oracle import driver_canon as canon  # noqa: E402
 
 
 def norm(cols, rows):
+    # every cell becomes a STRING (floats via round-9) so tuples stay
+    # comparable even when a float column carries NULLs — a mixed
+    # None/float column would otherwise crash sorted() with
+    # "'<' not supported between float and str"
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(
             str(r[i]) if not isinstance(r[i], float)
-            else ("NaN" if math.isnan(r[i]) else round(r[i], 9))
+            else ("NaN" if math.isnan(r[i]) else str(round(r[i], 9)))
             for i in idx
         ))
     return sorted(out)
