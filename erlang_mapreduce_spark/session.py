@@ -49,6 +49,16 @@ def get_spark(app_name: str = "erlang-mapreduce-spark") -> SparkSession:
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # local mode runs all 32 executor threads inside the DRIVER JVM,
+        # whose default heap is 1g — at 10× the bench volume that thrashes
+        # the GC (observed: GCLocker retry storms in the scaling probe).
+        # Size it for the machine; on a real cluster the resource manager
+        # sets executor memory and this branch never fires.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
