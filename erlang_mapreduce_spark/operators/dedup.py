@@ -138,6 +138,92 @@ def _rare_pair_stream(doc_sets: DataFrame, df_cap: int = GRAM_DF_CAP) -> DataFra
     )
 
 
+def _verbatim_reps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fuse "exact dedup first" into the pair ops: group documents by
+    verbatim text (xxhash64 — in-engine grouping only), pick the smallest
+    doc_id as each group's REPRESENTATIVE, and return
+    (members: (doc_id, rep_id), rep_docs: (doc_id, text) for reps only).
+
+    Why: identical texts have identical gram sets/signatures, so running
+    the pair pipeline over all of them redoes the same work and — the
+    real killer — emits candidate pairs QUADRATIC in the duplicate-group
+    size (an R-clique costs C(R,2) pipeline pairs per shared gram). The
+    scaling probe measured exact-pair jaccard at alpha 1.27 on 10× clique
+    replicas (SCALING.md); collapsing to representatives makes pipeline
+    cost a function of DISTINCT texts while `_expand_rep_pairs`
+    reconstructs the full member-level answer exactly. Cost of the
+    collapse: one (fp, text) exchange + one tiny (fp, doc_id) aggregate —
+    the same price pipeline_corpus_clean already pays for its exact-dedup
+    stage. NULL texts hash to one group; their gram sets are empty so
+    they never reach pair emission (same as before)."""
+    fpd = docs.select("doc_id", "text", F.xxhash64("text").alias("fp"))
+    reps = fpd.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    members = fpd.select("fp", "doc_id").join(reps, "fp").select(
+        "doc_id", "rep_id"
+    )
+    rep_docs = (
+        fpd.join(reps, "fp")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    return members, rep_docs
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    eligible_reps: DataFrame,
+    self_value,
+    value_name: str,
+) -> DataFrame:
+    """Representative-level pairs → full member-level pairs.
+
+    - CROSS-group: each (rep_a, rep_b, v) fans out to every member pair
+      of the two groups with the SAME value v (identical texts ⇒ identical
+      grams ⇒ bit-identical metric — this is why the expansion is exact,
+      not approximate). Two equi-joins on rep id, ordered by
+      least/greatest.
+    - WITHIN-group: every pair inside a group whose representative is
+      `eligible` (has a nonempty gram/token set — empty docs never pair,
+      matching both the unfused op and the oracle) gets the metric's
+      self-value (jaccard 1.0 / hamming 0), which is exactly what the
+      full pipeline computes for a verbatim pair. Side effect vs the
+      unfused jaccard op: verbatim pairs are emitted even when every
+      shared gram exceeds GRAM_DF_CAP — a strict recall IMPROVEMENT that
+      moves the op closer to its own oracle (which has no cap)."""
+    mem_a = members.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da")
+    )
+    mem_b = members.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(mem_a, "doc_a")
+        .join(mem_b, "doc_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            value_name,
+        )
+    )
+    m1 = members.join(eligible_reps, "rep_id").select(
+        "rep_id", F.col("doc_id").alias("da")
+    )
+    m2 = members.join(eligible_reps, "rep_id").select(
+        "rep_id", F.col("doc_id").alias("db")
+    )
+    within = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            self_value.alias(value_name),
+        )
+    )
+    return cross.unionByName(within)
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -171,11 +257,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward neither candidacy nor the prefilter bound (see GRAM_DF_CAP's
     comment). Hashing grams (vs joining on strings) is semantics-
     preserving up to 2^-64 collisions — the oracle joins on the raw
-    strings and agrees."""
+    strings and agrees. Verbatim-duplicate groups are collapsed to one
+    representative before the pipeline and expanded after
+    (`_verbatim_reps` / `_expand_rep_pairs`) — pipeline cost scales with
+    DISTINCT texts, not duplicate-clique sizes."""
     docs = load(spark, sf_dir, "documents")
+    members, rep_docs = _verbatim_reps(docs)
+    members = members.localCheckpoint()
     # three consumers (pair stream + sizes + verify): materialize once —
     # see the localCheckpoint note in dedup_minhash
-    doc_sets = _doc_gram_sets(docs).localCheckpoint()
+    doc_sets = _doc_gram_sets(rep_docs).localCheckpoint()
     inter = (
         _rare_pair_stream(doc_sets)
         .groupBy("doc_a", "doc_b")
@@ -193,7 +284,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    return _verify_jaccard(prefiltered, doc_sets)
+    rep_pairs = _verify_jaccard(prefiltered, doc_sets)
+    eligible = doc_sets.filter(F.size("ghs") > 0).select(
+        F.col("doc_id").alias("rep_id")
+    )
+    return _expand_rep_pairs(
+        rep_pairs, members, eligible, F.lit(1.0), "jaccard"
+    )
 
 
 N_HASH = 64
@@ -415,9 +512,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     it once and truncates lineage. localCheckpoint blocks are
     executor-local and unreplicated: on a real cluster a lost executor
     fails the job, so at 100 TB materialize the gram-set table to parquet
-    once per corpus snapshot instead (same structure, durable)."""
+    once per corpus snapshot instead (same structure, durable).
+
+    Like dedup_ngram_jaccard, verbatim-duplicate groups collapse to one
+    representative before signing and expand after: identical texts have
+    identical signatures, so an R-clique would collide in EVERY band and
+    cost C(R,2) candidate rows per band — the collapse makes band-join
+    cost a function of distinct texts (verbatim pairs re-enter as exact
+    jaccard-1.0 rows, which is what verification yields for them)."""
     docs = load(spark, sf_dir, "documents")
-    doc_sets = _doc_gram_sets_md5(docs).localCheckpoint()
+    members, rep_docs = _verbatim_reps(docs)
+    members = members.localCheckpoint()
+    doc_sets = _doc_gram_sets_md5(rep_docs).localCheckpoint()
     bands = minhash_bands(doc_sets)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -433,7 +539,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verify_jaccard(cands, doc_sets)
+    rep_pairs = _verify_jaccard(cands, doc_sets)
+    eligible = doc_sets.filter(F.size("ghs") > 0).select(
+        F.col("doc_id").alias("rep_id")
+    )
+    return _expand_rep_pairs(
+        rep_pairs, members, eligible, F.lit(1.0), "jaccard"
+    )
 
 
 HAMMING_T = 3
@@ -536,9 +648,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, vote sums, bit-pack, banding, hamming — is deterministic integer
     arithmetic both engines compute identically, so the sketch carries an
     EXACT DuckDB oracle (same construction as dedup_minhash's). A vote tie
-    (sum = 0, even token count) packs bit 0 in both engines."""
+    (sum = 0, even token count) packs bit 0 in both engines.
+
+    Verbatim-duplicate groups collapse to one representative before
+    signing and expand after (identical text ⇒ identical simhash ⇒ the
+    full pipeline would emit every member pair with hamming 0) — see
+    `_verbatim_reps`."""
     docs = load(spark, sf_dir, "documents")
-    sh = simhash(docs)
+    members, rep_docs = _verbatim_reps(docs)
+    members = members.localCheckpoint()
+    sh = simhash(rep_docs)
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -558,7 +677,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bb.band_id", "bb.band_val")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -574,6 +693,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= HAMMING_T)
+    )
+    # a doc appears in sh iff it has ≥1 nonempty token — the oracle's
+    # `WHERE len(tok) > 0` stream implies the same membership
+    eligible = sh.select(F.col("doc_id").alias("rep_id"))
+    return _expand_rep_pairs(
+        rep_pairs,
+        members,
+        eligible,
+        F.lit(0).cast(rep_pairs.schema["hamming"].dataType),
+        "hamming",
     )
 
 
