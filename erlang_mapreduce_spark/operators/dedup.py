@@ -138,6 +138,15 @@ def _rare_pair_stream(doc_sets: DataFrame, df_cap: int = GRAM_DF_CAP) -> DataFra
     )
 
 
+def _nonempty_reps(doc_sets):
+    """Representatives eligible for within-group pair emission: those with
+    a nonempty gram set (empty docs never pair — in the op or its
+    oracle)."""
+    return doc_sets.filter(F.size("ghs") > 0).select(
+        F.col("doc_id").alias("rep_id")
+    )
+
+
 def _verbatim_reps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Fuse "exact dedup first" into the pair ops: group documents by
     verbatim text (xxhash64 — in-engine grouping only), pick the smallest
@@ -152,20 +161,24 @@ def _verbatim_reps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     replicas (SCALING.md); collapsing to representatives makes pipeline
     cost a function of DISTINCT texts while `_expand_rep_pairs`
     reconstructs the full member-level answer exactly. Cost of the
-    collapse: one (fp, text) exchange + one tiny (fp, doc_id) aggregate —
-    the same price pipeline_corpus_clean already pays for its exact-dedup
+    collapse: ONE (fp, text) aggregate (min(text) is free — every text in
+    a group is identical by construction, and min is deterministic where
+    first() is not) + one tiny (fp, doc_id) join for the member map — the
+    same price pipeline_corpus_clean already pays for its exact-dedup
     stage. NULL texts hash to one group; their gram sets are empty so
-    they never reach pair emission (same as before)."""
+    they never reach pair emission (same as before). xxhash64 text
+    collisions would merge two distinct texts into one group — the usual
+    2^-64 measure-zero class."""
     fpd = docs.select("doc_id", "text", F.xxhash64("text").alias("fp"))
-    reps = fpd.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
-    members = fpd.select("fp", "doc_id").join(reps, "fp").select(
-        "doc_id", "rep_id"
+    reps = fpd.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_id"), F.min("text").alias("text")
     )
-    rep_docs = (
-        fpd.join(reps, "fp")
-        .filter(F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id", "text")
+    members = (
+        fpd.select("fp", "doc_id")
+        .join(reps.select("fp", "rep_id"), "fp")
+        .select("doc_id", "rep_id")
     )
+    rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "text")
     return members, rep_docs
 
 
@@ -285,11 +298,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     rep_pairs = _verify_jaccard(prefiltered, doc_sets)
-    eligible = doc_sets.filter(F.size("ghs") > 0).select(
-        F.col("doc_id").alias("rep_id")
-    )
     return _expand_rep_pairs(
-        rep_pairs, members, eligible, F.lit(1.0), "jaccard"
+        rep_pairs, members, _nonempty_reps(doc_sets), F.lit(1.0), "jaccard"
     )
 
 
@@ -540,11 +550,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     rep_pairs = _verify_jaccard(cands, doc_sets)
-    eligible = doc_sets.filter(F.size("ghs") > 0).select(
-        F.col("doc_id").alias("rep_id")
-    )
     return _expand_rep_pairs(
-        rep_pairs, members, eligible, F.lit(1.0), "jaccard"
+        rep_pairs, members, _nonempty_reps(doc_sets), F.lit(1.0), "jaccard"
     )
 
 

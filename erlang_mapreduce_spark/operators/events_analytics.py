@@ -64,19 +64,27 @@ _FUNNEL = ("view", "click", "purchase")
 @query(
     "analytics_funnel",
     oracle=f"""
-WITH s1 AS (
-    SELECT user_id, min(ts) AS t FROM events
+WITH ev AS (
+    -- microsecond truncation up front: Spark reads the TIMESTAMP(NANOS)
+    -- fixture as long nanos and truncates to micros (tables.load), and
+    -- this op compares event timestamps AGAINST EACH OTHER with strict >,
+    -- so the oracle must compare at the same precision even if DuckDB's
+    -- parquet reader someday surfaces TIMESTAMP_NS here
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s1 AS (
+    SELECT user_id, min(ts) AS t FROM ev
     WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1
 ),
 s2 AS (
     SELECT e.user_id, min(e.ts) AS t
-    FROM events e JOIN s1 USING (user_id)
+    FROM ev e JOIN s1 USING (user_id)
     WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t
     GROUP BY 1
 ),
 s3 AS (
     SELECT e.user_id, min(e.ts) AS t
-    FROM events e JOIN s2 USING (user_id)
+    FROM ev e JOIN s2 USING (user_id)
     WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t
     GROUP BY 1
 )

@@ -53,12 +53,21 @@ def get_spark(app_name: str = "erlang-mapreduce-spark") -> SparkSession:
         # local mode runs all 32 executor threads inside the DRIVER JVM,
         # whose default heap is 1g — at 10× the bench volume that thrashes
         # the GC (observed: GCLocker retry storms in the scaling probe).
-        # Size it for the machine; on a real cluster the resource manager
-        # sets executor memory and this branch never fires.
-        builder = builder.config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
+        # Size it from the HOST (a quarter of physical RAM, capped at
+        # 16g) — a hardcoded 16g would invite the OS OOM-killer on small
+        # machines. On a real cluster the resource manager sets executor
+        # memory and this branch never fires.
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        if mem is None:
+            try:
+                ram_gb = (
+                    os.sysconf("SC_PAGE_SIZE")
+                    * os.sysconf("SC_PHYS_PAGES")
+                ) // (1 << 30)
+                mem = f"{max(1, min(16, ram_gb // 4))}g"
+            except (ValueError, OSError):
+                mem = "4g"
+        builder = builder.config("spark.driver.memory", mem)
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
