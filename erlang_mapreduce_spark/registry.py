@@ -118,6 +118,9 @@ DRIVER_PRIORITY: list[str] = [
     "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
     "hist_numeric", "agg_corr_stats", "join_null_safe",
     "text_token_count", "text_lang_id",
+    # --- new after the round-3 window froze (local-full evidence only;
+    # rotate forward next round) ---
+    "stream_file_sink",
 ]
 
 
@@ -134,6 +137,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "stream_stateful_dedup",
         "stream_custom_state",
         "stream_stream_join",
+        "stream_file_sink",
         "sink_partitioned",
         "sink_text_formatted",
         "dedup_cluster_cc",

@@ -360,3 +360,63 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
+
+
+@query(
+    "stream_file_sink",
+    oracle="""
+SELECT event_type, count(*) AS cnt,
+       CAST(SUM(CAST((value) AS DECIMAL(29,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming FILE sink — the production shape the memory
+    sinks above stand in for: raw events append to a parquet directory
+    under a checkpointed writeStream, where the `_spark_metadata`
+    transaction log is what makes the sink exactly-once (a micro-batch's
+    files count only once committed; re-running after a crash replays
+    from the checkpoint without double-writing). The read-back goes
+    through `spark.read.parquet` on the sink dir — which consults that
+    log, so only committed files are aggregated — and the per-type
+    count/decimal-sum must equal the batch aggregation of the source
+    (the replay is plain in-order chunks: nothing late, nothing
+    duplicated). At 100 TB this is the landing-zone pattern: partitioned
+    parquet + metadata log, compacted downstream.
+
+    The scratch sink is materialized into the 5-row summary and deleted
+    before returning (same bounded-collect accounting pattern as
+    pipeline_dataset_export)."""
+    from ..exact import _DEC
+
+    d = _materialize_chunks(sf_dir, "plain")
+    base = os.path.join(
+        "/tmp/spark_graft_file_sink",
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
+    )
+    out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    try:
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.schema(_EVENT_SCHEMA).parquet(out)
+        acct = back.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        return spark.createDataFrame(acct.collect(), acct.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -37,7 +37,7 @@ _TABLES = (
 _SKIP = {
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_stateful_dedup",
-    "stream_custom_state", "stream_stream_join",
+    "stream_custom_state", "stream_stream_join", "stream_file_sink",
 }
 
 # Ops whose output is a fixed-shape summary (rows even on empty input).
