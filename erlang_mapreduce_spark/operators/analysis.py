@@ -70,18 +70,23 @@ FROM t
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gates: length bounds, punctuation ratio, mean word length —
     the cheap pre-filters a 100 TB corpus pass runs before anything
-    expensive (pure narrow map, no shuffle)."""
+    expensive (pure narrow map, no shuffle). Ratios use try_divide: an
+    EMPTY-string document has n_chars = 0, where ANSI `/` would abort the
+    whole job and DuckDB yields NULL — try_divide matches the oracle's
+    NULL (and the keep gate's CASE treats NULL as 0 on both engines).
+    Caught by the adversarial-content sweep; the zero-ROW sweep can't see
+    it because no row ever evaluates the division there."""
     d = load(spark, sf_dir, "documents")
     n_chars = F.length("text")
     n_words = F.size(F.split(F.lower("text"), r"\s+"))
     n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
-    punct_ratio = n_punct.cast("double") / n_chars
+    punct_ratio = F.try_divide(n_punct.cast("double"), n_chars)
     return d.select(
         "doc_id",
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
         punct_ratio.alias("punct_ratio"),
-        (n_chars.cast("double") / n_words).alias("avg_word_len"),
+        F.try_divide(n_chars.cast("double"), n_words).alias("avg_word_len"),
         F.when(n_words.between(5, 100000) & (punct_ratio < 0.2), 1)
         .otherwise(0)
         .alias("keep"),

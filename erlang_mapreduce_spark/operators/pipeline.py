@@ -81,9 +81,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
 
     n_words = F.size(F.split(F.lower("text"), r"\s+"))
-    punct_ratio = (
-        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
-        / F.length("text")
+    # try_divide: an empty-text doc has length 0, and Spark does NOT
+    # guarantee conjunct short-circuiting in the gate filter — ANSI `/`
+    # could abort the job where DuckDB's NULL silently fails the
+    # predicate. NULL < 0.2 is NULL → row gated out, same as the oracle.
+    punct_ratio = F.try_divide(
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double"),
+        F.length("text"),
     )
     gated = d.filter(n_words.between(5, 100000) & (punct_ratio < 0.2)).select(
         "doc_id",

@@ -1,0 +1,84 @@
+"""Adversarial-content sweep: engine and oracle must agree on text that
+tries to break the string machinery — regex metacharacters in document
+content, quotes/backslashes, HTML soup, kilobyte-long single tokens,
+pathological repetition, PII-lookalikes, and mixed scripts (excluding
+the three documented divergence classes pinned by
+tests/test_unicode_parity.py).
+
+Content never reaches either engine as SQL text (both read parquet), so
+this is a semantics check, not an injection check: does Java's regex /
+casefold / md5 pipeline produce the same tokens, grams, fingerprints,
+redactions, and scores as DuckDB's RE2-based twin on hostile content?
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.oracle import run_compare
+
+_DOCS = [
+    (0, r"a.b a.b (a|b)* [x-z]+ \d+ \\s+ $^ {2,3} a?b", "en", "srcA"),
+    (1, 'quotes "double" \'single\' `back` and -- sql; comments /* */',
+     "en", "srcA"),
+    (2, "<div class='x'>html &amp; entities &#65; <br/> soup</div>",
+     "en", "srcA"),
+    (3, "tok" * 800 + " short " + "y" * 2000, "en", "srcB"),
+    (4, ("spam " * 400).strip(), "en", "srcB"),
+    (5, "email-ish a@b.co x@y.zz 12345678901 999999 +1-555-0100",
+     "en", "srcB"),
+    (6, "mixed Ascii кирилица 汉字 عربى हिन्दी ascii tail", "mixed", "srcC"),
+    (7, "tab\tsep and nbsp and trailing spaces   ", "en", "srcC"),
+    (8, "dup doc body shared exactly", "en", "srcC"),
+    (9, "dup doc body shared exactly", "en", "srcC"),
+    (10, "", "en", "srcC"),
+    (11, ".", "en", "srcC"),
+]
+
+_OPS = (
+    "text_fingerprint",
+    "text_normalize",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_token_count",
+    "text_lang_id",
+    "text_tfidf",
+    "text_unigram_logprob",
+    "text_repetition_score",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "multimodal_meta",
+    "multimodal_decode",
+    "agg_ngram_counts",
+)
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(tmp_path_factory, sf_dir):
+    d = str(tmp_path_factory.mktemp("adversarial_fixture"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, ?, ?, ?)",
+        [(i, t, lg, s, len(t)) for i, t, lg, s in _DOCS],
+    )
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    import os
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", _OPS)
+def test_text_op_matches_oracle_on_hostile_content(
+    spark, adversarial_dir, name
+):
+    run_compare(spark, name, adversarial_dir)
