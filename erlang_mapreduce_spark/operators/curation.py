@@ -741,3 +741,52 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_bigram_frac"),
         ((top_frac > REP_FLAG_T) | (dup_frac > REP_FLAG_T)).alias("flagged"),
     )
+
+
+# train/val/test byte thresholds out of 256: ~90 / ~5 / ~5
+_SPLIT_TRAIN_LT = 230
+_SPLIT_VAL_LT = 243
+
+
+@query(
+    "sample_split_train_eval",
+    oracle=f"""
+SELECT doc_id, source, split
+FROM (
+    SELECT doc_id, source,
+           CASE WHEN b < {_SPLIT_TRAIN_LT} THEN 'train'
+                WHEN b < {_SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(coalesce(source, '')), 1, 2))::BIGINT AS b
+        FROM documents
+    )
+)
+""",
+)
+def sample_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split key is the
+    document's SOURCE (md5 first byte → ~90/5/5), not the doc id, so every
+    document from one domain lands in the same split — near-duplicates
+    cluster within sources, and splitting at doc granularity would leak
+    them across the train/eval boundary (the classic contamination-by-
+    split bug). md5-deterministic like every sampler here: any engine,
+    any run, any partitioning produces the identical assignment, and the
+    label is a pure narrow projection (zero shuffles, pushdown-friendly).
+    NULL sources key as md5('') — deterministic on both engines rather
+    than a NULL-propagating no-split."""
+    d = load(spark, sf_dir, "documents")
+    b = F.conv(
+        F.substring(F.md5(F.coalesce(F.col("source"), F.lit(""))), 1, 2),
+        16,
+        10,
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(b < _SPLIT_TRAIN_LT, "train")
+        .when(b < _SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -1,19 +1,23 @@
 """Event-stream analytics over `events` — the OLAP workloads an analytics
-engine runs on clickstream-shaped data: cohort retention and ordered-step
-funnels. (Sessionization lives in streaming/windows.py `stream_session`,
-computed with the same semantics in batch and incrementally.)
+engine runs on clickstream-shaped data: cohort retention, ordered-step
+funnels, gap-rule sessionization, and rank-based anomaly surfacing.
+(`stream_session` in streaming/windows.py covers the session-WINDOW
+aggregate; `analytics_sessionize` here assigns a session id to every
+EVENT — the enrichment form downstream joins need.)
 
-Both ops reduce to counts, so their oracles are exact with no float
-handling at all. Reference scope note: the reference engine
-(mapreduce.erl) has no event workloads — these extend the declared
-engine surface the same way the curation ops do (SURVEY.md §2.B.2).
+Ops here reduce to counts, ranks, and passthrough values, so their
+oracles are exact with no float-arithmetic divergence surface at all.
+Reference scope note: the reference engine (mapreduce.erl) has no event
+workloads — these extend the declared engine surface the same way the
+curation ops do (SURVEY.md §2.B.2).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exact import dsum, dsum_sql
 from ..registry import query
 from ..tables import load
 
@@ -128,3 +132,124 @@ def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+SESSION_GAP_S = 1800  # 30-minute inactivity gap, the classic web default
+
+
+@query(
+    "analytics_sessionize",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+),
+marks AS (
+    SELECT *,
+           CASE WHEN lag(sec) OVER w IS NULL
+                  OR sec - lag(sec) OVER w > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marks
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def analytics_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule sessionization: a user's events split into sessions wherever
+    the inactivity gap exceeds 30 minutes (lag + running-sum of
+    session-start marks — the standard batch formulation), then per-session
+    stats. The whole op is ONE exchange: the lag window, the running sum,
+    and the per-(user, session) aggregate all cluster on user_id, and
+    Spark's EnsureRequirements recognizes hashpartitioning(user_id) as
+    satisfying the (user_id, session_seq) grouping, so the window sort
+    feeds the final aggregate with no second shuffle. Gaps compare WHOLE
+    epoch seconds on both engines (unix_timestamp truncates; the oracle
+    floors DuckDB's fractional epoch() to match — the win_range_interval
+    precedent), and the value sum goes through DECIMAL (exact.py).
+    Orderings are total (ts, event_id), so session boundaries are
+    deterministic under any partitioning."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("sec") - F.lag("sec").over(w)
+    marks = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0),
+    )
+    sess = marks.withColumn("session_seq", F.sum("is_new").over(run))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+ANOMALY_TOP_PER_100 = 1  # keep ceil(n/100) per type = the top ~1%
+
+
+@query(
+    "analytics_anomaly_extremes",
+    oracle="""
+WITH nn AS (
+    SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS rn,
+           count(*)     OVER (PARTITION BY event_type) AS n
+    FROM nn
+)
+SELECT event_type, event_id, value, rn
+FROM ranked
+WHERE rn <= (n + 99) // 100
+""",
+)
+def analytics_anomaly_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based anomaly surfacing: the top ~1% of events by value within
+    each event_type (k = ceil(n/100), computed as (n+99) integer-div 100 —
+    never n*0.01, whose binary-float rounding can flip ceil() across
+    engines). Rank thresholds are chosen over quantile thresholds
+    deliberately: row_number over a total order is exact integer
+    arithmetic, immune to the interpolation-formula ulp drift a
+    `value > p99` filter would ride on. One exchange on event_type serves
+    both window functions (verified: executedPlan has exactly 1 Exchange).
+    Unlike topk_per_group, the rank filter canNOT be pushed below the sort
+    (WindowGroupLimit needs a literal k; ceil(n/100) is data-dependent),
+    so each partition sorts its full type population — at 100 TB with few
+    very hot types, pre-aggregate k per type and salt, or fall back to a
+    fixed-k topk_per_group. NULL values carry no anomaly signal and are
+    dropped identically on both sides."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "event_id", "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.expr("(n + 99) div 100")
+    ).select("event_type", "event_id", "value", "rn")

