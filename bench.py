@@ -62,6 +62,9 @@ HEADLINE = (
     "text_unigram_logprob",
     "analytics_cohort_retention",
     "analytics_funnel",
+    "analytics_sessionize",
+    "analytics_active_users_7d",
+    "profile_columns",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can

@@ -253,3 +253,59 @@ def analytics_anomaly_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn") <= F.expr("(n + 99) div 100")
     ).select("event_type", "event_id", "value", "rn")
+
+
+AU_WINDOW_D = 7  # trailing window width in days
+
+
+@query(
+    "analytics_active_users_7d",
+    oracle=f"""
+WITH act AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM act)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       count(DISTINCT a.user_id) AS au7
+FROM days d
+JOIN act a ON a.day BETWEEN d.day - INTERVAL {AU_WINDOW_D - 1} DAY
+                        AND d.day
+GROUP BY 1
+""",
+)
+def analytics_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — DISTINCT counting over a
+    sliding window, which no window frame can express (count(DISTINCT)
+    isn't a frame aggregate in either engine). The scalable formulation is
+    bucket expansion, the same rewrite as join_interval: each distinct
+    (user, activity-day) row fans out to the ≤7 report days it supports
+    (narrow explode(sequence)), report days prune to days that actually
+    occur via a broadcast semi-join against the tiny distinct-days
+    relation, and one count-distinct agg per report day finishes it. Cost
+    is O(7·|daily actives|) with ordinary hash exchanges — vs the naive
+    day×events range join (BNLJ) or re-scanning events once per day.
+    Raw events collapse to distinct (user, day) FIRST (map-side combine
+    does most of that pre-shuffle), so the fan-out runs on the small
+    relation."""
+    act = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    days = act.select("day").distinct()
+    fanned = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {AU_WINDOW_D - 1} DAYS"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        fanned.join(
+            F.broadcast(days), fanned.report_day == days.day, "left_semi"
+        )
+        .groupBy(F.date_format("report_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("au7"))
+    )

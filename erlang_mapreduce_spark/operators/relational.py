@@ -807,3 +807,68 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+PARETO_K = 100  # report depth: the top-K revenue customers
+
+
+@query(
+    "analytics_pareto_topk",
+    oracle=f"""
+WITH rev AS (
+    SELECT o_custkey, {dsum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT {dsum_sql('o_totalprice')} AS total FROM orders),
+top AS (
+    SELECT o_custkey, revenue,
+           row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rn
+    FROM rev
+    ORDER BY revenue DESC, o_custkey
+    LIMIT {PARETO_K}
+)
+SELECT t.o_custkey, t.rn, t.revenue,
+       round(CAST(SUM(CAST(t.revenue AS DECIMAL(29,6)))
+                      OVER (ORDER BY t.rn
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / tot.total, 6) AS cum_share
+FROM top t, tot
+""",
+)
+def analytics_pareto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration report: the top-100 customers by
+    total order revenue, each with its CUMULATIVE share of ALL revenue —
+    "the top N customers carry X% of the business". A naive global
+    running-total window is the classic scale anti-pattern (one
+    partition sorts everything); here the global sort touches only K
+    rows: per-customer revenue is one hash agg, the top-K survives via
+    TakeOrdered (per-partition k-limit, then a K-row merge on the
+    driver-side stage — the topk plan shape), and the running share is a
+    window over those K rows joined with the broadcast 1-row total.
+    Ordering is total (revenue DESC, custkey), sums ride DECIMAL
+    (exact.py), and the share divides identical doubles on both engines
+    before a round-6."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    top = (
+        rev.orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(PARETO_K)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("revenue").desc(), "o_custkey")
+            ),
+        )
+    )
+    tot = o.agg(dsum("o_totalprice").alias("total"))
+    cum = F.sum(F.col("revenue").cast("decimal(29,6)")).over(
+        Window.orderBy("rn").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "rn",
+        "revenue",
+        F.round(cum.cast("double") / F.col("total"), 6).alias("cum_share"),
+    )

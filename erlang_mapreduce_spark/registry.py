@@ -124,6 +124,7 @@ DRIVER_PRIORITY: list[str] = [
     "analytics_sessionize", "analytics_anomaly_extremes",
     "cdc_scd2", "join_asof_tolerance",
     "sample_split_train_eval", "profile_columns",
+    "analytics_active_users_7d", "analytics_pareto_topk",
 ]
 
 

@@ -350,3 +350,49 @@ def test_profile_columns_tie_out(spark, sf_dir):
     assert (got.n_rows, got.n_distinct) == (want.n, want.nd)
     assert (got.min_v, got.max_v) == (float(want.mn), float(want.mx))
     assert got.n_null == 0
+
+
+def test_active_users_7d_brute_force(spark, sf_dir):
+    """Rolling 7-day AU ties out against a per-day brute-force recount of
+    distinct users active in [day-6, day]."""
+    from datetime import timedelta
+
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    got = {
+        r.day: r.au7
+        for r in QUERIES["analytics_active_users_7d"](spark, sf_dir).collect()
+    }
+    act = {
+        (r.user_id, r.day.date())
+        for r in load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .collect()
+    }
+    days = sorted({d for _, d in act})
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in days}
+    for d in days:
+        lo = d - timedelta(days=6)
+        want = len({u for (u, ad) in act if lo <= ad <= d})
+        assert got[d.strftime("%Y-%m-%d")] == want, d
+
+
+def test_pareto_topk_shape(spark, sf_dir):
+    """Pareto report invariants: exactly K rows (or all customers if
+    fewer), rn is 1..K in revenue-descending order, cumulative share is
+    nondecreasing and bounded by the top-K's true share of total."""
+    from erlang_mapreduce_spark.operators.relational import PARETO_K
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_pareto_topk"](spark, sf_dir).collect()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert len(rows) == min(PARETO_K, n_cust)
+    rows.sort(key=lambda r: r.rn)
+    assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(shares, shares[1:]))
+    assert 0 < shares[-1] <= 1.0 + 1e-9

@@ -224,6 +224,7 @@ _BNLJ_BY_DESIGN = {
     "sim_search_ann",
     "text_tfidf",
     "text_unigram_logprob",
+    "analytics_pareto_topk",  # 1-row broadcast total × K-row report
 }
 
 
