@@ -5,7 +5,9 @@ from . import (  # noqa: F401
     curation,
     dedup,
     events_analytics,
+    graph,
     joins,
+    maintenance,
     pipeline,
     relational,
     similarity,

@@ -1,0 +1,111 @@
+"""Graph analytics — iterative PageRank over the part↔supplier bipartite
+graph induced by lineitem.
+
+Complements dedup_cluster_cc (dedup.py): CC iterates to a data-dependent
+fixed point, PageRank here runs a FIXED number of power-iteration rounds —
+which is what makes it exactly oracle-checkable: the DuckDB twin unrolls the
+same rounds as chained CTEs. The reference engine has no iterative
+workloads at all (mapreduce.erl is one map+reduce pass); this extends the
+declared surface per SURVEY.md §2.B.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+PR_ITERS = 3  # fixed power-iteration rounds (unrolled in the oracle)
+
+# One oracle round: ranks flow over edges (per-edge contribution is integer
+# micro-rank div out-degree), then damping in integer micros:
+# new = 0.15 + 0.85 * sum(contrib), all times 1e6.
+_ROUND_SQL = """
+r{i} AS (
+    SELECT ed.dst AS node,
+           CAST(150000 + (85 * sum(r{p}.r // ed.d)) // 100 AS BIGINT) AS r
+    FROM ed JOIN r{p} ON r{p}.node = ed.src
+    GROUP BY 1
+)"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=(
+        """
+WITH pairs AS (
+    SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+),
+edges AS (
+    SELECT 'p' || CAST(pk AS VARCHAR) AS src,
+           's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+    UNION ALL
+    SELECT 's' || CAST(sk AS VARCHAR), 'p' || CAST(pk AS VARCHAR) FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg USING (src)),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),"""
+        + ",".join(
+            _ROUND_SQL.format(i=i, p=i - 1) for i in range(1, PR_ITERS + 1)
+        )
+        + f"""
+SELECT node, r AS rank_micro FROM r{PR_ITERS}
+"""
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 power iterations) over the undirected
+    bipartite graph part↔supplier: an edge per distinct (l_partkey,
+    l_suppkey) sourcing relationship, symmetrized. Surfaces the
+    most-connected parts/suppliers — the "hub detection" workload.
+
+    Exactness across engines: ranks live as BIGINT MICRO-units, every
+    division is integer division (`div` / `//` — identical floor on
+    positives), and sums of integers are order-free — so three rounds of
+    float-free arithmetic hash identically no matter how either engine
+    parallelizes. (Same integer-micro trick as stream_custom_state's
+    oracle; float PageRank would drift in the last ulp per round.) Every
+    node has degree ≥ 1 and the graph is symmetric, so every node receives
+    mass every round — no dangling-mass correction term needed and the
+    node set is closed under iteration.
+
+    Physical shape per round: ranks ⋈ edges on src (both sides arrive
+    hash-partitioned on the SAME key from the previous round's agg, so
+    AQE reuses the partitioning) then one hash agg on dst — the classic
+    2-exchange-per-round message-passing plan. Edges+degrees are built
+    once and cached (at 100 TB: persisted to durable storage — same
+    remedy as dedup_cluster_cc's checkpoint_dir, dedup.py). Iteration
+    count is FIXED, so the lineage stays 3 rounds deep — no unbounded
+    plan growth, no checkpoint needed at this depth."""
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    rev = pairs.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionAll(rev)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, "src").cache()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(1_000_000).cast("bigint").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            "dst", F.expr("r div d").alias("c")
+        )
+        ranks = contrib.groupBy("dst").agg(
+            F.expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").alias(
+                "r"
+            )
+        ).select(F.col("dst").alias("node"), "r")
+    return ranks.select("node", F.col("r").alias("rank_micro"))

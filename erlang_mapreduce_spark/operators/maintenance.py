@@ -1,0 +1,204 @@
+"""Table-maintenance operators — the jobs that keep a 100 TB lakehouse
+healthy: CDC MERGE (upsert/delete application) and small-file compaction.
+
+Neither exists in the reference engine (mapreduce.erl has a single
+write-results-to-one-file sink, mapreduce.erl:204-210); these extend the
+declared surface the same way the curation ops do (SURVEY.md §2.B.2). Both
+reduce to counts, passthrough values and decimal sums, so their oracles are
+exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exact import dsum, dsum_sql
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+WITH changes AS (
+    -- deterministic CDC batch derived from the dim itself:
+    -- key%7==0 -> delete, else key%3==0 -> update (acctbal += 100),
+    -- and key%5==0 spawns an insert under key+100000
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 100.0 AS s_acctbal,
+           CASE WHEN s_suppkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+    FROM supplier WHERE s_suppkey % 7 = 0 OR s_suppkey % 3 = 0
+    UNION ALL
+    SELECT s_suppkey + 100000, 'NEW_' || CAST(s_suppkey AS VARCHAR),
+           s_nationkey, 0.0, 'I'
+    FROM supplier WHERE s_suppkey % 5 = 0
+),
+merged AS (
+    SELECT b.s_suppkey,
+           coalesce(c.s_name, b.s_name) AS s_name,
+           coalesce(c.s_nationkey, b.s_nationkey) AS s_nationkey,
+           coalesce(c.s_acctbal, b.s_acctbal) AS s_acctbal,
+           c.op
+    FROM supplier b LEFT JOIN changes c
+      ON b.s_suppkey = c.s_suppkey AND c.op IN ('U', 'D')
+)
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM merged WHERE op IS NULL OR op = 'U'
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM changes WHERE op = 'I'
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the lakehouse CDC apply step): a change batch
+    of upserts/deletes/inserts lands on a base table — matched-update,
+    matched-delete, not-matched-insert, untouched rows pass through. The
+    batch is derived deterministically from the dim itself (key%7 deletes,
+    key%3 updates, key%5 spawns inserts under a shifted key) so the oracle
+    can rebuild it exactly.
+
+    Physical shape: the change batch is ALWAYS small relative to the base
+    (that is what makes it a "batch"), so the matched-side apply is a
+    base LEFT JOIN broadcast(changes) — the base streams through untouched,
+    no shuffle of the 100 TB side — and inserts append via union. This is
+    exactly how Delta/Iceberg MERGE executes its find-touched-files pass;
+    a full-outer formulation would shuffle the whole base instead. Deletes
+    filter AFTER the join (op='D' rows drop), updates overwrite via
+    coalesce. At real scale the remaining delta is file-level rewrite
+    granularity, which is a storage-format concern, not a plan concern.
+    Values are passthrough or +constant — no aggregation, no float-order
+    surface."""
+    base = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    matched = base.filter((k % 7 == 0) | (k % 3 == 0)).select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        (F.col("s_acctbal") + F.lit(100.0)).alias("s_acctbal"),
+        F.when(k % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    inserts = base.filter(k % 5 == 0).select(
+        (k + 100000).alias("s_suppkey"),
+        F.concat(F.lit("NEW_"), k.cast("string")).alias("s_name"),
+        "s_nationkey",
+        F.lit(0.0).alias("s_acctbal"),
+        F.lit("I").alias("op"),
+    )
+    c = F.broadcast(matched).alias("c")
+    b = base.alias("b")
+    merged = b.join(c, F.col("b.s_suppkey") == F.col("c.s_suppkey"), "left")
+    applied = merged.filter(
+        F.col("c.op").isNull() | (F.col("c.op") == "U")
+    ).select(
+        F.col("b.s_suppkey").alias("s_suppkey"),
+        F.coalesce("c.s_name", "b.s_name").alias("s_name"),
+        F.coalesce("c.s_nationkey", "b.s_nationkey").alias("s_nationkey"),
+        F.coalesce("c.s_acctbal", "b.s_acctbal").alias("s_acctbal"),
+    )
+    return applied.unionAll(inserts.drop("op"))
+
+
+# Compaction target: roll writer files after this many records. At 100 TB
+# the analog is a byte target (128-256 MiB per file); records are the
+# deterministic stand-in the oracle can reproduce with integer arithmetic.
+COMPACT_ROWS_PER_FILE = 8192
+
+
+@query(
+    "compact_small_files",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST((count(*) + {COMPACT_ROWS_PER_FILE - 1})
+            // {COMPACT_ROWS_PER_FILE} AS BIGINT) AS n_files,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE job every partitioned 100 TB
+    sink needs: a fragmented hive-layout table (here: lineitem written
+    through a 16-way round-robin repartition, so every task sprays a
+    sliver-file into every partition dir — the classic way small files are
+    born) is rewritten so each partition holds ceil(rows/8192) right-sized
+    files.
+
+    The compaction pass is one shuffle keyed on the PARTITION column
+    (hash-clustering every partition's rows into a single task — all rows
+    of a given key land in exactly one task even under hash collision,
+    collisions just share a task between keys) + `maxRecordsPerFile`, which
+    rolls the writer deterministically every 8192 records. The returned
+    accounting is (rows, ACTUAL on-disk file count, decimal content sum)
+    per partition, and the oracle recomputes the file count as
+    ceil(n/8192) with integer arithmetic — the hash matches iff the
+    rewrite produced exactly the predicted layout with no row lost. At
+    real scale the per-partition clustering becomes repartitionByRange
+    on (partition, sort key) for multiple writer tasks per huge partition,
+    and the trigger is a file-listing pass filtering dirs whose mean file
+    size is under target — the rewrite plan itself is unchanged."""
+    import os
+    import shutil
+
+    from ..sources.scans import SINK_ROOT
+
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+    )
+    app_root = os.path.join(SINK_ROOT, spark.sparkContext.applicationId)
+    base = os.path.join(
+        app_root, os.path.basename(os.path.normpath(sf_dir)), "compact"
+    )
+    frag, tidy = os.path.join(base, "frag"), os.path.join(base, "tidy")
+    try:
+        # 1. the "before" state: a fragmented sink (every round-robin task
+        # writes one sliver per partition value it holds)
+        src.repartition(16).write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(frag)
+        # 2. compaction: cluster by partition value, roll files at the
+        # record target (writer's schema on read-back: an empty source
+        # writes no data files and inference would fail — see
+        # pipeline_dataset_export)
+        back_schema = src.schema
+        frag_df = spark.read.schema(back_schema).parquet(frag)
+        (
+            frag_df.repartition("l_returnflag")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", COMPACT_ROWS_PER_FILE)
+            .partitionBy("l_returnflag")
+            .parquet(tidy)
+        )
+        # 3. account against the compacted sink: rows + decimal content sum
+        # from the data, file counts from the filesystem
+        tidy_df = spark.read.schema(back_schema).parquet(tidy)
+        acct = tidy_df.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        counts: dict[str, int] = {}
+        if os.path.isdir(tidy):
+            for d in os.listdir(tidy):
+                p = os.path.join(tidy, d)
+                if d.startswith("l_returnflag=") and os.path.isdir(p):
+                    counts[d.split("=", 1)[1]] = sum(
+                        1 for f_ in os.listdir(p) if f_.endswith(".parquet")
+                    )
+        rows = [
+            (r["l_returnflag"], r["n_rows"], counts.get(r["l_returnflag"], 0),
+             r["sum_price"])
+            for r in acct.collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "l_returnflag string, n_rows bigint, n_files bigint, "
+            "sum_price double",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        for d_ in (os.path.dirname(base), app_root):
+            try:
+                os.rmdir(d_)
+            except OSError:
+                pass

@@ -872,3 +872,61 @@ def analytics_pareto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(cum.cast("double") / F.col("total"), 6).alias("cum_share"),
     )
+
+
+@query(
+    "agg_quantile_bins",
+    oracle="""
+WITH q AS (
+    SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs FROM orders
+)
+SELECT 1 + CAST(o_totalprice > qs[1] AS INT)
+         + CAST(o_totalprice > qs[2] AS INT)
+         + CAST(o_totalprice > qs[3] AS INT) AS bin,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders, q
+GROUP BY 1
+""",
+)
+def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (quartiles of o_totalprice) — the feature-
+    engineering discretization step. The naive exact formulation is
+    ntile(4) over a GLOBAL window, which funnels the whole table through
+    one sorted partition; the scalable plan used here is two-pass:
+    (1) exact quartile BOUNDARIES via one `percentile` aggregate (a
+    3-double result, distributed partial agg), (2) broadcast that 1-row
+    result and assign bins with three comparisons in a narrow projection,
+    then one hash agg. Same shape at 100 TB with approx_percentile
+    swapped in (agg_approx is the registry's sketch twin).
+
+    Cross-engine exactness: Spark `percentile` and DuckDB `quantile_cont`
+    both interpolate at h=(n-1)p with p dyadic (0.25/0.5/0.75), so h and
+    its fractional part are EXACT doubles; an interpolated boundary lies
+    strictly between two adjacent distinct data values (ties collapse the
+    interpolation to the tied value exactly), so a last-ulp difference in
+    the two engines' interpolation arithmetic can never flip a `price >
+    boundary` comparison — prices sit ≥ 0.0025 from any interior boundary
+    at these fractions. Bin ids, counts, and min/max passthrough are then
+    pure integer/exact."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    q = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("qs")
+    )
+    binned = o.crossJoin(F.broadcast(q)).select(
+        (
+            F.lit(1)
+            + (F.col("o_totalprice") > F.col("qs")[0]).cast("int")
+            + (F.col("o_totalprice") > F.col("qs")[1]).cast("int")
+            + (F.col("o_totalprice") > F.col("qs")[2]).cast("int")
+        ).alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -125,6 +125,8 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_scd2", "join_asof_tolerance",
     "sample_split_train_eval", "profile_columns",
     "analytics_active_users_7d", "analytics_pareto_topk",
+    "merge_upsert", "compact_small_files", "agg_quantile_bins",
+    "graph_pagerank", "stream_foreachbatch_upsert",
 ]
 
 
@@ -149,6 +151,8 @@ EAGER_OPS: frozenset[str] = frozenset(
         "pipeline_dataset_export",
         "sim_search_ivf",
         "agg_heavy_hitters",
+        "compact_small_files",
+        "stream_foreachbatch_upsert",
     }
 )
 

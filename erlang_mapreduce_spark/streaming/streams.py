@@ -420,3 +420,124 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(acct.collect(), acct.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+    FROM events
+),
+rk AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM ev
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_type,
+       value AS last_value
+FROM rk WHERE rn = 1
+""",
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via foreachBatch — the incremental materialized-view
+    pattern: each micro-batch is pre-aggregated (per-user latest event +
+    event count: max(struct) argmax, mergeable), then upserted into a
+    keyed parquet snapshot by re-aggregating snapshot ∪ batch — the
+    foreachBatch escape hatch Spark prescribes for sinks with merge
+    semantics (JDBC upserts, Delta MERGE). Each batch writes a NEW
+    versioned snapshot dir keyed by batch id: that makes the merge
+    idempotent under foreachBatch's at-least-once replay (a re-run of
+    batch k rewrites v<k> from the same inputs instead of double-counting
+    into it) — the roll-your-own analog of a transactional sink.
+
+    State per version is O(distinct users), not O(events) — the
+    max(struct)+sum summaries are mergeable, which is exactly what lets
+    the pattern absorb 100 TB of history into a bounded snapshot; at that
+    scale the union-reaggregate becomes a MERGE into a bucketed/Delta
+    table so each batch touches only matched files. In-order plain replay
+    + inner accumulation loses nothing, so the final snapshot must equal
+    the batch argmax/count over all events — the oracle. The bounded
+    per-user result is materialized and the scratch snapshots deleted
+    (the pipeline_dataset_export accounting pattern)."""
+    d = _materialize_chunks(sf_dir, "plain")
+    base = os.path.join(
+        "/tmp/spark_graft_upsert",
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
+    )
+    snap_schema = (
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, n long"
+    )
+    cur: list[str] = []  # path of the latest committed snapshot version
+
+    def batch_latest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("last"),
+                F.count("*").alias("n"),
+            )
+            .select("user_id", "last.*", "n")
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_latest(batch_df)
+        if cur:
+            prev = spark.read.schema(snap_schema).parquet(cur[-1])
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.struct("ts", "event_id", "event_type", "value")
+                    ).alias("last"),
+                    F.sum("n").alias("n"),
+                )
+                .select("user_id", "last.*", "n")
+            )
+        else:
+            merged = delta
+        v = os.path.join(base, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(v)
+        cur.append(v)
+
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        if not cur:  # empty source: no batch ever fired
+            return spark.createDataFrame(
+                [],
+                "user_id long, n_events long, last_ts string, "
+                "last_type string, last_value double",
+            )
+        snap = spark.read.schema(snap_schema).parquet(cur[-1])
+        out = snap.select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
