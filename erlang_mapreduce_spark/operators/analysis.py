@@ -581,3 +581,85 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", F.round("alp", 6).alias("avg_logprob"))
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+                           ' ') AS gram
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)
+),
+df AS (
+    SELECT gram, count(*) AS dfreq, min(doc_id) AS owner FROM grams
+    GROUP BY gram
+),
+uniq AS (
+    SELECT owner AS doc_id, count(*) AS n_unique FROM df
+    WHERE dfreq = 1 GROUP BY owner
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT t.doc_id,
+       t.n_grams,
+       coalesce(u.n_unique, 0) AS n_unique,
+       CAST(coalesce(u.n_unique, 0) AS DOUBLE) / t.n_grams AS novelty
+FROM tot t LEFT JOIN uniq u ON u.doc_id = t.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a doc's distinct
+    trigrams that exist in NO other document (corpus document-frequency
+    1). High novelty marks original content; near-zero novelty marks
+    boilerplate/templated text — a standard pretraining quality signal
+    complementary to the repetition score (intra-doc) and decontamination
+    (cross-corpus) ops.
+
+    Plan: gram sets are built NARROWLY per doc (`_doc_gram_sets`,
+    dedup.py — array_distinct(transform(...)), zero shuffles, 8 bytes per
+    gram), then ONE hash agg over the exploded grams computes each gram's
+    document frequency AND its min-doc_id owner together — for a
+    df-1 gram that owner IS the unique holder, so per-doc unique counts
+    fall out of a second small agg without ever joining the gram relation
+    back to itself (the naive df-join-back shuffles the full gram table
+    twice; this shuffles it once, and the follow-up aggs are O(distinct
+    grams) and O(docs)). Per-doc totals ride the narrow array size.
+    Novelty divides two exact ints — bit-identical in both engines.
+    In-engine grams are xxhash64 longs while the oracle joins raw gram
+    strings: the usual 2^-64 collision class (dedup_ngram_jaccard's
+    argument). Docs with no trigram (<3 tokens or NULL text) drop — the
+    curation-family convention."""
+    from .dedup import _doc_gram_sets
+
+    docs = load(spark, sf_dir, "documents")
+    sets_ = _doc_gram_sets(docs)
+    per_doc = sets_.filter(F.size("ghs") > 0).select(
+        "doc_id", F.size("ghs").cast("bigint").alias("n_grams"), "ghs"
+    )
+    grams = per_doc.select("doc_id", F.explode("ghs").alias("gh"))
+    df_owner = grams.groupBy("gh").agg(
+        F.count("*").alias("dfreq"), F.min("doc_id").alias("owner")
+    )
+    uniq = (
+        df_owner.filter(F.col("dfreq") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return (
+        per_doc.drop("ghs")
+        .join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            (
+                F.coalesce("n_unique", F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("novelty"),
+        )
+    )

@@ -126,7 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "sample_split_train_eval", "profile_columns",
     "analytics_active_users_7d", "analytics_pareto_topk",
     "merge_upsert", "compact_small_files", "agg_quantile_bins",
-    "graph_pagerank", "stream_foreachbatch_upsert",
+    "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
 ]
 
 
