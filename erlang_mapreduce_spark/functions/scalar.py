@@ -207,3 +207,67 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shl2"),
         F.shiftright(k, 3).alias("shr3"),
     )
+
+
+@query(
+    "fn_nested",
+    oracle="""
+SELECT l_orderkey,
+       count(*) AS n_lines,
+       string_agg(l_linenumber || ':' || l_returnflag, ','
+                  ORDER BY l_linenumber, l_returnflag, l_quantity)
+           AS line_summary,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS qty_cents
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def fn_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested array-of-struct processing — the denormalized-layout pattern
+    that replaces the orders⋈lineitem join at read time on 100 TB nested
+    parquet: each order's lines are collected into a SORTED array<struct>,
+    then every downstream answer is computed INSIDE the array with
+    higher-order functions (size / transform+array_join / aggregate fold),
+    all narrow JVM codegen after the one collect_list shuffle.
+
+    Determinism & exactness: the struct sort key is (linenumber,
+    returnflag, quantity) — a total order over the fixture's lines (ties
+    beyond it are bit-identical rows, which contribute identical summary
+    entries in any order), mirrored by the oracle's string_agg ORDER BY.
+    The quantity fold accumulates integer CENTS (floor(q·100+0.5), the
+    stream_custom_state micro-unit trick) so the array fold, Spark's
+    partial aggregation, and DuckDB's sum are all order-free integer
+    arithmetic. Arrays stay O(lines-per-order) — bounded fan-in, no
+    skew surface beyond the parent groupBy."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_returnflag", "l_quantity")
+            )
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                "lines",
+                lambda s: F.concat(
+                    s["l_linenumber"].cast("string"),
+                    F.lit(":"),
+                    s["l_returnflag"],
+                ),
+            ),
+            ",",
+        ).alias("line_summary"),
+        F.aggregate(
+            "lines",
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc
+            + F.floor(s["l_quantity"] * 100 + 0.5).cast("bigint"),
+        ).alias("qty_cents"),
+    )

@@ -127,6 +127,7 @@ DRIVER_PRIORITY: list[str] = [
     "analytics_active_users_7d", "analytics_pareto_topk",
     "merge_upsert", "compact_small_files", "agg_quantile_bins",
     "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
+    "fn_nested",
 ]
 
 
