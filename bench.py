@@ -65,6 +65,9 @@ HEADLINE = (
     "analytics_sessionize",
     "analytics_active_users_7d",
     "profile_columns",
+    "graph_pagerank",
+    "compact_small_files",
+    "text_ngram_novelty",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can

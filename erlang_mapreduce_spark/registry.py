@@ -53,15 +53,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whole registry:
 #   round 1-2 window: the full §2.B contract (44) + key extensions — all
 #     hash/rows green in CORRECTNESS_r01/r02.
-#   round 3 window (this ordering): the 21 extensions that had NEVER been
-#     driver-checked (they sat at 51-71 both rounds), then the 28 extensions
-#     whose only driver evidence is round 1, then the flagship
-#     text_bigram_freq (kept in-window every round). The contract ops rotate
-#     to the back — each already holds a green CORRECTNESS_r02 row, and
-#     tests/test_correctness.py re-proves all of them against the same
-#     DuckDB oracle locally each run.
+#   round 3 window (this ordering): EVERY op with zero driver evidence —
+#     the 21 extensions never checked in rounds 1-2, the 24 ops newly
+#     built during round 3, and the 4 ops whose oracle was upgraded from
+#     rows-only to exact SQL this round (their first HASH check) — plus
+#     the flagship text_bigram_freq (kept in-window every round) is
+#     EXACTLY 50 ops. Everything with an existing green r01/r02 row
+#     rotates to the back; after this round every registered op has
+#     driver evidence from some round, and tests/test_correctness.py
+#     re-proves the whole registry against the same DuckDB oracle locally
+#     each run (artifact: CORRECTNESS_local_full.json).
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-21: never driver-checked before round 3 ---
+    # --- 1-21: never driver-checked in rounds 1-2 ---
     "text_decontaminate", "dedup_passage", "dedup_span_rolling",
     "sample_quality_weighted", "agg_heavy_hitters", "text_repetition_score",
     "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
@@ -69,36 +72,30 @@ DRIVER_PRIORITY: list[str] = [
     "scan_orc", "scan_partition_pruned", "sink_text_formatted",
     "agg_approx", "topk_per_group", "fn_bitwise",
     "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
-    # --- 22-37: driver evidence only from round 1 (oldest first-class
-    # rows). Nine r01-green ops rotated to the back this round (agg_pivot,
-    # agg_percentile, sample_hash, sample_stratified, hist_numeric,
-    # agg_corr_stats, join_null_safe, text_token_count, text_lang_id) to
-    # make room for the round-3 ops below with ZERO driver evidence — all
-    # evictees are untouched since their green r01 rows and re-proven
-    # locally every pytest run ---
-    "text_quality_score",
-    "text_fingerprint", "text_pii_scrub", "text_tfidf",
-    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_cluster_cc", "dedup_levenshtein",
-    "join_skew_salted", "join_bucketed",
-    "pipeline_corpus_clean", "pipeline_dataset_export",
-    # --- 38-46: new/oracle-upgraded in round 3, no driver row yet:
-    # dedup_minhash's first HASH check (rows-only in r01/r02; exact
-    # md5-arithmetic oracle added this round) + the eight new ops ---
+    # --- 22-33: oracle-upgraded in round 3, first HASH check this round:
+    # dedup_minhash (rows-only r01/r02; exact md5-arithmetic oracle now),
+    # the three replay-proof streaming ops, and the eight ops added early
+    # in round 3 ---
     "dedup_minhash",
+    "stream_watermark_late", "stream_stateful_dedup", "sim_search_ann",
     "pipeline_seq_pack", "sample_mix_rebalance",
     "sample_cap_per_source", "agg_ngram_counts",
     "text_unigram_logprob",
     "analytics_cohort_retention", "analytics_funnel",
     "dedup_cluster_keep_best",
-    # --- 47-49: rows-only in r01/r02, upgraded to SQL oracles in round 3
-    # (stream_custom_state, likewise upgraded, is already in the 1-21
-    # block) — their first driver HASH check must happen this round ---
-    "stream_watermark_late", "stream_stateful_dedup", "sim_search_ann",
+    # --- 34-49: built later in round 3, zero driver evidence ---
+    "stream_file_sink",
+    "analytics_sessionize", "analytics_anomaly_extremes",
+    "cdc_scd2", "join_asof_tolerance",
+    "sample_split_train_eval", "profile_columns",
+    "analytics_active_users_7d", "analytics_pareto_topk",
+    "merge_upsert", "compact_small_files", "agg_quantile_bins",
+    "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
+    "fn_nested",
     # --- 50: flagship, driver-checked every round ---
     "text_bigram_freq",
-    # --- 51+: §2.B contract + extensions, all hash/rows green in r02 ---
+    # --- 51+: every op here holds a green r01 or r02 driver row and is
+    # re-proven locally per pytest run; §2.B contract first ---
     "scan_parquet", "scan_text", "scan_csv_json", "sink_partitioned",
     "project_select", "filter_pred",
     "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
@@ -114,20 +111,16 @@ DRIVER_PRIORITY: list[str] = [
     "sql_pricing_summary", "stream_stream_join",
     "stream_tumbling", "stream_sliding", "stream_session",
     "agg_mode", "fn_conditional", "agg_unpivot",
-    # --- rotated out in round 3 (green r01 rows, unchanged since) ---
     "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
     "hist_numeric", "agg_corr_stats", "join_null_safe",
     "text_token_count", "text_lang_id",
-    # --- new after the round-3 window froze (local-full evidence only;
-    # rotate forward next round) ---
-    "stream_file_sink",
-    "analytics_sessionize", "analytics_anomaly_extremes",
-    "cdc_scd2", "join_asof_tolerance",
-    "sample_split_train_eval", "profile_columns",
-    "analytics_active_users_7d", "analytics_pareto_topk",
-    "merge_upsert", "compact_small_files", "agg_quantile_bins",
-    "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
-    "fn_nested",
+    "text_quality_score",
+    "text_fingerprint", "text_pii_scrub", "text_tfidf",
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_cluster_cc", "dedup_levenshtein",
+    "join_skew_salted", "join_bucketed",
+    "pipeline_corpus_clean", "pipeline_dataset_export",
 ]
 
 
