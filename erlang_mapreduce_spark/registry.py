@@ -121,6 +121,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_cluster_cc", "dedup_levenshtein",
     "join_skew_salted", "join_bucketed",
     "pipeline_corpus_clean", "pipeline_dataset_export",
+    # --- built after the round-3 window was packed (local-full evidence
+    # only; rotate into the window in round 4) ---
+    "scan_schema_evolution",
 ]
 
 
@@ -147,6 +150,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "agg_heavy_hitters",
         "compact_small_files",
         "stream_foreachbatch_upsert",
+        "scan_schema_evolution",
     }
 )
 

@@ -277,3 +277,88 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-upgrade)'
+            ELSE o_orderpriority END AS o_orderpriority,
+       count(*) AS cnt,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(29,6))) AS DOUBLE)
+           AS sum_price
+FROM orders
+GROUP BY 1
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan — the mixed-version table every long-lived
+    sink becomes: v1 files were written before a column existed (here:
+    even orderkeys, no o_orderpriority), v2 files carry it (odd
+    orderkeys), and ONE `mergeSchema` read reconciles them — v1 rows
+    surface NULL for the late column, which the report folds into a
+    '(pre-upgrade)' bucket. The aggregation proves both file generations
+    and the widened schema round-tripped: counts and the decimal price
+    sum must equal the source-side reconstruction.
+
+    Scale note: mergeSchema=true infers the union schema by reading a
+    parquet FOOTER PER FILE at planning time — O(files) driver work that
+    is fine for a partition but wrong for a 100 TB table; production
+    keeps the authoritative (evolved) schema in a catalog/metadata layer
+    (Delta/Iceberg, or an explicit `.schema(...)` as every other scan op
+    here does) and pays the union-schema cost once per DDL, not per
+    query. The op demonstrates the reconciliation semantics; the
+    accounting collect is ≤ |priorities|+1 rows, and the scratch sink is
+    deleted before returning (the pipeline_dataset_export pattern)."""
+    import shutil
+    import time
+
+    from ..exact import _DEC
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = os.path.join(
+        SINK_ROOT,
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-evolve-{time.time_ns()}",
+    )
+    try:
+        k = F.col("o_orderkey")
+        # generation 1: the column does not exist yet
+        o.filter(k % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
+            "overwrite"
+        ).parquet(base)
+        # generation 2: schema widened in place, appended to the same dir
+        o.filter(k % 2 == 1).write.mode("append").parquet(base)
+        # an empty source writes zero data files and mergeSchema inference
+        # has nothing to merge — an empty table evolves to an empty report
+        if not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(base)
+            for f in fs
+        ):
+            return spark.createDataFrame(
+                [], "o_orderpriority string, cnt bigint, sum_price double"
+            )
+        back = spark.read.option("mergeSchema", "true").parquet(base)
+        acct = (
+            back.groupBy(
+                F.coalesce("o_orderpriority", F.lit("(pre-upgrade)")).alias(
+                    "o_orderpriority"
+                )
+            )
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("o_totalprice").cast(_DEC))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return spark.createDataFrame(acct.collect(), acct.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        try:
+            os.rmdir(os.path.dirname(base))
+        except OSError:
+            pass
