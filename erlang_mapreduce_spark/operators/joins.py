@@ -492,3 +492,77 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_ts"
         ),
     )
+
+
+# Runtime bloom-filter injection confs for join_bloom_filtered. The scan-size
+# threshold is 0 ONLY because the fixture is megabytes: Spark's default
+# requires a 10 GB+ probe-side scan before it bothers building the filter —
+# i.e., at the 100 TB posture the feature engages with NO conf changes and
+# this override exists purely so the sandbox exercises the same plan.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazily-planned join join_bloom_filtered executes (shared with the
+    plan test, which asserts might_contain under _BLOOM_CONFS)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_bloom_filtered",
+    oracle=f"""
+SELECT o.o_orderpriority, l.l_returnflag,
+       count(*) AS cnt,
+       {dsum_sql('l.l_extendedprice')} AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1, 2
+""",
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join — the scan-side pre-filter that makes
+    selective big-big joins affordable at 100 TB: Catalyst builds a bloom
+    filter over the SELECTIVE side's join keys (urgent orders) and injects
+    `might_contain` into the probe side's scan, so ~80% of lineitem rows
+    drop BEFORE the shuffle instead of after the join. Semantically
+    invisible (bloom false positives only let extra rows reach the join,
+    which discards them), so the oracle is the plain join — the hash match
+    proves the filtered plan changes nothing.
+
+    Eager by necessity: the injection is session-conf-driven and the
+    confs must not leak into other operators sharing the driver's session,
+    so the op applies them, materializes the (priority × returnflag)
+    aggregate — bounded rows — and restores every conf in a finally.
+    The broadcast threshold is disabled while it runs because bloom
+    filters only attach to shuffle joins (a broadcast join IS already a
+    probe-side filter); at real scale the filtered dim exceeds the
+    broadcast threshold on its own. tests/test_maintenance.py pins both
+    the `might_contain` injection and the conf restoration."""
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        j = _bloom_query(spark, sf_dir)
+        return spark.createDataFrame(j.collect(), j.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

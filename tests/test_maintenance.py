@@ -123,3 +123,36 @@ def test_foreachbatch_upsert_deterministic_rerun(spark, sf_dir):
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_bloom_filter_injected_and_confs_restored(spark, sf_dir):
+    """join_bloom_filtered must (a) really inject might_contain into the
+    probe-side plan under its confs, and (b) leave every session conf
+    exactly as it found it."""
+    from erlang_mapreduce_spark.operators.joins import (
+        _BLOOM_CONFS,
+        _bloom_query,
+    )
+
+    before = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    QUERIES["join_bloom_filtered"](spark, sf_dir)
+    after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    assert before == after, "session confs leaked"
+
+    saved = dict(before)
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        p = (
+            _bloom_query(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in p.lower(), "bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
