@@ -202,3 +202,69 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.rmdir(d_)
             except OSError:
                 pass
+
+
+ZORDER_BITS = 16  # per-dimension bits interleaved into a 32-bit z-value
+# dropping the low 10 z-bits (5 per dimension) makes every bucket a
+# ≤ 32×32 box in (part, supp) space — the provable locality bound the
+# layout test pins
+ZBUCKET_SHIFT = 10
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    """Bit-interleave SQL identical in Spark and DuckDB: x's bit i lands at
+    z-bit 2i, y's at 2i+1 — pure shift/and/sum integer arithmetic."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "sort_zorder_layout",
+    oracle=f"""
+WITH z AS (
+    SELECT l_partkey, l_suppkey,
+           ({_z_interleave_sql('l_partkey', 'l_suppkey')}) >> {ZBUCKET_SHIFT}
+               AS zbucket
+    FROM lineitem
+)
+SELECT zbucket, count(*) AS n_rows,
+       min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+       min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+FROM z GROUP BY zbucket
+""",
+)
+def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout accounting — the multi-dimensional
+    clustering behind OPTIMIZE ZORDER BY: interleaving the bits of
+    (l_partkey, l_suppkey) gives a single sort key whose contiguous
+    ranges cover SMALL rectangles in BOTH dimensions, so files written in
+    z-order carry tight min/max footer stats on both columns and a
+    predicate on EITHER column skips most files — impossible for a
+    lexicographic sort, which clusters only its leading column. The op
+    emits each z-bucket's row count and per-dimension bounding box; the
+    locality property (every bucket's box is a tiny fraction of the full
+    domain) is pinned in tests/test_maintenance.py.
+
+    Everything is shift/and/add integer arithmetic generated from ONE
+    formula string shared verbatim by the Spark projection and the DuckDB
+    oracle — no float surface at all. Plan: narrow projection + one hash
+    agg. At 100 TB the same z-value feeds repartitionByRange + sortWithin
+    Partitions before the write (file-boundary placement is then
+    sampling-dependent, which is why the op accounts buckets, not files —
+    the skipping math per bucket is identical)."""
+    z = F.expr(_z_interleave_sql("l_partkey", "l_suppkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.shiftright(z.cast("long"), ZBUCKET_SHIFT).alias("zbucket"),
+    )
+    return li.groupBy("zbucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("part_lo"),
+        F.max("l_partkey").alias("part_hi"),
+        F.min("l_suppkey").alias("supp_lo"),
+        F.max("l_suppkey").alias("supp_hi"),
+    )

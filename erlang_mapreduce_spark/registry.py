@@ -123,7 +123,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_corpus_clean", "pipeline_dataset_export",
     # --- built after the round-3 window was packed (local-full evidence
     # only; rotate into the window in round 4) ---
-    "scan_schema_evolution", "join_bloom_filtered",
+    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
 ]
 
 

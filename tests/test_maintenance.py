@@ -156,3 +156,15 @@ def test_bloom_filter_injected_and_confs_restored(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """The Morton-order guarantee the layout op exists for: every z-bucket
+    (z >> 10, i.e. 5 low bits dropped per dimension) confines BOTH key
+    dimensions to a 32-value box — which is why z-ordered files carry
+    tight min/max stats on both columns simultaneously."""
+    rows = QUERIES["sort_zorder_layout"](spark, sf_dir).collect()
+    assert len(rows) > 1, "fixture should span multiple z-buckets"
+    for r in rows:
+        assert r["part_hi"] - r["part_lo"] <= 31
+        assert r["supp_hi"] - r["supp_lo"] <= 31
