@@ -268,3 +268,93 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("supp_lo"),
         F.max("l_suppkey").alias("supp_hi"),
     )
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+WITH changes AS (
+    SELECT s_suppkey, s_acctbal + 100.0 AS s_acctbal,
+           CASE WHEN s_suppkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+    FROM supplier WHERE s_suppkey % 7 = 0 OR s_suppkey % 3 = 0
+    UNION ALL
+    SELECT s_suppkey + 100000, 0.0, 'I'
+    FROM supplier WHERE s_suppkey % 5 = 0
+),
+v1 AS (
+    SELECT b.s_suppkey,
+           coalesce(c.s_acctbal, b.s_acctbal) AS s_acctbal
+    FROM supplier b LEFT JOIN changes c
+      ON b.s_suppkey = c.s_suppkey AND c.op IN ('U', 'D')
+    WHERE c.op IS NULL OR c.op = 'U'
+    UNION ALL
+    SELECT s_suppkey, s_acctbal FROM changes WHERE op = 'I'
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(SUM(CAST((s_acctbal) AS DECIMAL(29,6))) AS DOUBLE) AS sum_bal
+FROM supplier
+UNION ALL
+SELECT 1, count(*),
+       CAST(SUM(CAST((s_acctbal) AS DECIMAL(29,6))) AS DOUBLE)
+FROM v1
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel — the versioned-table read every lakehouse
+    format sells as `AS OF`: version 0 (the supplier dim as loaded) and
+    version 1 (after the merge_upsert CDC batch) coexist as immutable
+    snapshot dirs, and BOTH stay queryable after the merge — the report
+    aggregates each version independently and must match the source-side
+    reconstruction of both states. Old versions being readable (not
+    overwritten) is precisely what distinguishes this from an in-place
+    UPDATE, and is the mechanism behind reproducible training-data
+    snapshots: a dataset release pins a version id, later merges don't
+    move it.
+
+    Implementation is the roll-your-own version layer the foreachBatch
+    upsert op also uses: one immutable dir per version plus a
+    deterministic version id; a real deployment swaps the dir convention
+    for Delta/Iceberg's transaction log (which adds atomic commit +
+    file-level pruning) without changing the read semantics. Scratch
+    snapshots are deleted after the bounded accounting collect."""
+    import os
+    import shutil
+    import time
+
+    from ..exact import _DEC
+    from ..sources.scans import SINK_ROOT
+
+    base = os.path.join(
+        SINK_ROOT,
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-tt-{time.time_ns()}",
+    )
+    v0_df = load(spark, sf_dir, "supplier")
+    v1_df = merge_upsert(spark, sf_dir)
+    try:
+        paths = {}
+        for ver, df in ((0, v0_df), (1, v1_df)):
+            p = os.path.join(base, f"v{ver}")
+            df.write.mode("overwrite").parquet(p)
+            paths[ver] = p
+        reports = []
+        for ver, p in paths.items():
+            back = spark.read.schema(v0_df.schema).parquet(p)
+            reports.append(
+                back.agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.col("s_acctbal").cast(_DEC))
+                    .cast("double")
+                    .alias("sum_bal"),
+                ).select(
+                    F.lit(ver).alias("version"), "n_rows", "sum_bal"
+                )
+            )
+        out = reports[0].unionAll(reports[1])
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        try:
+            os.rmdir(os.path.dirname(base))
+        except OSError:
+            pass

@@ -45,6 +45,7 @@ _NONZERO_ON_EMPTY = {
     "agg_global": 1,        # one global summary row (counts = 0)
     "analytics_funnel": 3,  # one row per funnel step
     "profile_columns": 6,   # one report row per profiled column
+    "snapshot_time_travel": 2,  # one global accounting row per version
 }
 
 
