@@ -217,7 +217,7 @@ SELECT l_orderkey,
        string_agg(l_linenumber || ':' || l_returnflag, ','
                   ORDER BY l_linenumber, l_returnflag, l_quantity)
            AS line_summary,
-       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+       CAST(coalesce(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)), 0)
             AS BIGINT) AS qty_cents
 FROM lineitem
 GROUP BY l_orderkey
@@ -264,10 +264,17 @@ def fn_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("line_summary"),
+        # per-element coalesce: a NULL quantity contributes 0 on both
+        # sides (the fold would otherwise poison the whole sum to NULL
+        # while the oracle's SUM silently skips NULLs — and an all-NULL
+        # group must yield 0, not NULL, hence the oracle's outer coalesce)
         F.aggregate(
             "lines",
             F.lit(0).cast("bigint"),
             lambda acc, s: acc
-            + F.floor(s["l_quantity"] * 100 + 0.5).cast("bigint"),
+            + F.coalesce(
+                F.floor(s["l_quantity"] * 100 + 0.5).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
         ).alias("qty_cents"),
     )

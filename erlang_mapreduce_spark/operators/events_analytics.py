@@ -309,3 +309,63 @@ def analytics_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("report_day", "yyyy-MM-dd").alias("day"))
         .agg(F.countDistinct("user_id").alias("au7"))
     )
+
+
+@query(
+    "analytics_pattern_match",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           substr(event_type, 1, 1) AS c
+    FROM events
+),
+s AS (
+    SELECT user_id,
+           coalesce(string_agg(c, '' ORDER BY ts, event_id), '') AS seq
+    FROM ev GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       regexp_matches(seq, 'v[^c]*p') AS direct_purchase,
+       regexp_matches(seq, 'e[^p]*p') AS recovered_purchase
+FROM s
+""",
+)
+def analytics_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (the MATCH_RECOGNIZE workload Spark
+    lacks natively): each user's event history collapses to an ordered
+    one-char-per-event string — v(iew) c(lick) p(urchase) s(ignup)
+    e(rror), first letters are distinct — and row patterns become plain
+    regexes over it: a view converting to purchase with NO intervening
+    click (`v[^c]*p`), a purchase that recovered from an error
+    (`e[^p]*p`). One shuffle (the per-user collect), then narrow
+    JVM-codegen regex — the sequence string is O(events-per-user), the
+    same per-key bound every stateful op here carries, and regex cost is
+    linear in it. At 100 TB with pathological hot keys, cap the sequence
+    with slice() after sort — detection over a bounded recent window,
+    the same trade streaming state bounds make.
+
+    Exactness: ordering is the total (ts, event_id); NULL event_types
+    contribute nothing on either side (array_join and string_agg both
+    skip NULLs; an all-NULL user is pinned to '' by the oracle's
+    coalesce, matching array_join's natural empty), and Java and DuckDB
+    regexes agree on this alternation-free character-class subset (both
+    are leftmost partial match)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    s = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "c"))),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.col("seq").rlike("v[^c]*p").alias("direct_purchase"),
+        F.col("seq").rlike("e[^p]*p").alias("recovered_purchase"),
+    )

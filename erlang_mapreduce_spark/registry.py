@@ -124,7 +124,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- built after the round-3 window was packed (local-full evidence
     # only; rotate into the window in round 4) ---
     "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
-    "snapshot_time_travel",
+    "snapshot_time_travel", "analytics_pattern_match",
 ]
 
 

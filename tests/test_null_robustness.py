@@ -92,6 +92,11 @@ _OPS = (
     "join_asof_tolerance",
     "sample_split_train_eval",
     "profile_columns",
+    "text_ngram_novelty",
+    "merge_upsert",
+    "fn_nested",
+    "compact_small_files",
+    "analytics_pattern_match",
 )
 
 
