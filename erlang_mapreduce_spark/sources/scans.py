@@ -362,3 +362,103 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rmdir(os.path.dirname(base))
         except OSError:
             pass
+
+
+# --- custom Python data source (PySpark 4 pyspark.sql.datasource API) ---
+
+_SYNTH_PARTS = 8
+_SYNTH_ROWS_PER = 1000
+
+
+def _register_synth_source(spark: SparkSession) -> None:
+    """Define + register the `synthdocs` Python data source. Classes are
+    built inside the function so the engine imports cleanly on any Spark
+    that lacks the API (the op itself then fails, not the package)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("numPartitions", _SYNTH_PARTS))
+            self.rows_per = int(
+                options.get("rowsPerPartition", _SYNTH_ROWS_PER)
+            )
+
+        def partitions(self):
+            # one InputPartition per split → Spark schedules reads in
+            # parallel, one python worker per split: the contract that
+            # makes a custom source scale instead of serializing on one
+            # task
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            p = partition.value
+            for i in range(p * self.rows_per, (p + 1) * self.rows_per):
+                # Knuth-hash score in integer space, divided once — the
+                # same double both engines compute
+                yield (i, i % 7, (i * 2654435761 % 1000) / 100.0)
+
+    class _SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthdocs"
+
+        def schema(self):
+            return "id bigint, bucket int, score double"
+
+        def reader(self, schema):
+            return _SynthReader(self.options)
+
+    spark.dataSource.register(_SynthSource)
+
+
+@query(
+    "scan_python_datasource",
+    oracle=f"""
+SELECT CAST(id % 7 AS INTEGER) AS bucket,
+       count(*) AS cnt,
+       CAST(SUM(CAST(((id * 2654435761 % 1000) / 100.0) AS DECIMAL(29,6)))
+            AS DOUBLE) AS sum_score
+FROM generate_series(0, {_SYNTH_PARTS * _SYNTH_ROWS_PER - 1}) t(id)
+GROUP BY 1
+""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data source — the PySpark 4 `pyspark.sql.datasource`
+    extension point that turns any Python-reachable system (an internal
+    API, a bespoke file format, a feature store) into a first-class
+    `spark.read.format(...)` table. The source declares its schema and an
+    InputPartition list; Spark fans the `read(partition)` calls out across
+    python workers — 8 parallel splits here, pinned by test — so ingest
+    scales with partition count exactly like a file scan (each split must
+    be independently computable: the generator derives every row from the
+    partition index alone, the property real connectors get from offset
+    ranges / shard ids).
+
+    The generated rows are pure integer arithmetic + one division, so the
+    DuckDB oracle rebuilds the identical table from generate_series and
+    the per-bucket count/decimal-sum report hash-matches end to end.
+    Python-worker row marshalling is the slow path vs a JVM scan — at
+    scale, pair it with arrow batch emission (the API's iterator-of-
+    pa.RecordBatch variant) or land the data to parquet once and scan
+    that; this op is the connector showcase, not the bulk path. sf_dir is
+    unused: the source IS the data."""
+    try:
+        _register_synth_source(spark)
+    except Exception:
+        pass  # already registered in this session (name is sticky)
+    df = (
+        spark.read.format("synthdocs")
+        .option("numPartitions", str(_SYNTH_PARTS))
+        .option("rowsPerPartition", str(_SYNTH_ROWS_PER))
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("score").cast("decimal(29,6)"))
+        .cast("double")
+        .alias("sum_score"),
+    )

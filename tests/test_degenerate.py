@@ -46,6 +46,9 @@ _NONZERO_ON_EMPTY = {
     "analytics_funnel": 3,  # one row per funnel step
     "profile_columns": 6,   # one report row per profiled column
     "snapshot_time_travel": 2,  # one global accounting row per version
+    # the Python data source generates its own rows — table inputs
+    # (empty or not) don't exist for it
+    "scan_python_datasource": 7,
 }
 
 

@@ -168,3 +168,23 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     for r in rows:
         assert r["part_hi"] - r["part_lo"] <= 31
         assert r["supp_hi"] - r["supp_lo"] <= 31
+
+
+def test_python_datasource_parallel_splits(spark, sf_dir):
+    """The custom Python data source must expose its InputPartition list to
+    the scheduler — 8 independent splits, not one serialized read."""
+    from erlang_mapreduce_spark.sources.scans import (
+        _SYNTH_PARTS,
+        _register_synth_source,
+    )
+
+    try:
+        _register_synth_source(spark)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthdocs")
+        .option("numPartitions", str(_SYNTH_PARTS))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == _SYNTH_PARTS
