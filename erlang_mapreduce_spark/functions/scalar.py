@@ -278,3 +278,59 @@ def fn_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qty_cents"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH u AS (
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+    FROM documents
+),
+parsed AS (
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path
+    FROM u
+)
+SELECT host,
+       count(*) AS n_urls,
+       count(DISTINCT host || path) AS n_canonical
+FROM parsed
+GROUP BY host
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization — the first step of every web-corpus
+    pipeline: documents get a synthesized well-formed URL (so the oracle
+    can rebuild it), `parse_url` splits host/path JVM-side, and the
+    canonical form (host+path, query and fragment stripped — the classic
+    tracking-parameter strip) feeds a per-host report of raw vs canonical
+    URL counts — exactly the shape a crawl-dedup stage consumes. One
+    narrow projection + one hash agg; the distinct count rides the same
+    exchange.
+
+    Cross-engine: Spark's `parse_url` (java.net.URI semantics) and the
+    oracle's anchored regexes agree on this well-formed URL shape —
+    host = authority, path = everything before '?' — and a NULL
+    source/lang nulls the whole URL on both sides (string concat is
+    NULL-strict in both engines), grouping under the NULL host."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct(F.concat("host", "path")).alias("n_canonical"),
+    )

@@ -97,6 +97,7 @@ _OPS = (
     "fn_nested",
     "compact_small_files",
     "analytics_pattern_match",
+    "fn_url",
 )
 
 
