@@ -146,3 +146,97 @@ def test_minhash_signature_matches_pure_python(case):
         for i in range(N_HASH)
     ]
     assert list(minhash_signature(ghs, gh2s)) == expect
+
+
+# --- sort_zorder_layout: the Morton interleave is a bijection with the
+# box-bound property the layout op's value rests on ---
+
+from erlang_mapreduce_spark.operators.maintenance import (  # noqa: E402
+    ZORDER_BITS,
+    _z_interleave_sql,
+)
+
+
+def _py_interleave(x: int, y: int) -> int:
+    z = 0
+    for i in range(ZORDER_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _py_deinterleave(z: int) -> tuple[int, int]:
+    x = y = 0
+    for i in range(ZORDER_BITS):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    st.integers(0, 2**ZORDER_BITS - 1), st.integers(0, 2**ZORDER_BITS - 1)
+)
+def test_zorder_interleave_bijective(x: int, y: int):
+    assert _py_deinterleave(_py_interleave(x, y)) == (x, y)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(0, 2**ZORDER_BITS - 1),
+    st.integers(0, 2**ZORDER_BITS - 1),
+    st.integers(0, 2**ZORDER_BITS - 1),
+    st.integers(0, 2**ZORDER_BITS - 1),
+    st.integers(0, ZORDER_BITS),
+)
+def test_zorder_bucket_bounds_both_dims(x1, y1, x2, y2, k):
+    """Dropping 2k z-bits ⟹ each dimension agrees above its low k bits —
+    the bounding-box guarantee test_maintenance pins on real data."""
+    if _py_interleave(x1, y1) >> (2 * k) == _py_interleave(x2, y2) >> (2 * k):
+        assert x1 >> k == x2 >> k
+        assert y1 >> k == y2 >> k
+
+
+def test_zorder_sql_formula_matches_python():
+    """The ONE formula string shared by the Spark projection and the DuckDB
+    oracle computes the same interleave as the reference bit loop."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    pairs = [
+        (rng.randrange(2**ZORDER_BITS), rng.randrange(2**ZORDER_BITS))
+        for _ in range(200)
+    ] + [(0, 0), (2**ZORDER_BITS - 1, 2**ZORDER_BITS - 1)]
+    values = ", ".join(f"({x}, {y})" for x, y in pairs)
+    # operands must be 64-bit: with INT32 inputs DuckDB's checked
+    # arithmetic overflows on the `<< 31` term. The real oracle is safe
+    # because l_partkey/l_suppkey are BIGINT in the fixture schema.
+    got = duckdb.sql(
+        f"SELECT {_z_interleave_sql('x', 'y')} FROM ("
+        f"  SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y"
+        f"  FROM (VALUES {values}) s(x, y))"
+    ).fetchall()
+    assert [g[0] for g in got] == [_py_interleave(x, y) for x, y in pairs]
+
+
+# --- analytics_pattern_match: the regexes mean what the docstring says ---
+
+
+def _exists_v_then_p_no_c(s: str) -> bool:
+    for i, a in enumerate(s):
+        if a != "v":
+            continue
+        for j in range(i + 1, len(s)):
+            if s[j] == "c":
+                break
+            if s[j] == "p":
+                return True
+    return False
+
+
+@settings(max_examples=2000, deadline=None)
+@given(st.text(alphabet="vcpse", max_size=20))
+def test_pattern_direct_purchase_semantics(s: str):
+    assert bool(re.search(r"v[^c]*p", s)) == _exists_v_then_p_no_c(s)
