@@ -930,3 +930,38 @@ def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation — the scale path
+    between agg_distinct (Expand-based exact, heavy at high cardinality)
+    and agg_approx (HLL, approximate): dense integer keys pack into
+    per-bucket bitmaps (bitmap_bucket_number / bitmap_bit_position), the
+    bitmaps OR together — a MERGEABLE partial state a few KB per bucket
+    regardless of row count — and popcount sums give the exact distinct.
+    This is the roaring-bitmap pattern OLAP engines use for exact distinct
+    users at billions of rows: two hash aggs, map-side combine collapses
+    each partition's rows into bitmap fragments before either exchange,
+    and state size is O(key-range/8 bits) not O(rows). Requires
+    integer-ish keys (ids here); arbitrary strings hash first, trading
+    exactness for the approx path. The oracle is the plain
+    count(DISTINCT) the bitmaps must reproduce bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("b")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+    )

@@ -125,7 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     # only; rotate into the window in round 4) ---
     "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
     "snapshot_time_travel", "analytics_pattern_match",
-    "scan_python_datasource", "fn_url",
+    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
 ]
 
 
