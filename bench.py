@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from erlang_mapreduce_spark import QUERIES  # noqa: E402
+from erlang_mapreduce_spark.ckpt import release_transient_storage  # noqa: E402
 from erlang_mapreduce_spark.session import get_spark  # noqa: E402
 from erlang_mapreduce_spark.tables import load  # noqa: E402
 
@@ -108,23 +109,35 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             ts.append(round(time.perf_counter() - t0, 3))
+            # Outside the timed region: free persisted/checkpointed blocks
+            # the pass left behind, so every pass (and every query) starts
+            # from identical executor-storage state — the BENCH_r03
+            # 2×-cross-pass-variance fix (checkpoint blocks accumulated
+            # across same-JVM invocations until eviction pressure).
+            release_transient_storage()
         passes[name] = ts
         timings[name] = sorted(ts)[1]  # median of 3
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "passes": passes,
-                "methodology": METHODOLOGY,
-                "sf": sf,
-            }
-        )
+    # The driver captures only a bounded tail of stdout, so the official
+    # line must stay COMPACT: medians only. Full per-pass detail goes to a
+    # local artifact instead (BENCH_r03 lesson: the passes dict pushed the
+    # line past the driver's tail capture and the round's official perf
+    # record parsed as null).
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "methodology": METHODOLOGY,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_detail.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**compact, "passes": passes}, f, indent=1)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

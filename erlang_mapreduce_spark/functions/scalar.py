@@ -214,8 +214,9 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey,
        count(*) AS n_lines,
-       string_agg(l_linenumber || ':' || l_returnflag, ','
-                  ORDER BY l_linenumber, l_returnflag, l_quantity)
+       string_agg(l_linenumber || ':' || coalesce(l_returnflag, ''), ','
+                  ORDER BY l_linenumber, coalesce(l_returnflag, ''),
+                           l_quantity)
            AS line_summary,
        CAST(coalesce(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)), 0)
             AS BIGINT) AS qty_cents
@@ -243,7 +244,13 @@ def fn_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    nested = li.groupBy("l_orderkey").agg(
+    # NULL flags are coalesced to '' BEFORE the struct: otherwise the entry
+    # concat nulls out (array_join skips it → '' while string_agg over an
+    # all-NULL group returns NULL) and the sort key diverges (Spark sorts a
+    # NULL struct field first, DuckDB's ORDER BY defaults nulls last)
+    nested = li.withColumn(
+        "l_returnflag", F.coalesce("l_returnflag", F.lit(""))
+    ).groupBy("l_orderkey").agg(
         F.sort_array(
             F.collect_list(
                 F.struct("l_linenumber", "l_returnflag", "l_quantity")

@@ -31,8 +31,38 @@ import pandas as pd  # module scope: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import (
+    free_local_checkpoint,
+    park_local_checkpoint,
+    pooled_persist,
+    release_transient_storage,
+)
 from ..registry import query
 from ..tables import load, scan_parallel
+
+
+def _materialize(df: DataFrame, name: str) -> DataFrame:
+    """Materialize a table consumed by several downstream branches of one
+    query (gram sets feed bands + verify ×2; the member map feeds the
+    expansion twice). Mode is selected like connected_components' rounds:
+
+    - default (sandbox/local): pooled ``persist()`` — computed once, read
+      by every consumer, blocks freed at the next dedup invocation
+      (``ckpt.release_transient_storage``), and recomputable from lineage
+      if an executor dies or the blocks were already released.
+    - $SPARK_GRAFT_CHECKPOINT_DIR set (production): snapshot to parquet
+      under that fault-tolerant path and read back — the durable form the
+      100 TB posture wants for a corpus-scale gram-set table (survives
+      executor loss without recompute, shareable across queries of one
+      corpus snapshot). Files are per-invocation (overwrite by name), so a
+      long-running cluster reuses the same paths instead of accumulating.
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        path = os.path.join(ckpt_dir, f"dedup_{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return pooled_persist(df)
 
 N_GRAM = 3
 JACCARD_T = 0.5
@@ -274,12 +304,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative before the pipeline and expanded after
     (`_verbatim_reps` / `_expand_rep_pairs`) — pipeline cost scales with
     DISTINCT texts, not duplicate-clique sizes."""
+    release_transient_storage()  # free the previous invocation's blocks
     docs = load(spark, sf_dir, "documents")
     members, rep_docs = _verbatim_reps(docs)
-    members = members.localCheckpoint()
+    members = _materialize(members, "jaccard_members")
     # three consumers (pair stream + sizes + verify): materialize once —
-    # see the localCheckpoint note in dedup_minhash
-    doc_sets = _doc_gram_sets(rep_docs).localCheckpoint()
+    # see the storage-mode note on _materialize
+    doc_sets = _materialize(_doc_gram_sets(rep_docs), "jaccard_gram_sets")
     inter = (
         _rare_pair_stream(doc_sets)
         .groupBy("doc_a", "doc_b")
@@ -321,8 +352,12 @@ def _doc_gram_sets(df: DataFrame, n: int = N_GRAM) -> DataFrame:
     Row-size note for 100 TB: ghs holds 8 bytes/gram ≈ 8 bytes/word, so
     even a 1 MB document stays ~1 MB per row — fine for Spark's 2 GB row
     limit; gram STRINGS in the same shape would not be. The 2^-64
-    hash-collision rate is far below the sketch's own error."""
-    toks = scan_parallel(df).select(
+    hash-collision rate is far below the sketch's own error.
+
+    No scan_parallel here: the production input (rep_docs) arrives from
+    _verbatim_reps' aggregate already conf-partitioned (shuffle.partitions
+    >= cores), so a repartition would only add an exchange."""
+    toks = df.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
     )
     return toks.select(
@@ -355,8 +390,9 @@ def _doc_gram_sets_md5(df: DataFrame, n: int = N_GRAM) -> DataFrame:
     projection, zero shuffles, 16 bytes/gram per row. Distinctness is
     taken on the md5 strings so the two hash arrays stay aligned. md5 is
     ~2× the per-gram cost of xxhash64 (both JVM codegen); at 100 TB where
-    nothing cross-checks DuckDB, swap back to the xxhash64 variant."""
-    toks = scan_parallel(df).select(
+    nothing cross-checks DuckDB, swap back to the xxhash64 variant.
+    No scan_parallel — same post-shuffle input note as _doc_gram_sets."""
+    toks = df.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
     )
     ms = F.when(
@@ -517,12 +553,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram-set table (gram sets AND signatures are narrow). Gram sets are built narrowly
     (_doc_gram_sets), and Jaccard verification is a per-row
     `array_intersect` — no groupBy, no sizes table, no second pass over
-    grams. The gram-set table feeds three
-    consumers (bands + verify ×2); the eager localCheckpoint materializes
-    it once and truncates lineage. localCheckpoint blocks are
-    executor-local and unreplicated: on a real cluster a lost executor
-    fails the job, so at 100 TB materialize the gram-set table to parquet
-    once per corpus snapshot instead (same structure, durable).
+    grams. The gram-set table feeds three consumers (bands + verify ×2);
+    `_materialize` computes it once — pooled persist() by default (blocks
+    freed at the next invocation, recomputable on executor loss), or a
+    durable parquet snapshot under $SPARK_GRAFT_CHECKPOINT_DIR, the
+    100 TB posture for a corpus-scale gram-set table.
 
     Like dedup_ngram_jaccard, verbatim-duplicate groups collapse to one
     representative before signing and expand after: identical texts have
@@ -530,10 +565,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost C(R,2) candidate rows per band — the collapse makes band-join
     cost a function of distinct texts (verbatim pairs re-enter as exact
     jaccard-1.0 rows, which is what verification yields for them)."""
+    release_transient_storage()  # free the previous invocation's blocks
     docs = load(spark, sf_dir, "documents")
     members, rep_docs = _verbatim_reps(docs)
-    members = members.localCheckpoint()
-    doc_sets = _doc_gram_sets_md5(rep_docs).localCheckpoint()
+    members = _materialize(members, "minhash_members")
+    doc_sets = _materialize(_doc_gram_sets_md5(rep_docs), "minhash_gram_sets")
     bands = minhash_bands(doc_sets)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -570,8 +606,9 @@ def simhash(docs: DataFrame) -> DataFrame:
     `_doc_gram_sets_md5`), per-bit vote via sign sums, bit-pack. One
     narrow pass + one groupBy doc. Token MULTIPLICITY counts (explode, not
     distinct): a token appearing 10× casts 10 votes, the standard SimHash
-    weighting."""
-    toks = scan_parallel(docs).select(
+    weighting. No scan_parallel — same post-shuffle input note as
+    _doc_gram_sets."""
+    toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
@@ -661,9 +698,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signing and expand after (identical text ⇒ identical simhash ⇒ the
     full pipeline would emit every member pair with hamming 0) — see
     `_verbatim_reps`."""
+    release_transient_storage()  # free the previous invocation's blocks
     docs = load(spark, sf_dir, "documents")
     members, rep_docs = _verbatim_reps(docs)
-    members = members.localCheckpoint()
+    members = _materialize(members, "simhash_members")
     sh = simhash(rep_docs)
     banded = sh.select(
         "doc_id",
@@ -875,13 +913,16 @@ def connected_components(
         prev_ckpt_dir = sc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
     cached: list[DataFrame] = []  # durable mode: persisted per-round DFs
+    live: list[DataFrame] = []  # local mode: checkpointed DFs with blocks
 
     def truncate(e: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             e = e.persist()
             cached.append(e)
             return e.checkpoint(eager=False)
-        return e.localCheckpoint(eager=False)
+        ck = e.localCheckpoint(eager=False)
+        live.append(ck)
+        return ck
 
     def release_cached() -> None:
         # the sig() action just materialized this round's checkpoints, so
@@ -889,6 +930,15 @@ def connected_components(
         for e in cached:
             e.unpersist()
         cached.clear()
+        # local mode: the newest checkpoint holds the full edge set, so
+        # every older round's blocks are superseded — free them now instead
+        # of letting O(rounds × invocations) blocks pile up in executor
+        # storage for the life of the JVM (the BENCH_r03 2×-variance bug).
+        # The final round's blocks stay (the labels plan reads them) and
+        # are parked in the pool below for the NEXT invocation to free.
+        for e in live[:-1]:
+            free_local_checkpoint(e)
+        del live[:-1]
 
     def canon(e: DataFrame, a: str, b: str) -> DataFrame:
         return (
@@ -952,6 +1002,11 @@ def connected_components(
     finally:
         if prev_ckpt_dir is not None:
             sc.setCheckpointDir(prev_ckpt_dir)
+        # local mode: the final round's blocks back the returned labels
+        # plan — park them for release at the NEXT pooled-op invocation
+        for e in live:
+            park_local_checkpoint(e)
+        live.clear()
     if not converged:
         # label extraction below assumes the star-forest fixed point —
         # running it on an unconverged edge set would silently emit SPLIT

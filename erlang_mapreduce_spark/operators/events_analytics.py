@@ -144,6 +144,7 @@ WITH ev AS (
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
            CAST(floor(epoch(ts)) AS BIGINT) AS sec
     FROM events
+    WHERE ts IS NOT NULL
 ),
 marks AS (
     SELECT *,
@@ -181,10 +182,17 @@ def analytics_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors DuckDB's fractional epoch() to match — the win_range_interval
     precedent), and the value sum goes through DECIMAL (exact.py).
     Orderings are total (ts, event_id), so session boundaries are
-    deterministic under any partitioning."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value",
-        F.unix_timestamp("ts").alias("sec"),
+    deterministic under any partitioning. Events with NULL ts are dropped
+    on BOTH sides: an untimed event has no place on a session timeline
+    (and the engines would order it at opposite ends — Spark sorts nulls
+    first, DuckDB's window ORDER BY defaults nulls last)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_id", "ts", "value",
+            F.unix_timestamp("ts").alias("sec"),
+        )
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -318,6 +326,7 @@ WITH ev AS (
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
            substr(event_type, 1, 1) AS c
     FROM events
+    WHERE ts IS NOT NULL
 ),
 s AS (
     SELECT user_id,
@@ -348,11 +357,20 @@ def analytics_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: ordering is the total (ts, event_id); NULL event_types
     contribute nothing on either side (array_join and string_agg both
     skip NULLs; an all-NULL user is pinned to '' by the oracle's
-    coalesce, matching array_join's natural empty), and Java and DuckDB
-    regexes agree on this alternation-free character-class subset (both
-    are leftmost partial match)."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    coalesce, matching array_join's natural empty); events with NULL ts
+    are dropped on BOTH sides before sequencing (an unordered event has
+    no position in a sequence — and the engines disagree on where to
+    put it: Spark's sort_array sorts a NULL struct field first, DuckDB's
+    ORDER BY defaults nulls last); and Java and DuckDB regexes agree on
+    this alternation-free character-class subset (both are leftmost
+    partial match)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.substring("event_type", 1, 1).alias("c"),
+        )
     )
     s = e.groupBy("user_id").agg(
         F.array_join(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import pooled_persist, release_transient_storage
 from ..registry import query
 from ..tables import load
 
@@ -79,6 +80,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     remedy as dedup_cluster_cc's checkpoint_dir, dedup.py). Iteration
     count is FIXED, so the lineage stays 3 rounds deep — no unbounded
     plan growth, no checkpoint needed at this depth."""
+    release_transient_storage()  # free the previous invocation's blocks
     pairs = (
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
@@ -94,7 +96,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionAll(rev)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ed = edges.join(deg, "src").cache()
+    # pooled: blocks are released at the next pooled-op invocation (and by
+    # bench.py between passes) instead of occupying executor storage for
+    # the life of the shared session; a consumer that outlives the release
+    # just recomputes from lineage.
+    ed = pooled_persist(edges.join(deg, "src"))
     ranks = deg.select(
         F.col("src").alias("node"),
         F.lit(1_000_000).cast("bigint").alias("r"),

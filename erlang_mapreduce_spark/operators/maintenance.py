@@ -177,12 +177,17 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             dsum("l_extendedprice").alias("sum_price"),
         )
-        counts: dict[str, int] = {}
+        counts: dict[str | None, int] = {}
         if os.path.isdir(tidy):
             for d in os.listdir(tidy):
                 p = os.path.join(tidy, d)
                 if d.startswith("l_returnflag=") and os.path.isdir(p):
-                    counts[d.split("=", 1)[1]] = sum(
+                    # NULL partition values are written to the hive default
+                    # dir; the read-back aggregate keys them as None — map
+                    # the dir name back so counts.get finds them
+                    val = d.split("=", 1)[1]
+                    key = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                    counts[key] = sum(
                         1 for f_ in os.listdir(p) if f_.endswith(".parquet")
                     )
         rows = [

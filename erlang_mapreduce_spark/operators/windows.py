@@ -237,6 +237,7 @@ SELECT user_id, event_id, event_type, value,
        strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
        (lead(ts) OVER w IS NULL) AS is_current
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
@@ -252,8 +253,12 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     chaining is deterministic under duplicate timestamps; intervals
     partition each key's timeline with no gaps or overlaps by
     construction. At 100 TB the same plan holds — history depth per key
-    only changes partition height, not the shuffle count."""
-    e = load(spark, sf_dir, "events")
+    only changes partition height, not the shuffle count. Change records
+    with NULL ts are dropped on BOTH sides: a validity interval needs a
+    start time, and lead(ts) IS NULL would otherwise conflate "last
+    change" with "next change is untimed" (plus the engines order NULL ts
+    at opposite ends — Spark nulls first, DuckDB nulls last)."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return e.select(

@@ -47,59 +47,47 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 103 registered ops, insertion
+# insertion order and stops after 50 ops. With 131 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
-# whole registry:
-#   round 1-2 window: the full §2.B contract (44) + key extensions — all
-#     hash/rows green in CORRECTNESS_r01/r02.
-#   round 3 window (this ordering): EVERY op with zero driver evidence —
-#     the 21 extensions never checked in rounds 1-2, the 24 ops newly
-#     built during round 3, and the 4 ops whose oracle was upgraded from
-#     rows-only to exact SQL this round (their first HASH check) — plus
-#     the flagship text_bigram_freq (kept in-window every round) is
-#     EXACTLY 50 ops. Everything with an existing green r01/r02 row
-#     rotates to the back; after this round every registered op has
-#     driver evidence from some round, and tests/test_correctness.py
-#     re-proves the whole registry against the same DuckDB oracle locally
-#     each run (artifact: CORRECTNESS_local_full.json).
+# whole registry (r1-2: the §2.B contract; r3: every op with zero driver
+# evidence — after r3, 123/131 ops hold a driver row from SOME round, and
+# tests/test_correctness.py re-proves the whole registry locally each run,
+# artifact CORRECTNESS_local_full.json).
+#
+# Round-4 window (this ordering), freshest-evidence-last policy:
+#   1-8:   the 8 ops built after the r3 window was packed — the only ops
+#          the driver has NEVER seen (local-full hash-green only).
+#   9-36:  the 28 ops whose newest driver evidence is r01 (rotated out
+#          since round 1 — the oldest evidence in the registry).
+#   37:    the flagship text_bigram_freq (kept in-window every round).
+#   38-50: 13 of the r02-evidence contract ops (scan/sink + the join
+#          family); the remaining r02 ops lead the round-5 window.
+# After r4: no op's newest driver evidence predates r2.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-21: never driver-checked in rounds 1-2 ---
-    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
-    "sample_quality_weighted", "agg_heavy_hitters", "text_repetition_score",
-    "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
-    "win_range_interval", "cdc_latest_by_key", "text_normalize",
-    "scan_orc", "scan_partition_pruned", "sink_text_formatted",
-    "agg_approx", "topk_per_group", "fn_bitwise",
-    "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
-    # --- 22-33: oracle-upgraded in round 3, first HASH check this round:
-    # dedup_minhash (rows-only r01/r02; exact md5-arithmetic oracle now),
-    # the three replay-proof streaming ops, and the eight ops added early
-    # in round 3 ---
-    "dedup_minhash",
-    "stream_watermark_late", "stream_stateful_dedup", "sim_search_ann",
-    "pipeline_seq_pack", "sample_mix_rebalance",
-    "sample_cap_per_source", "agg_ngram_counts",
-    "text_unigram_logprob",
-    "analytics_cohort_retention", "analytics_funnel",
-    "dedup_cluster_keep_best",
-    # --- 34-49: built later in round 3, zero driver evidence ---
-    "stream_file_sink",
-    "analytics_sessionize", "analytics_anomaly_extremes",
-    "cdc_scd2", "join_asof_tolerance",
-    "sample_split_train_eval", "profile_columns",
-    "analytics_active_users_7d", "analytics_pareto_topk",
-    "merge_upsert", "compact_small_files", "agg_quantile_bins",
-    "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
-    "fn_nested",
-    # --- 50: flagship, driver-checked every round ---
+    # --- 1-8: zero driver evidence (built post-r3-window) ---
+    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
+    "snapshot_time_travel", "analytics_pattern_match",
+    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
+    # --- 9-36: newest driver evidence is r01 ---
+    "text_fingerprint", "multimodal_meta", "text_lang_id",
+    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
+    "text_tfidf", "text_quality_score", "text_token_count",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_cluster_cc", "dedup_levenshtein",
+    "join_skew_salted", "join_bucketed", "join_null_safe",
+    "pipeline_dataset_export", "pipeline_corpus_clean",
+    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
+    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
+    "agg_unpivot",
+    # --- 37: flagship, driver-checked every round ---
     "text_bigram_freq",
-    # --- 51+: every op here holds a green r01 or r02 driver row and is
-    # re-proven locally per pytest run; §2.B contract first ---
+    # --- 38-50: r02 evidence, oldest half of the contract block ---
     "scan_parquet", "scan_text", "scan_csv_json", "sink_partitioned",
     "project_select", "filter_pred",
     "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
     "join_theta_range", "join_asof", "join_interval",
+    # --- 51+: r02 evidence (rotate into the round-5 window first) ---
     "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
     "agg_global", "agg_ratio_of_total",
     "win_rank", "win_analytic", "win_frame",
@@ -110,22 +98,29 @@ DRIVER_PRIORITY: list[str] = [
     "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
     "sql_pricing_summary", "stream_stream_join",
     "stream_tumbling", "stream_sliding", "stream_session",
-    "agg_mode", "fn_conditional", "agg_unpivot",
-    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric", "agg_corr_stats", "join_null_safe",
-    "text_token_count", "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint", "text_pii_scrub", "text_tfidf",
-    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_cluster_cc", "dedup_levenshtein",
-    "join_skew_salted", "join_bucketed",
-    "pipeline_corpus_clean", "pipeline_dataset_export",
-    # --- built after the round-3 window was packed (local-full evidence
-    # only; rotate into the window in round 4) ---
-    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
-    "snapshot_time_travel", "analytics_pattern_match",
-    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
+    # --- r03 evidence (freshest — last in line for re-verification) ---
+    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
+    "sample_quality_weighted", "agg_heavy_hitters", "text_repetition_score",
+    "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
+    "win_range_interval", "cdc_latest_by_key", "text_normalize",
+    "scan_orc", "scan_partition_pruned", "sink_text_formatted",
+    "agg_approx", "topk_per_group", "fn_bitwise",
+    "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
+    "dedup_minhash",
+    "stream_watermark_late", "stream_stateful_dedup", "sim_search_ann",
+    "pipeline_seq_pack", "sample_mix_rebalance",
+    "sample_cap_per_source", "agg_ngram_counts",
+    "text_unigram_logprob",
+    "analytics_cohort_retention", "analytics_funnel",
+    "dedup_cluster_keep_best",
+    "stream_file_sink",
+    "analytics_sessionize", "analytics_anomaly_extremes",
+    "cdc_scd2", "join_asof_tolerance",
+    "sample_split_train_eval", "profile_columns",
+    "analytics_active_users_7d", "analytics_pareto_topk",
+    "merge_upsert", "compact_small_files", "agg_quantile_bins",
+    "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
+    "fn_nested",
 ]
 
 

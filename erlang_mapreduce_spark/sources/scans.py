@@ -283,7 +283,8 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_schema_evolution",
     oracle="""
 SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-upgrade)'
-            ELSE o_orderpriority END AS o_orderpriority,
+            ELSE coalesce(o_orderpriority, '(pre-upgrade)') END
+           AS o_orderpriority,
        count(*) AS cnt,
        CAST(SUM(CAST((o_totalprice) AS DECIMAL(29,6))) AS DOUBLE)
            AS sum_price
@@ -325,12 +326,16 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         k = F.col("o_orderkey")
-        # generation 1: the column does not exist yet
+        # generation 1: the column does not exist yet. The split must be
+        # exhaustive even for NULL keys (k % 2 is NULL for them, which
+        # satisfies NEITHER == filter — rows would silently vanish), so
+        # NULL keys ride with generation 2; the oracle's CASE routes them
+        # the same way (NULL % 2 = 0 is not true → ELSE branch).
         o.filter(k % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
             "overwrite"
         ).parquet(base)
         # generation 2: schema widened in place, appended to the same dir
-        o.filter(k % 2 == 1).write.mode("append").parquet(base)
+        o.filter((k % 2 == 1) | k.isNull()).write.mode("append").parquet(base)
         # an empty source writes zero data files and mergeSchema inference
         # has nothing to merge — an empty table evolves to an empty report
         if not any(
@@ -446,10 +451,11 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa.RecordBatch variant) or land the data to parquet once and scan
     that; this op is the connector showcase, not the bulk path. sf_dir is
     unused: the source IS the data."""
-    try:
-        _register_synth_source(spark)
-    except Exception:
-        pass  # already registered in this session (name is sticky)
+    # re-registration is a silent overwrite (verified on Spark 4.1), so no
+    # guard needed — and a guard would swallow the REAL failure mode, the
+    # pyspark.sql.datasource API missing on an older Spark, deferring it to
+    # a confusing "format not found" at read time
+    _register_synth_source(spark)
     df = (
         spark.read.format("synthdocs")
         .option("numPartitions", str(_SYNTH_PARTS))

@@ -9,7 +9,9 @@ reference's whole-file read + split at mapreduce.erl:41-43).
 
 from __future__ import annotations
 
+import math
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -31,6 +33,17 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: str) -> int:
+    """Parse a Spark byte-size conf ('128m', '4194304', '1g', '134217728b')."""
+    v = str(spark.conf.get(key, default)).strip().lower().removesuffix("b")
+    if v and v[-1] in _SIZE_SUFFIX:
+        return int(float(v[:-1]) * _SIZE_SUFFIX[v[-1]])
+    return int(v)
+
+
 def scan_parallel(df: DataFrame) -> DataFrame:
     """Restore full parallelism after a scan that arrived in fewer partitions
     than the cluster has cores — the case for any operator whose work is
@@ -38,9 +51,35 @@ def scan_parallel(df: DataFrame) -> DataFrame:
     media decode), where one input split would otherwise serialize the whole
     pipeline onto one task. At scale the scan already has >= cores partitions
     and this is a no-op, so the extra shuffle is paid exactly when it's
-    cheap (input small) and never when it's expensive."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    cheap (input small) and never when it's expensive.
+
+    The split count is ESTIMATED from the leaf files' sizes with the same
+    arithmetic Spark's file-split planning uses (maxPartitionBytes +
+    openCostInBytes) — pure driver-side metadata, no `df.rdd` hop (which
+    would run full physical planning + RDD DAG construction per call: cheap
+    on a fixture, a needless planning cost on a wide 100 TB plan). Callers
+    only hand this narrow-over-file-scan inputs (post-shuffle inputs are
+    already conf-sized — see _doc_gram_sets); fileless plans (in-memory
+    relations in tests) and any metadata error fall back to the RDD path,
+    where plans are local and planning is trivially cheap."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if files:
+            max_part = _conf_bytes(
+                spark, "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+            open_cost = _conf_bytes(
+                spark, "spark.sql.files.openCostInBytes", "4194304"
+            )
+            padded = sum(
+                os.path.getsize(urlparse(f).path) + open_cost for f in files
+            )
+            est_splits = max(1, math.ceil(padded / max_part))
+            return df.repartition(target) if est_splits < target else df
+    except (OSError, ValueError):
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -300,3 +300,40 @@ def test_cc_durable_checkpoint_mode(spark, sf_dir, tmp_path):
     assert got == {(i, 0) for i in range(21)}
     ckpt_files = [p for p in (tmp_path / "cc_ckpt").rglob("*") if p.is_file()]
     assert ckpt_files, "no durable checkpoint files written"
+
+
+def test_gram_set_durable_mode_same_pairs(spark, sf_dir, tmp_path, monkeypatch):
+    """$SPARK_GRAFT_CHECKPOINT_DIR set → _materialize snapshots the gram-set
+    and member tables to parquet under it (the durable 100 TB posture,
+    mirroring connected_components' two modes) and the op's answer is
+    unchanged; unset → pooled persist. Both code paths produce the same
+    exact pair set."""
+    default = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path))
+    durable = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert durable == default
+    snapshots = list(tmp_path.glob("dedup_jaccard_*.parquet"))
+    assert len(snapshots) == 2, f"expected 2 parquet snapshots, got {snapshots}"
+
+
+def test_transient_storage_released_between_invocations(spark, sf_dir):
+    """The BENCH_r03 variance fix: after a pooled op's result is consumed
+    and the next invocation (or bench's between-pass hook) drains the pool,
+    NO persisted/checkpointed RDD blocks from the op remain in the JVM —
+    repeated same-session invocations start from identical storage state."""
+    from erlang_mapreduce_spark.ckpt import release_transient_storage
+    from erlang_mapreduce_spark.operators.dedup import dedup_cluster_cc
+
+    jsc = spark.sparkContext._jsc.sc()
+    release_transient_storage()
+    before = jsc.getPersistentRDDs().size()
+    dedup_cluster_cc(spark, sf_dir).count()  # jaccard persists + CC ckpts
+    assert jsc.getPersistentRDDs().size() > before  # blocks exist while live
+    release_transient_storage()
+    assert jsc.getPersistentRDDs().size() <= before

@@ -39,12 +39,18 @@ _SPIKES = {
         "value": "event_id % 10 = 3",
         "props": "event_id % 10 = 4",
         "event_type": "event_id % 10 = 5",
+        # a NULL event timestamp: pins analytics_pattern_match's
+        # drop-the-row (and every other ts consumer's NULL handling)
+        "ts": "event_id % 10 = 6",
     },
     "supplier": {"s_name": "s_suppkey % 10 = 3"},
     "customer": {"c_acctbal": "c_custkey % 10 = 3"},
     "lineitem": {
         "l_quantity": "l_orderkey % 10 = 3",
         "l_comment": "l_orderkey % 10 = 4",
+        # a NULL partition value: pins compact_small_files' hive-default
+        # dir mapping (__HIVE_DEFAULT_PARTITION__ ↔ None)
+        "l_returnflag": "l_orderkey % 10 = 5",
     },
     "orders": {"o_comment": "o_orderkey % 10 = 3"},
     "part": {"p_comment": "p_partkey % 10 = 3"},
@@ -127,3 +133,31 @@ def null_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", _OPS)
 def test_op_matches_oracle_with_nulls(spark, null_dir, name):
     run_compare(spark, name, null_dir)
+
+
+@pytest.fixture(scope="module")
+def null_key_dir(tmp_path_factory):
+    """A fixture with NULLs in a KEY column (orders.o_orderkey), which the
+    main sweep deliberately never spikes — only for ops whose contract
+    must survive NULL keys (scan_schema_evolution's generation split)."""
+    src = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    d = str(tmp_path_factory.mktemp("null_key_fixture"))
+    for t in _TABLES:
+        sel = "*"
+        if t == "orders":
+            sel = (
+                "CASE WHEN o_custkey % 10 = 7 THEN NULL "
+                "ELSE o_orderkey END AS o_orderkey, * EXCLUDE (o_orderkey)"
+            )
+        duckdb.sql(
+            f"COPY (SELECT {sel} FROM '{src}/{t}.parquet') "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return d
+
+
+def test_schema_evolution_null_keys(spark, null_key_dir):
+    """NULL o_orderkey rows must survive the two-generation split (they
+    ride with generation 2) instead of vanishing from both write filters —
+    engine and oracle agree on their bucket."""
+    run_compare(spark, "scan_schema_evolution", null_key_dir)
