@@ -636,7 +636,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation-family convention."""
     from .dedup import _doc_gram_sets
 
-    docs = load(spark, sf_dir, "documents")
+    # raw-scan input: restore parallelism BEFORE the narrow gram build
+    # (_doc_gram_sets no longer repartitions — its dedup callers hand it
+    # post-shuffle inputs; this one hands it the scan itself)
+    docs = scan_parallel(load(spark, sf_dir, "documents"))
     sets_ = _doc_gram_sets(docs)
     per_doc = sets_.filter(F.size("ghs") > 0).select(
         "doc_id", F.size("ghs").cast("bigint").alias("n_grams"), "ghs"

@@ -112,12 +112,15 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     side — at 100 TB the corpus is scanned exactly once and never
     shuffled. The oracle joins raw gram strings; xxhash64 equality is
     collision-equivalent up to 2^-64."""
+    from ..ckpt import pooled_persist, release_transient_storage
     from .dedup import _doc_gram_sets
 
-    docs = load(spark, sf_dir, "documents")
+    release_transient_storage()  # free the previous invocation's blocks
+    docs = scan_parallel(load(spark, sf_dir, "documents"))
     # three consumers (eval grams + train explode + train doc_ids):
-    # materialize once — same localCheckpoint rationale as dedup_minhash
-    sets = _doc_gram_sets(docs, n=DECON_N).localCheckpoint()
+    # materialize once — pooled like dedup's _materialize (raw-scan input,
+    # so restore parallelism before the narrow gram build)
+    sets = pooled_persist(_doc_gram_sets(docs, n=DECON_N))
     ev_grams = (
         sets.filter(F.col("doc_id") < EVAL_MAX_DOC)
         .select(F.explode("ghs").alias("gh"))
@@ -616,9 +619,14 @@ def heavy_hitters(
     hitter, and stored ≥ c_p − D_p, so no false negatives — the exact
     recount then kills false positives. Replaces a per-token interpreted
     dict loop that was 10-100× slower per byte (round-2 advisory)."""
-    summaries = toks.mapInPandas(
-        mg_sketch_partition(k, vocab_cap), "word string, c long"
-    ).localCheckpoint()
+    from ..ckpt import pooled_persist, release_transient_storage
+
+    release_transient_storage()  # free the previous invocation's blocks
+    summaries = pooled_persist(
+        toks.mapInPandas(
+            mg_sketch_partition(k, vocab_cap), "word string, c long"
+        )
+    )
     total = (
         summaries.filter(F.col("word").isNull())
         .agg(F.sum("c"))

@@ -6,8 +6,13 @@ north-star ANN).
   is embarrassingly parallel; per-query top-k via window rank.
 - sim_search_ann: the 100 TB path — random-hyperplane LSH (deterministic
   hyperplanes from a seeded RNG, broadcast), bucket join on any matching
-  band, exact cosine re-rank within candidates. Rows-only for the driver;
-  tests measure recall vs the brute-force baseline.
+  band, exact cosine re-rank within candidates. Exact-hash oracle (every
+  ingredient is deterministic arithmetic both engines compute
+  identically); tests additionally measure recall vs brute force.
+- sim_search_ivf / ivf_centroids: centroid-routed ANN. The search path is
+  rows-only (nprobe routing has no SQL twin worth writing), but the
+  trained k-means index is integer-micro deterministic and
+  `ivf_centroids` exposes it as an exact-hash-checked table.
 
 Two cosine implementations, used deliberately:
 - `cosine_col`: sequential double fold (zip_with + aggregate) —
@@ -304,6 +309,18 @@ IVF_K = 16  # centroid count; at corpus scale use ~sqrt(N)
 IVF_NPROBE = 4  # clusters searched per query
 IVF_ITERS = 5
 IVF_TRAIN_CAP = 100_000  # absolute bound on vectors collected for training
+IVF_DIM = 64  # fixture embedding dimensionality (oracle unrolls over it)
+_MICRO = 1_000_000
+
+
+def _spread_hash(col: Column) -> Column:
+    """Deterministic cross-engine 1-in-4 spread: md5-derived 60-bit int
+    (the `_doc_gram_sets_md5` trick — xxhash64 has no DuckDB twin) mod 4."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 4
+    )
 
 
 def _train_sample(e: DataFrame) -> DataFrame:
@@ -315,41 +332,149 @@ def _train_sample(e: DataFrame) -> DataFrame:
     bare hash filter would ship. tests/test_dedup.py pins the GlobalLimit
     in this plan."""
     return (
-        e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+        e.filter(_spread_hash(F.col("vec_id")) == 0)
         .orderBy("vec_id")
         .limit(IVF_TRAIN_CAP)
         .select("v")
     )
 
 
-def _train_centroids(e: DataFrame) -> list[list[float]]:
+def _train_centroids(e: DataFrame):
     """Lloyd's k-means on a DETERMINISTIC bounded sample, driver-side
     numpy — the standard IVF recipe: the index structure is trained on a
     sample, never the full corpus, so training cost is independent of
-    corpus size. Determinism: hash-spread sample, order by vec_id, init
-    with the first K — no RNG anywhere, so the index (and therefore the
-    op's output) is stable run to run. The centroid count is clamped to
-    the sample size (a tiny fixture may yield < IVF_K vectors); an empty
-    corpus degenerates to a single zero centroid."""
+    corpus size. Determinism is total, down to cross-ENGINE exactness:
+    vectors quantize to integer MICROS (floor(x·1e6) — the graph_pagerank
+    trick), distances/assignments are int64 arithmetic with ties to the
+    lowest cell, and each new centroid coordinate is
+    floor(double(Σ micros)/members) — every step an operation numpy and
+    DuckDB compute bit-identically, which is what lets `ivf_centroids`
+    carry an exact-hash oracle instead of a rows-only check. Sample =
+    md5-hash 1-in-4 spread, ordered by vec_id, LIMIT-capped; init = first
+    K sample vectors; no RNG anywhere. The centroid count clamps to the
+    sample size (a tiny fixture may yield < IVF_K vectors); an empty
+    corpus yields an empty (0, 0) centroid array. Returns int64 micro
+    centroids, shape (k, dim)."""
     import numpy as np
 
-    sample = _train_sample(e).collect()
-    if len(sample) < IVF_K:
-        # hash sample too thin (tiny fixture): train on the whole corpus,
-        # still bounded by the same cap
-        sample = e.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("v").collect()
-    X = np.array([r.v for r in sample])
-    if len(X) == 0:
-        return [[0.0]]
+    em = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(v, x -> CAST(floor(x * {_MICRO}) AS BIGINT))"
+        ).alias("vm"),
+    )
+    spread = em.filter(_spread_hash(F.col("vec_id")) == 0)
+    base = spread if spread.count() >= IVF_K else em
+    sample = base.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("vm").collect()
+    if not sample:
+        return np.zeros((0, 0), dtype=np.int64)
+    X = np.array([r.vm for r in sample], dtype=np.int64)
     k = min(IVF_K, len(X))
     C = X[:k].copy()
     for _ in range(IVF_ITERS):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d.argmin(1)
+        a = d.argmin(1)  # ties → lowest cell (numpy first index)
         for j in range(k):
-            if (a == j).any():
-                C[j] = X[a == j].mean(0)
-    return C.tolist()
+            members = a == j
+            if members.any():
+                C[j] = np.floor(
+                    X[members].sum(0).astype(np.float64) / int(members.sum())
+                ).astype(np.int64)
+    return C
+
+
+def _ivf_centroid_oracle() -> str:
+    """DuckDB twin of `_train_centroids`, IVF_ITERS Lloyd rounds unrolled
+    as chained CTEs (the graph_pagerank construction): micro-quantized
+    sample → per-dim long rows → per-round argmin assignment (row_number
+    ordered by (dist, cell) = numpy argmin's first-index tie-break) →
+    per-cell floored integer means, empty cells coalescing to their
+    previous coordinates. All arithmetic is int64 + one exact
+    double-divide per mean (sums < 2^53), so the centroid table
+    hash-matches the engine's bit for bit."""
+    rounds = []
+    for i in range(1, IVF_ITERS + 1):
+        p = i - 1
+        rounds.append(f"""
+a{i} AS (
+    SELECT sid, cell FROM (
+        SELECT d.sid, d.cell,
+               row_number() OVER (PARTITION BY d.sid
+                                  ORDER BY d.dist, d.cell) AS rn
+        FROM (SELECT s.sid, c.cell,
+                     sum((s.val - c.val) * (s.val - c.val)) AS dist
+              FROM sdim s JOIN c{p} c USING (dim)
+              GROUP BY s.sid, c.cell) d
+    ) WHERE rn = 1
+),
+c{i} AS (
+    SELECT c.cell, c.dim, coalesce(m.val, c.val) AS val
+    FROM c{p} c
+    LEFT JOIN (
+        SELECT a{i}.cell, s.dim,
+               CAST(floor(CAST(sum(s.val) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS val
+        FROM a{i} JOIN sdim s USING (sid)
+        GROUP BY 1, 2
+    ) m ON m.cell = c.cell AND m.dim = c.dim
+)""")
+    return f"""
+WITH em AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * {_MICRO}) AS BIGINT)) AS vm
+    FROM embeddings
+),
+spread AS (
+    SELECT vec_id, vm FROM em
+    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+          % 4 = 0
+),
+pick AS (SELECT (SELECT count(*) FROM spread) < {IVF_K} AS use_all),
+samp AS (
+    SELECT vec_id AS sid, vm FROM (
+        SELECT vec_id, vm FROM spread WHERE NOT (SELECT use_all FROM pick)
+        UNION ALL
+        SELECT vec_id, vm FROM em WHERE (SELECT use_all FROM pick)
+    ) ORDER BY vec_id LIMIT {IVF_TRAIN_CAP}
+),
+sdim AS (
+    SELECT sid, CAST(i AS INTEGER) AS dim, vm[CAST(i AS INTEGER)] AS val
+    FROM samp, range(1, {IVF_DIM + 1}) t(i)
+),
+ranked AS (SELECT vm, row_number() OVER (ORDER BY sid) AS rn FROM samp),
+c0 AS (
+    SELECT CAST(rn - 1 AS INTEGER) AS cell, CAST(i AS INTEGER) AS dim,
+           vm[CAST(i AS INTEGER)] AS val
+    FROM ranked, range(1, {IVF_DIM + 1}) t(i)
+    WHERE rn <= {IVF_K}
+),{",".join(rounds)}
+SELECT cell, dim, val AS c_micro FROM c{IVF_ITERS}
+"""
+
+
+@query("ivf_centroids", oracle=_ivf_centroid_oracle())
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF index STRUCTURE as a table — (cell, dim, c_micro)
+    per centroid coordinate. This is sim_search_ivf's k-means made
+    oracle-checkable end to end: training is deterministic integer-micro
+    arithmetic (see `_train_centroids`), so the DuckDB oracle re-derives
+    the identical centroids by unrolling the same Lloyd rounds in SQL.
+    Alongside pinning the index for the driver, this is also the shape a
+    production pipeline persists/ships: the routing table IS a (small)
+    DataFrame, broadcastable to any scorer."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    C = _train_centroids(e)
+    rows = [
+        (cell, dim + 1, int(val))
+        for cell, vec in enumerate(C.tolist())
+        for dim, val in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, dim int, c_micro bigint"
+    )
 
 
 @query("sim_search_ivf")  # rows-only: index structure has no SQL twin
@@ -369,8 +494,9 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = _train_centroids(e)
-    C = np.array(cents)
+    C = _train_centroids(e).astype(np.float64) / _MICRO
+    if C.size == 0:  # empty corpus: no row ever reaches the UDFs, but the
+        C = np.zeros((1, IVF_DIM))  # closure must still broadcast a shape
 
     from pyspark.sql.functions import pandas_udf
 

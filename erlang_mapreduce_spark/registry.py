@@ -65,10 +65,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          family); the remaining r02 ops lead the round-5 window.
 # After r4: no op's newest driver evidence predates r2.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-8: zero driver evidence (built post-r3-window) ---
+    # --- 1-9: zero driver evidence (built post-r3-window, plus the
+    # round-4-new ivf_centroids) ---
     "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
     "snapshot_time_travel", "analytics_pattern_match",
     "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
+    "ivf_centroids",
     # --- 9-36: newest driver evidence is r01 ---
     "text_fingerprint", "multimodal_meta", "text_lang_id",
     "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",

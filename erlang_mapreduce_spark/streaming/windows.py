@@ -224,24 +224,27 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics pipeline needs on top of bucketed aggregation: emit a row for
     EVERY 5-minute bucket in each event_type's span (missing buckets get
     cnt 0 and filled=1) and carry the last observed sum forward. The
-    bucket aggregate is materialized once (localCheckpoint) because the
-    grid derives from it AND left-joins back to it — two consumers, and
-    ReuseExchange would not save the recompute; post-agg cardinality is
+    bucket aggregate is materialized once (pooled persist — blocks freed
+    at the next pooled-op invocation, ckpt.py) because the grid derives
+    from it AND left-joins back to it — two consumers, and ReuseExchange
+    would not save the recompute; post-agg cardinality is
     O(buckets × types), tiny at any corpus scale. The dense grid comes
     from explode(sequence(lo, hi)) per type (narrow), and the forward
     fill is last(ignorenulls) over an unbounded-preceding frame — one
     sort-window per type, no self-join."""
     from pyspark.sql import Window
 
+    from ..ckpt import pooled_persist, release_transient_storage
+
+    release_transient_storage()  # free the previous invocation's blocks
     e = load(spark, sf_dir, "events")
-    b = (
+    b = pooled_persist(
         e.groupBy(
             "event_type", F.window("ts", "5 minutes").alias("w")
         )
         .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
         .select("event_type", F.col("w.start").alias("bucket"), "cnt",
                 "sum_value")
-        .localCheckpoint()
     )
     span = b.groupBy("event_type").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")

@@ -9,17 +9,27 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-3 driver window: the 21 ops with zero driver evidence from rounds
-# 1-2 MUST sit in the first-50 window this round (VERDICT_r02 item 1), plus
-# the flagship which stays in-window every round.
-NEVER_CHECKED_R12 = [
-    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
-    "sample_quality_weighted", "agg_heavy_hitters", "text_repetition_score",
-    "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
-    "win_range_interval", "cdc_latest_by_key", "text_normalize",
-    "scan_orc", "scan_partition_pruned", "sink_text_formatted",
-    "agg_approx", "topk_per_group", "fn_bitwise",
-    "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
+# Round-4 driver window (VERDICT_r03 item 2): the ops with ZERO driver
+# evidence (built after the r3 window was packed, plus round-4-new ops)
+# and the ops whose newest driver evidence is r01 MUST sit in the first-50
+# window this round, plus the flagship which stays in-window every round.
+ZERO_EVIDENCE_R4 = [
+    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
+    "snapshot_time_travel", "analytics_pattern_match",
+    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
+    "ivf_centroids",
+]
+R01_ONLY = [
+    "text_fingerprint", "multimodal_meta", "text_lang_id",
+    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
+    "text_tfidf", "text_quality_score", "text_token_count",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_cluster_cc", "dedup_levenshtein",
+    "join_skew_salted", "join_bucketed", "join_null_safe",
+    "pipeline_dataset_export", "pipeline_corpus_clean",
+    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
+    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
+    "agg_unpivot",
 ]
 
 
@@ -33,10 +43,11 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-3 rotation goal: every op that lacked driver evidence after
-    round 2 sits in the checked window, and the flagship stays in it."""
+    """Round-4 rotation goal: every zero-driver-evidence op and every op
+    with r01-only evidence sits in the checked window, and the flagship
+    stays in it."""
     first50 = set(list(QUERIES)[:50])
-    must = set(NEVER_CHECKED_R12) | {"text_bigram_freq"}
+    must = set(ZERO_EVIDENCE_R4) | set(R01_ONLY) | {"text_bigram_freq"}
     missing = must - first50
     assert not missing, f"not in driver-checked first 50: {sorted(missing)}"
 

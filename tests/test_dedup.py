@@ -184,7 +184,7 @@ def test_ivf_centroids_clamp_to_tiny_corpus(spark, sf_dir):
     cents = _train_centroids(e)
     assert 1 <= len(cents) <= 5 < IVF_K
     empty = e.filter(F.lit(False))
-    assert _train_centroids(empty) == [[0.0]]
+    assert _train_centroids(empty).size == 0
 
 
 def test_gram_df_cap_drops_stop_grams(spark, sf_dir):
