@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..ckpt import (
     free_local_checkpoint,
     park_local_checkpoint,
-    pooled_persist,
+    pooled_local_checkpoint,
     release_transient_storage,
 )
 from ..registry import query
@@ -46,10 +46,12 @@ def _materialize(df: DataFrame, name: str) -> DataFrame:
     query (gram sets feed bands + verify ×2; the member map feeds the
     expansion twice). Mode is selected like connected_components' rounds:
 
-    - default (sandbox/local): pooled ``persist()`` — computed once, read
-      by every consumer, blocks freed at the next dedup invocation
-      (``ckpt.release_transient_storage``), and recomputable from lineage
-      if an executor dies or the blocks were already released.
+    - default (sandbox/local): pooled eager ``localCheckpoint`` — computed
+      exactly once up front, read by every consumer, blocks freed at the
+      next dedup invocation (``ckpt.release_transient_storage``). On a
+      real cluster an executor loss during the query fails it (blocks are
+      unreplicated) — acceptable for a single query, or use the durable
+      mode below.
     - $SPARK_GRAFT_CHECKPOINT_DIR set (production): snapshot to parquet
       under that fault-tolerant path and read back — the durable form the
       100 TB posture wants for a corpus-scale gram-set table (survives
@@ -62,7 +64,13 @@ def _materialize(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(ckpt_dir, f"dedup_{name}.parquet")
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
-    return pooled_persist(df)
+    # eager localCheckpoint, NOT lazy persist: with persist() the three
+    # consumers race-fill the InMemoryRelation inside one job (measured
+    # 2× median regression with wild 4-11 s pass variance on jaccard);
+    # the eager checkpoint computes the table exactly once up front and
+    # stores raw blocks. Pooled, so the blocks are freed at the next
+    # dedup invocation instead of accumulating for the JVM's lifetime.
+    return pooled_local_checkpoint(df)
 
 N_GRAM = 3
 JACCARD_T = 0.5
