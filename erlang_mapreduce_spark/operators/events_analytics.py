@@ -320,6 +320,72 @@ def analytics_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analytics_transition_matrix",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, event_id, ts, event_type FROM events
+    WHERE ts IS NOT NULL
+),
+tr AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM ev
+)
+SELECT from_type, to_type, count(*) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY from_type), 6) AS prob
+FROM tr
+WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+)
+def analytics_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for every consecutive (event, next event) pair inside one user's
+    timeline, the count and the per-source-state transition probability —
+    the behavioral-model statistic behind next-action prediction and
+    anomaly scoring (a transition with near-zero learned probability is a
+    surprise).
+
+    Plan: one exchange on user_id for the lead() window, then a hash agg
+    on the (from, to) pair — S² groups for S event types, trivially small
+    at any corpus size — with the per-from normalizer as a window over the
+    aggregate output (S² rows, no second pass over events). Ordering is
+    the total (ts, event_id); NULL-ts events are dropped on both sides
+    (no place on a timeline — the sessionize/scd2 convention) while NULL
+    event TYPES are kept as real states (both engines group NULLs
+    together); a transition TO the last event of a user (lead = NULL row
+    boundary) is excluded by the to_type filter on both sides, which also
+    drops transitions to NULL-type events only when the NULL is genuinely
+    the lead value — identical semantics in both engines. The probability
+    divides two exact ints in double and rounds to 6."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = tr.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm), 6
+        ).alias("prob"),
+    )
+
+
+@query(
     "analytics_pattern_match",
     oracle="""
 WITH ev AS (

@@ -121,3 +121,126 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped revenue-by-nation via ``spark.sql``: a star join
     whose two dimension hops stay broadcast at every scale factor."""
     return _sql(spark, sf_dir, _Q5_TABLES, _Q5)
+
+
+_Q7_TABLES = ("supplier", "lineitem", "orders", "customer", "nation")
+
+# TPC-H Q7 shape: the fact table joins TWO different dimension paths
+# (supplier→nation and orders→customer→nation) whose small sides are both
+# broadcast; the symmetric two-nation predicate prunes early — Catalyst
+# pushes the disjunction below the join as an IsIn filter on both nation
+# scans.
+_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume')} AS revenue,
+       count(*) AS n_lineitems
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_volume_shipping", oracle=_Q7)
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped volume-shipping report via ``spark.sql``: the fact
+    stream resolves BOTH trading partners (supplier nation and customer
+    nation) through separate broadcast dimension hops, then aggregates by
+    the (exporter, importer, year) triple. The nation table is joined
+    TWICE under different aliases — the plan shape that verifies alias
+    resolution and double-broadcast reuse; the only real shuffles are
+    lineitem⋈orders and the final group. year() truncation is identical
+    in both engines (no tz — fixture timestamps are naive UTC)."""
+    return _sql(spark, sf_dir, _Q7_TABLES, _Q7)
+
+
+_Q8_TABLES = (
+    "part", "supplier", "lineitem", "orders", "customer", "nation", "region"
+)
+
+# TPC-H Q8 shape: 7-table star with a conditional-share aggregate. The
+# numerator is a CASE inside the decimal sum, so one pass computes both
+# sums — never two scans joined back; division + round(6) happen after
+# both sides are exact decimals cast to double.
+_Q8 = f"""
+SELECT o_year,
+       round({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {dsum_sql('volume')}, 6) AS mkt_share,
+       count(*) AS n_lineitems
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("sql_market_share", oracle=_Q8)
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market-share query via ``spark.sql``: the widest
+    join in the suite (7 tables, nation twice) feeding a conditional-share
+    aggregate — NATION_3 suppliers' slice of yearly PROMO volume sold to
+    ASIA customers. Everything except lineitem⋈orders broadcasts; the
+    share divides two DECIMAL-exact sums in double and rounds to 6 (the
+    registry's transcendental convention), so the ratio is cross-engine
+    stable."""
+    return _sql(spark, sf_dir, _Q8_TABLES, _Q8)
+
+
+_Q17_TABLES = ("lineitem", "part")
+
+# TPC-H Q17 shape: a per-group statistic (average quantity per part) joined
+# back against the detail rows of the SAME table — the classic "compare
+# each row to its group aggregate" pattern. The threshold is DECIMAL-exact
+# (sum/count, not avg()) so the boundary comparison cannot drift between
+# engines.
+_Q17 = f"""
+WITH part_avg AS (
+    SELECT l_partkey,
+           {dsum_sql('l_quantity')} / count(*) AS avg_qty
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT p_brand,
+       count(*) AS n_small,
+       {dsum_sql('l_extendedprice')} AS small_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+"""
+
+
+@query("sql_small_qty_revenue", oracle=_Q17)
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity revenue via ``spark.sql``: per-part
+    average quantities (one hash agg over the fact table) join back
+    against the fact rows, keeping lineitems below 20% of their part's
+    average — the decorrelated form of Q17's correlated subquery, which is
+    also the plan Spark/DuckDB rewrite it into. Both sides of the
+    row-vs-aggregate comparison are DECIMAL-exact before the one double
+    multiply, so no row can land on different sides of the threshold in
+    the two engines. At 100 TB both aggregates shuffle on l_partkey and
+    AQE reuses the partitioning for the join-back."""
+    return _sql(spark, sf_dir, _Q17_TABLES, _Q17)

@@ -65,12 +65,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          family); the remaining r02 ops lead the round-5 window.
 # After r4: no op's newest driver evidence predates r2.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-9: zero driver evidence (built post-r3-window, plus the
-    # round-4-new ivf_centroids) ---
+    # --- 1-13: zero driver evidence (built post-r3-window, plus the five
+    # round-4-new ops) ---
     "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
     "snapshot_time_travel", "analytics_pattern_match",
     "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
-    "ivf_centroids",
+    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
+    "sql_small_qty_revenue", "analytics_transition_matrix",
     # --- 9-36: newest driver evidence is r01 ---
     "text_fingerprint", "multimodal_meta", "text_lang_id",
     "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",

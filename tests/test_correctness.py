@@ -17,7 +17,8 @@ ZERO_EVIDENCE_R4 = [
     "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
     "snapshot_time_travel", "analytics_pattern_match",
     "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
-    "ivf_centroids",
+    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
+    "sql_small_qty_revenue", "analytics_transition_matrix",
 ]
 R01_ONLY = [
     "text_fingerprint", "multimodal_meta", "text_lang_id",

@@ -103,6 +103,7 @@ _OPS = (
     "fn_nested",
     "compact_small_files",
     "analytics_pattern_match",
+    "analytics_transition_matrix",
     "fn_url",
 )
 
