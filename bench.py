@@ -69,6 +69,8 @@ HEADLINE = (
     "graph_pagerank",
     "compact_small_files",
     "text_ngram_novelty",
+    "sql_market_share",
+    "analytics_transition_matrix",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can

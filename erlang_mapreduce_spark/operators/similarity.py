@@ -364,7 +364,10 @@ def _train_centroids(e: DataFrame):
         ).alias("vm"),
     )
     spread = em.filter(_spread_hash(F.col("vec_id")) == 0)
-    base = spread if spread.count() >= IVF_K else em
+    # fallback probe: "does the spread hold at least IVF_K vectors?" needs
+    # only IVF_K rows, so LIMIT bounds the probe scan (a bare count() here
+    # would scan the full corpus just to pick a branch at 100 TB)
+    base = spread if spread.limit(IVF_K).count() >= IVF_K else em
     sample = base.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("vm").collect()
     if not sample:
         return np.zeros((0, 0), dtype=np.int64)
@@ -430,7 +433,10 @@ spread AS (
     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
           % 4 = 0
 ),
-pick AS (SELECT (SELECT count(*) FROM spread) < {IVF_K} AS use_all),
+pick AS (
+    SELECT (SELECT count(*) FROM (SELECT 1 FROM spread LIMIT {IVF_K}))
+           < {IVF_K} AS use_all
+),
 samp AS (
     SELECT vec_id AS sid, vm FROM (
         SELECT vec_id, vm FROM spread WHERE NOT (SELECT use_all FROM pick)

@@ -118,6 +118,22 @@ def test_sql_suite_physical_strategies(spark, sf_dir):
     n5 = nodes_of(QUERIES["sql_revenue_by_nation"](spark, sf_dir))
     assert n5.count("BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in n5
+    # Q7 shape: both nation hops (the same table aliased twice) and the
+    # supplier/customer dims broadcast; no cartesian anywhere
+    n7 = nodes_of(QUERIES["sql_volume_shipping"](spark, sf_dir))
+    assert n7.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in n7
+    # Q8 shape: 7-table star — everything except the fact⋈orders spine
+    # broadcasts (6 broadcast hops at fixture stats)
+    n8 = nodes_of(QUERIES["sql_market_share"](spark, sf_dir))
+    assert n8.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in n8
+    # Q17 shape: per-part aggregate joined back to the detail rows — the
+    # join-back must be keyed (hash/sort-merge on l_partkey), never a
+    # nested loop, and the aggregate is a partial/final pair
+    n17 = nodes_of(QUERIES["sql_small_qty_revenue"](spark, sf_dir))
+    assert not any("NestedLoop" in n or "Cartesian" in n for n in n17)
+    assert any("HashAggregate" in n for n in n17)
 
 
 def test_rollup_single_scan_single_expand(spark, sf_dir):
