@@ -40,10 +40,10 @@ WITH pairs AS (
     SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
 ),
 edges AS (
-    SELECT 'p' || CAST(pk AS VARCHAR) AS src,
-           's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+    SELECT CAST(2 * pk AS BIGINT) AS src,
+           CAST(2 * sk + 1 AS BIGINT) AS dst FROM pairs
     UNION ALL
-    SELECT 's' || CAST(sk AS VARCHAR), 'p' || CAST(pk AS VARCHAR) FROM pairs
+    SELECT CAST(2 * sk + 1 AS BIGINT), CAST(2 * pk AS BIGINT) FROM pairs
 ),
 deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
 ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg USING (src)),
@@ -52,7 +52,10 @@ r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),"""
             _ROUND_SQL.format(i=i, p=i - 1) for i in range(1, PR_ITERS + 1)
         )
         + f"""
-SELECT node, r AS rank_micro FROM r{PR_ITERS}
+SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       r AS rank_micro
+FROM r{PR_ITERS}
 """
     ),
 )
@@ -75,25 +78,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape per round: ranks ⋈ edges on src (both sides arrive
     hash-partitioned on the SAME key from the previous round's agg, so
     AQE reuses the partitioning) then one hash agg on dst — the classic
-    2-exchange-per-round message-passing plan. Edges+degrees are built
-    once and cached (at 100 TB: persisted to durable storage — same
-    remedy as dedup_cluster_cc's checkpoint_dir, dedup.py). Iteration
-    count is FIXED, so the lineage stays 3 rounds deep — no unbounded
-    plan growth, no checkpoint needed at this depth."""
+    2-exchange-per-round message-passing plan. Nodes are PACKED LONGS
+    (part → 2k, supplier → 2k+1), not 'p123'-style strings: every round
+    shuffles the node key twice, and an 8-byte fixed key hashes,
+    compares, and ships several times cheaper than a variable-length
+    string — the human-readable form is restored in one narrow final
+    projection. Edges+degrees are built once and cached (at 100 TB:
+    persisted to durable storage — same remedy as dedup_cluster_cc's
+    checkpoint_dir, dedup.py). Iteration count is FIXED, so the lineage
+    stays 3 rounds deep — no unbounded plan growth, no checkpoint needed
+    at this depth."""
     release_transient_storage()  # free the previous invocation's blocks
     pairs = (
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
-    fwd = pairs.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    rev = pairs.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    )
+    pk2 = (F.col("l_partkey") * 2).cast("bigint")
+    sk2 = (F.col("l_suppkey") * 2 + 1).cast("bigint")
+    fwd = pairs.select(pk2.alias("src"), sk2.alias("dst"))
+    rev = pairs.select(sk2.alias("src"), pk2.alias("dst"))
     edges = fwd.unionAll(rev)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # pooled: blocks are released at the next pooled-op invocation (and by
@@ -114,4 +118,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r"
             )
         ).select(F.col("dst").alias("node"), "r")
-    return ranks.select("node", F.col("r").alias("rank_micro"))
+    return ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+            F.expr("node div 2").cast("string"),
+        ).alias("node"),
+        F.col("r").alias("rank_micro"),
+    )
