@@ -72,6 +72,7 @@ DRIVER_PRIORITY: list[str] = [
     "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
     "ivf_centroids", "sql_volume_shipping", "sql_market_share",
     "sql_small_qty_revenue", "analytics_transition_matrix",
+    "scan_binary_files",
     # --- 9-36: newest driver evidence is r01 ---
     "text_fingerprint", "multimodal_meta", "text_lang_id",
     "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
@@ -153,6 +154,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "scan_schema_evolution",
         "join_bloom_filtered",
         "snapshot_time_travel",
+        "scan_binary_files",
     }
 )
 

@@ -468,3 +468,86 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_score"),
     )
+
+
+BINFILE_MAX_DOC = 200  # bounded sample: one file per doc below this id
+
+
+@query(
+    "scan_binary_files",
+    oracle=f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha_hex
+FROM documents
+WHERE doc_id < {BINFILE_MAX_DOC} AND text IS NOT NULL
+""",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingest via Spark's ``binaryFile`` source — the
+    entry point for the multimodal family (analysis.py): real image/audio
+    corpora land as one opaque file per sample, and this format scans a
+    directory tree into (path, modificationTime, length, content) rows
+    with one task per file, no decode. Here a bounded, deterministic
+    sample of documents is materialized as UTF-8 ``doc_<id>.bin`` files
+    (scratch setup, cleaned before returning — the sink-op pattern), and
+    the scan reports each file's byte length and sha256 keyed by the id
+    parsed from its filename. DuckDB re-derives both straight from the
+    table (sha256 over UTF-8 — verified identical to hashing the file
+    bytes), so the round trip filesystem→binary-scan→digest is
+    hash-checked end to end.
+
+    Scale notes: binaryFile parallelizes per file and caps file size at
+    ``spark.sql.sources.binaryFile.maxLength`` (2 GB default) — right for
+    media corpora of many medium files; at 100 TB pack tiny samples into
+    an indexed container (the multimodal_meta docstring's tar/parquet
+    note) rather than scanning millions of KB-sized files, whose listing
+    and per-file task overheads dominate. NULL-text docs have no file to
+    write, matching the oracle's filter. The driver-side writes are
+    bounded by BINFILE_MAX_DOC (setup for the demonstrated SCAN, not the
+    data path)."""
+    import re
+    import shutil
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < BINFILE_MAX_DOC) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    base = os.path.join(
+        SINK_ROOT,
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-binfiles",
+    )
+    try:
+        os.makedirs(base, exist_ok=True)
+        for r in docs:
+            with open(os.path.join(base, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        if not docs:
+            return spark.createDataFrame(
+                [], "doc_id bigint, n_bytes bigint, sha_hex string"
+            )
+        scanned = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(base)
+            .select(
+                F.regexp_extract(
+                    F.col("path"), r"doc_(\d+)\.bin$", 1
+                ).cast("bigint").alias("doc_id"),
+                F.col("length").alias("n_bytes"),
+                F.sha2(F.col("content"), 256).alias("sha_hex"),
+            )
+        )
+        # the scratch dir is deleted on return, so the accounting must be
+        # materialized first (same reason as scan_schema_evolution)
+        return spark.createDataFrame(scanned.collect(), scanned.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        for d_ in (os.path.dirname(base),):
+            try:
+                os.rmdir(d_)
+            except OSError:
+                pass

@@ -104,6 +104,7 @@ _OPS = (
     "compact_small_files",
     "analytics_pattern_match",
     "analytics_transition_matrix",
+    "scan_binary_files",
     "fn_url",
 )
 
