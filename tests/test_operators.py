@@ -396,3 +396,60 @@ def test_pareto_topk_shape(spark, sf_dir):
     shares = [r.cum_share for r in rows]
     assert all(b >= a - 1e-9 for a, b in zip(shares, shares[1:]))
     assert 0 < shares[-1] <= 1.0 + 1e-9
+
+
+def test_transition_matrix_is_row_stochastic(spark, sf_dir):
+    """Per-source-state probabilities must sum to ~1 (round-6 residue
+    only), counts must equal the number of consecutive same-user pairs
+    with ordered timestamps, and every (from, to) pair must be unique."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["analytics_transition_matrix"](spark, sf_dir).collect()
+    assert len({(r.from_type, r.to_type) for r in rows}) == len(rows)
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-4, ft
+    n_events = (
+        load(spark, sf_dir, "events").filter("ts IS NOT NULL").count()
+    )
+    n_users = (
+        load(spark, sf_dir, "events")
+        .filter("ts IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_ivf_centroids_within_sample_hull(spark, sf_dir):
+    """Every trained centroid coordinate is a (floored) mean of sampled
+    micro values, so it must lie inside the corpus-wide [min, max] micro
+    hull per dimension; cells are 0..k-1 with every dim present."""
+    from pyspark.sql import functions as F
+
+    from erlang_mapreduce_spark.operators.similarity import (
+        IVF_DIM,
+        IVF_K,
+        _MICRO,
+    )
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    cents = QUERIES["ivf_centroids"](spark, sf_dir).collect()
+    cells = {r.cell for r in cents}
+    assert cells == set(range(len(cells)))
+    assert len(cells) <= IVF_K
+    per_cell: dict = {}
+    for r in cents:
+        per_cell.setdefault(r.cell, set()).add(r.dim)
+    assert all(dims == set(range(1, IVF_DIM + 1)) for dims in per_cell.values())
+    hull = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.explode(F.col("embedding").cast("array<double>")).alias("x"))
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = int(hull.lo * _MICRO) - 1, int(hull.hi * _MICRO) + 1
+    assert all(lo <= r.c_micro <= hi for r in cents)
