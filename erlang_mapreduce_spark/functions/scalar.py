@@ -96,10 +96,10 @@ SELECT l_orderkey, l_linenumber,
        round(l_extendedprice, 1) AS price_r1,
        abs(l_discount - 0.05) AS disc_dev,
        round(ln(l_extendedprice + 1), 6) AS log_price,
-       sqrt(l_quantity) AS qty_sqrt,
+       CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END AS qty_sqrt,
        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
        CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-       CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod,
+       CAST(CAST(floor(l_quantity) AS BIGINT) % 7 AS BIGINT) AS qty_mod,
        l_extendedprice / (1.0 + l_tax) AS pre_tax
 FROM lineitem
 """,
@@ -107,7 +107,11 @@ FROM lineitem
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family: round/abs/ln/sqrt/floor/ceil/mod/float-division (ref:
     calcProb's `/`, mapreduce.erl:139). ln rounded to 6 (libm ulp); sqrt is
-    IEEE-correctly-rounded so it matches exactly."""
+    IEEE-correctly-rounded so it matches exactly — but only on a guarded
+    domain: Spark yields NaN on a negative argument where DuckDB raises,
+    so both sides CASE the negative rows to NULL. The mod quantizes with
+    an explicit floor() (double→bigint casting truncates in Spark and
+    rounds in DuckDB — both fuzz findings, tests/test_sql_fuzz.py)."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -115,10 +119,12 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_extendedprice", 1).alias("price_r1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")).alias(
+            "qty_sqrt"
+        ),
         F.floor("l_extendedprice").alias("price_floor"),
         F.ceil("l_extendedprice").alias("price_ceil"),
-        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+        (F.floor("l_quantity").cast("bigint") % 7).alias("qty_mod"),
         (F.col("l_extendedprice") / (F.lit(1.0) + F.col("l_tax"))).alias(
             "pre_tax"
         ),

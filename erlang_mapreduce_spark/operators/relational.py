@@ -83,7 +83,7 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        count(*) AS cnt,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        {dsum_sql('l_extendedprice')} AS sum_price
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -93,11 +93,14 @@ def agg_hash_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy count/sum — Spark's partial+final HashAggregate pair is the
     built-in analog of the reference's mapper-ETS combine + reducer merge
     (mapreduce.erl:275-282, :236-255): shuffle volume is O(distinct keys),
-    not O(rows)."""
+    not O(rows). The integer quantity sum quantizes each row with an
+    EXPLICIT floor(): a bare double→bigint cast truncates in Spark but
+    rounds in DuckDB (test_sql_fuzz finding — identity on the
+    integer-valued fixture, divergent on any fractional quantity)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_price"),
     )
 
@@ -177,20 +180,21 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT count(*) AS cnt,
        {dsum_sql('l_extendedprice')} AS sum_price,
        {davg_sql('l_discount')} AS avg_disc,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-wide scalar aggregate (ref: countTotal fold,
     mapreduce.erl:130-134). Partial aggregation makes this a single-row
-    shuffle regardless of input size."""
+    shuffle regardless of input size. Explicit floor() quantization —
+    see agg_hash_count's cast-divergence note."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("cnt"),
         dsum("l_extendedprice").alias("sum_price"),
         davg("l_discount").alias("avg_disc"),
-        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty"),
     )
 
 

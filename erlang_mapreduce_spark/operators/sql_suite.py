@@ -40,10 +40,14 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], text: str) -
 # filter and the 7-column projection both push into the parquet scan; the
 # aggregation is a partial/final HashAggregate pair (map-side combine ≙
 # mapreduce.erl:275-282) with shuffle volume O(4 groups), independent of
-# row count — the ideal 100 TB shape.
+# row count — the ideal 100 TB shape. sum_qty goes through the DECIMAL
+# sum like every money column: its earlier CAST(l_quantity AS BIGINT)
+# form diverged on fractional quantities (Spark truncates double→bigint,
+# DuckDB rounds — found by tests/test_sql_fuzz.py, invisible on the
+# integer-valued fixture).
 _Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {dsum_sql('l_quantity')} AS sum_qty,
        {dsum_sql('l_extendedprice')} AS sum_base_price,
        {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
        {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
