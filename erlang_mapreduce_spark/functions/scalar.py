@@ -167,15 +167,22 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_json",
     oracle="""
 SELECT event_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+       END AS k,
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+       END % 10 AS k_bucket
 FROM events
 """,
 )
 def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family: extract a typed field from the events.props JSON blob.
     get_json_object avoids a full from_json schema parse when only one path
-    is needed (cheaper at scale: no struct materialization)."""
+    is needed (cheaper at scale: no struct materialization). Malformed
+    JSON yields NULL in Spark but a hard error in DuckDB's extractor —
+    the oracle guards with json_valid so both sides degrade to NULL
+    (fuzz-found; real corpora always carry some broken blobs)."""
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return e.select(

@@ -236,9 +236,9 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
 WITH purchases AS (SELECT event_id, user_id, ts FROM events
-                   WHERE event_type = 'purchase'),
+                   WHERE event_type = 'purchase' AND ts IS NOT NULL),
      signups   AS (SELECT user_id, ts FROM events
-                   WHERE event_type = 'signup')
+                   WHERE event_type = 'signup' AND ts IS NOT NULL)
 SELECT p.event_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
        strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
@@ -253,8 +253,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps). Implemented as union + running last(): one shuffle on
     user_id, sort within partition, running carry of the signup timestamp —
     O(n log n) per key group, no per-key Python, no nested loop. Signup
-    rows sort BEFORE purchases at equal ts so >= semantics hold."""
-    e = load(spark, sf_dir, "events")
+    rows sort BEFORE purchases at equal ts so >= semantics hold. NULL-ts
+    rows are dropped on BOTH sides: an untimed record has no as-of
+    position — and DuckDB's ASOF sort treats a NULL probe ts as +inf
+    (matching it to the LAST signup) where the predicate semantics say
+    no match, so the filter is also what keeps the engines agreeing
+    (fuzz-found, tests/test_sql_fuzz.py)."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     signups = e.filter(F.col("event_type") == "signup").select(
         "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
         F.lit(1).alias("is_signup"),

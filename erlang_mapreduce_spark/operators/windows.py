@@ -56,13 +56,19 @@ SELECT event_id,
        first_value(value) OVER w AS first_value,
        lag(event_type, 2, 'none') OVER w AS prev2_type
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
 """,
 )
 def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag / lead / first_value / offset-with-default per user timeline."""
+    """lag / lead / first_value / offset-with-default per user timeline.
+    The projection keeps every row (unlike the timeline AGGREGATES, which
+    drop untimed events), so NULL ts must have ONE agreed position: both
+    sides order ts NULLS LAST explicitly — Spark's asc default is nulls
+    first, DuckDB's nulls last (fuzz-found divergence)."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return e.select(
         "event_id",
         F.lag("value").over(w).alias("prev_value"),

@@ -8,7 +8,10 @@ state store, late-data drop — lives in streams.py (rows-only checks).
 
 Spark's window(ts, ...) buckets align to the unix epoch; the oracles
 reproduce that with epoch arithmetic (300 s and 600 s divide both engines'
-epoch origins, so alignment is identical).
+epoch origins, so alignment is identical). window()/session_window() DROP
+NULL-timestamp rows (no bucket to land in); every oracle mirrors that with
+an explicit ts IS NOT NULL (fuzz-found: the fixture has no NULL ts, random
+corpora do).
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300),
        count(*) AS cnt,
        {dsum_sql('value')} AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -60,6 +64,7 @@ WITH slid AS (
     SELECT to_timestamp(floor(epoch(ts) / 300) * 300 - k.k * 300) AS win_start,
            user_id
     FROM events, (SELECT unnest([0, 1]) AS k) k
+    WHERE ts IS NOT NULL
 )
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
        count(*) AS cnt,
@@ -96,6 +101,7 @@ WITH marked AS (
                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessioned AS (

@@ -190,3 +190,145 @@ RELATIONAL_OPS = (
 def test_relational_op_matches_oracle_on_random_db(spark, fuzz_dirs, name):
     for d in fuzz_dirs:
         run_compare(spark, name, d)
+
+
+# ---------------------------------------------------------------------------
+# documents / events / embeddings fuzz: the text, dedup, analytics, and
+# similarity families on random corpora — duplicate texts (verbatim
+# collapse), empty and single-word docs, NULL text/lang/ts/type spikes,
+# timestamp ties, malformed JSON props, zero and duplicate vectors.
+
+_VOCAB = (
+    "the fast key order sort table scan merge part window small hash "
+    "join batch stream spark dup alpha beta gamma delta rook pawn née "
+    "tokyo zürich data row"
+).split()
+
+
+def _gen_corpus_dir(base: str, seed: int) -> str:
+    rng = np.random.default_rng(seed + 900)
+    d = os.path.join(base, f"fuzz_corpus_{seed}")
+    os.makedirs(d, exist_ok=True)
+
+    n_doc, n_evt, n_vec, dim = 120, 400, 60, 64
+
+    def write(name, table):
+        pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+
+    texts: list = []
+    for i in range(n_doc):
+        r = rng.random()
+        if r < 0.10 and texts:  # verbatim duplicate of an earlier doc
+            texts.append(texts[rng.integers(0, len(texts))])
+        elif r < 0.14:
+            texts.append("")  # empty doc
+        elif r < 0.18:
+            texts.append(str(rng.choice(_VOCAB)))  # single word, no gram
+        else:
+            k = int(rng.integers(3, 40))
+            texts.append(" ".join(rng.choice(_VOCAB, k)))
+    text_arr = _spike(rng, pa.array(texts), p=0.08)
+    write("documents", pa.table({
+        "doc_id": pa.array(range(n_doc), pa.int64()),
+        "text": text_arr,
+        "lang": _spike(rng, pa.array(
+            rng.choice(["en", "de", "zh", "fr", "es"], n_doc))),
+        "source": pa.array(
+            [f"src{rng.integers(0, 8)}" for _ in range(n_doc)]
+        ),
+        "n_chars": pa.array(
+            [None if t is None else len(t) for t in text_arr.to_pylist()],
+            pa.int64(),
+        ),
+    }))
+
+    props = [
+        None if rng.random() < 0.08
+        else ("{not json" if rng.random() < 0.05
+              else '{"k": %d}' % rng.integers(0, 100))
+        for _ in range(n_evt)
+    ]
+    write("events", pa.table({
+        "event_id": pa.array(range(1, n_evt + 1), pa.int64()),
+        "ts": _spike(rng, _ts_array(rng, n_evt, 2023, 2025), p=0.08),
+        "user_id": pa.array(rng.integers(1, 40, n_evt), pa.int64()),
+        "event_type": _spike(rng, pa.array(
+            rng.choice(["view", "click", "purchase", "signup", "error"],
+                       n_evt))),
+        "value": _spike(rng, pa.array(
+            np.round(rng.uniform(-10, 500, n_evt), 3))),
+        "props": pa.array(props),
+    }))
+
+    vecs = rng.standard_normal((n_vec, dim)).astype(np.float32)
+    vecs[7] = vecs[3]  # exact duplicate pair
+    write("embeddings", pa.table({
+        "vec_id": pa.array(range(n_vec), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 5, n_vec), pa.int32()),
+    }))
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copyfile(
+            os.path.join(_SRC, f"{t}.parquet"),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    return d
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("corpus_fuzz"))
+    return [_gen_corpus_dir(base, s) for s in _SEEDS[:2]]
+
+
+DOC_OPS = (
+    "text_fingerprint", "text_lang_id", "text_pii_scrub", "text_tfidf",
+    "text_quality_score", "text_token_count", "text_normalize",
+    "text_tokenize", "text_bigram_freq", "text_repetition_score",
+    "text_unigram_logprob", "text_ngram_novelty", "text_decontaminate",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash",
+    "dedup_passage", "dedup_span_rolling", "dedup_cluster_cc",
+    "sample_quality_weighted", "sample_mix_rebalance",
+    "sample_cap_per_source", "sample_split_train_eval",
+    "agg_ngram_counts", "agg_heavy_hitters", "pipeline_corpus_clean",
+    "pipeline_seq_pack", "fn_array", "fn_url", "udf_scalar", "udtf",
+    "multimodal_meta", "multimodal_decode", "multimodal_frame_sample",
+)
+
+EVT_OPS = (
+    "analytics_pattern_match", "analytics_transition_matrix",
+    "analytics_cohort_retention", "analytics_funnel",
+    "analytics_sessionize", "analytics_anomaly_extremes",
+    "analytics_active_users_7d", "agg_bitmap_distinct",
+    "join_null_safe", "join_theta_range", "join_asof", "join_interval",
+    "join_asof_tolerance", "win_analytic", "win_range_interval",
+    "cdc_latest_by_key", "cdc_scd2", "fn_map_json", "udf_grouped",
+    "udaf", "stream_tumbling", "stream_sliding", "stream_session",
+    "rollup_time_hypertable", "ts_gap_fill",
+)
+
+EMB_OPS = ("dedup_embedding", "sim_search", "sim_search_ann",
+           "ivf_centroids")
+
+
+@pytest.mark.parametrize("name", DOC_OPS)
+def test_doc_op_matches_oracle_on_random_corpus(spark, corpus_dirs, name):
+    for d in corpus_dirs:
+        run_compare(spark, name, d)
+
+
+@pytest.mark.parametrize("name", EVT_OPS)
+def test_event_op_matches_oracle_on_random_events(spark, corpus_dirs, name):
+    for d in corpus_dirs:
+        run_compare(spark, name, d)
+
+
+@pytest.mark.parametrize("name", EMB_OPS)
+def test_embedding_op_matches_oracle_on_random_vectors(
+    spark, corpus_dirs, name
+):
+    for d in corpus_dirs:
+        run_compare(spark, name, d)
