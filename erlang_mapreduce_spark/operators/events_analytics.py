@@ -453,3 +453,106 @@ def analytics_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").rlike("v[^c]*p").alias("direct_purchase"),
         F.col("seq").rlike("e[^p]*p").alias("recovered_purchase"),
     )
+
+
+_RFM_SEG_SQL = """
+CASE WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+     WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+     WHEN r_score <= 2 THEN 'at_risk'
+     WHEN f_score >= 3 THEN 'loyal'
+     ELSE 'regular' END
+""".strip()
+
+
+@query(
+    "analytics_rfm",
+    oracle=f"""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS rec,
+           count(*) AS freq,
+           {dsum_sql('o_totalprice')} AS mon
+    FROM orders GROUP BY 1
+),
+b AS (
+    SELECT quantile_cont(rec,  [0.25, 0.5, 0.75]) AS rq,
+           quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+           quantile_cont(mon,  [0.25, 0.5, 0.75]) AS mq
+    FROM cust
+),
+scored AS (
+    SELECT c.o_custkey, c.rec, c.freq, c.mon,
+           1 + CAST(c.rec > b.rq[1] AS INT) + CAST(c.rec > b.rq[2] AS INT)
+             + CAST(c.rec > b.rq[3] AS INT) AS r_score,
+           1 + CAST(c.freq > b.fq[1] AS INT) + CAST(c.freq > b.fq[2] AS INT)
+             + CAST(c.freq > b.fq[3] AS INT) AS f_score,
+           1 + CAST(c.mon > b.mq[1] AS INT) + CAST(c.mon > b.mq[2] AS INT)
+             + CAST(c.mon > b.mq[3] AS INT) AS m_score
+    FROM cust c, b
+)
+SELECT o_custkey, rec, freq, mon, r_score, f_score, m_score,
+       {_RFM_SEG_SQL} AS segment
+FROM scored
+""",
+)
+def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse scoring workload: per customer, last-order epoch,
+    order count, and decimal-exact spend, each scored into quartiles and
+    mapped to a named segment (champion / loyal / at_risk / hibernating /
+    regular).
+
+    Scale shape: the naive scoring is three GLOBAL ntile windows — one
+    sorted task holding every customer. Here quartile BOUNDARIES come
+    from one `percentile` aggregate over the per-customer rollup (a
+    9-double result, distributed partial agg), broadcast into a narrow
+    three-comparison projection — the agg_quantile_bins pattern, which
+    also carries the cross-engine exactness argument (dyadic fractions,
+    exact interpolation on integer metrics, identical decimal-cast
+    doubles on spend; quartile ties land in the LOWER bucket on both
+    engines, where ntile would split them arbitrarily by row order).
+    Epoch recency is floor()'d to BIGINT on both sides."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.unix_timestamp(F.max("o_orderdate")).alias("rec"),
+        F.count("*").alias("freq"),
+        dsum("o_totalprice").alias("mon"),
+    )
+    b = cust.agg(
+        F.expr("percentile(rec,  array(0.25D, 0.5D, 0.75D))").alias("rq"),
+        F.expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").alias("fq"),
+        F.expr("percentile(mon,  array(0.25D, 0.5D, 0.75D))").alias("mq"),
+    )
+
+    def score(metric: str, qs: str):
+        return (
+            F.lit(1)
+            + (F.col(metric) > F.col(qs)[0]).cast("int")
+            + (F.col(metric) > F.col(qs)[1]).cast("int")
+            + (F.col(metric) > F.col(qs)[2]).cast("int")
+        )
+
+    scored = cust.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        "rec",
+        "freq",
+        "mon",
+        score("rec", "rq").alias("r_score"),
+        score("freq", "fq").alias("f_score"),
+        score("mon", "mq").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.when(
+            (F.col("r_score") == 4) & (F.col("f_score") == 4),
+            F.lit("champion"),
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+            F.lit("hibernating"),
+        )
+        .when(F.col("r_score") <= 2, F.lit("at_risk"))
+        .when(F.col("f_score") >= 3, F.lit("loyal"))
+        .otherwise(F.lit("regular"))
+        .alias("segment"),
+    )

@@ -56,24 +56,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # artifact CORRECTNESS_local_full.json).
 #
 # Round-4 window (this ordering), freshest-evidence-last policy:
-#   1-8:   the 8 ops built after the r3 window was packed — the only ops
-#          the driver has NEVER seen (local-full hash-green only).
-#   9-36:  the 28 ops whose newest driver evidence is r01 (rotated out
+#   1-16:  zero driver evidence — the 8 ops built after the r3 window was
+#          packed plus the 8 round-4-new ops.
+#   17-44: the 28 ops whose newest driver evidence is r01 (rotated out
 #          since round 1 — the oldest evidence in the registry).
-#   37:    the flagship text_bigram_freq (kept in-window every round).
-#   38-50: 13 of the r02-evidence contract ops (scan/sink + the join
-#          family); the remaining r02 ops lead the round-5 window.
+#   45:    the flagship text_bigram_freq (kept in-window every round).
+#   46-50: the first 5 r02-evidence contract ops; the rest of the r02
+#          block leads the round-5 window.
 # After r4: no op's newest driver evidence predates r2.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-13: zero driver evidence (built post-r3-window, plus the five
-    # round-4-new ops) ---
+    # --- 1-16: zero driver evidence (post-r3-window builds + round-4-new) ---
     "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
     "snapshot_time_travel", "analytics_pattern_match",
     "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
     "ivf_centroids", "sql_volume_shipping", "sql_market_share",
     "sql_small_qty_revenue", "analytics_transition_matrix",
-    "scan_binary_files",
-    # --- 9-36: newest driver evidence is r01 ---
+    "scan_binary_files", "analytics_rfm", "stream_python_source",
+    # --- 17-44: newest driver evidence is r01 ---
     "text_fingerprint", "multimodal_meta", "text_lang_id",
     "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
     "text_tfidf", "text_quality_score", "text_token_count",
@@ -84,9 +83,10 @@ DRIVER_PRIORITY: list[str] = [
     "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
     "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
     "agg_unpivot",
-    # --- 37: flagship, driver-checked every round ---
+    # --- 45: flagship, driver-checked every round ---
     "text_bigram_freq",
-    # --- 38-50: r02 evidence, oldest half of the contract block ---
+    # --- 46+: r02 evidence (first 5 make the window; the rest rotate
+    # into the round-5 window first) ---
     "scan_parquet", "scan_text", "scan_csv_json", "sink_partitioned",
     "project_select", "filter_pred",
     "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
@@ -155,6 +155,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "join_bloom_filtered",
         "snapshot_time_travel",
         "scan_binary_files",
+        "stream_python_source",
     }
 )
 

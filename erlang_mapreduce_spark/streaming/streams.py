@@ -541,3 +541,127 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- custom PYTHON streaming source (pyspark.sql.datasource stream API) ---
+
+_PYSTREAM_BATCHES = 4
+_PYSTREAM_PARTS = 2  # partitions per micro-batch (parallel read() calls)
+_PYSTREAM_ROWS = 500  # rows per partition
+
+
+def _register_synth_stream(spark: SparkSession) -> None:
+    """Define + register the `synthstream` Python STREAMING data source —
+    the incremental twin of scans._register_synth_source: the same
+    Knuth-hash row formula, but produced through the DataSourceStreamReader
+    protocol (initialOffset → latestOffset → partitions(start, end) →
+    parallel read() per InputPartition → commit). Classes live inside the
+    function so the package imports cleanly where the API is absent."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _StreamReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def latestOffset(self):
+            # a bounded replay: availableNow drains exactly these batches;
+            # a real connector would return its upstream high-watermark
+            return {"batch": _PYSTREAM_BATCHES}
+
+        def partitions(self, start, end):
+            return [
+                InputPartition((b, p))
+                for b in range(start["batch"], end["batch"])
+                for p in range(_PYSTREAM_PARTS)
+            ]
+
+        def read(self, partition):
+            b, p = partition.value
+            lo = (b * _PYSTREAM_PARTS + p) * _PYSTREAM_ROWS
+            for i in range(lo, lo + _PYSTREAM_ROWS):
+                # the scan_python_datasource formula: every row derivable
+                # from the partition index alone (independently computable
+                # splits — what makes replay deterministic AND parallel)
+                yield (i, i % 7, (i * 2654435761 % 1000) / 100.0)
+
+        def commit(self, end):
+            pass
+
+    class _SynthStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthstream"
+
+        def schema(self):
+            return "id bigint, bucket int, score double"
+
+        def streamReader(self, schema):
+            return _StreamReader()
+
+    spark.dataSource.register(_SynthStream)
+
+
+_PYSTREAM_N = _PYSTREAM_BATCHES * _PYSTREAM_PARTS * _PYSTREAM_ROWS
+
+
+@query(
+    "stream_python_source",
+    oracle=f"""
+SELECT CAST(id % 7 AS INTEGER) AS bucket,
+       count(*) AS cnt,
+       CAST(SUM(CAST(((id * 2654435761 % 1000) / 100.0) AS DECIMAL(29,6)))
+            AS DOUBLE) AS sum_score
+FROM generate_series(0, {_PYSTREAM_N - 1}) t(id)
+GROUP BY 1
+""",
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming from a CUSTOM PYTHON SOURCE — the ingest shape
+    for any Python-reachable feed (an internal queue, a poll-based API)
+    without a JVM connector: the `synthstream` source advances an offset
+    per micro-batch, Spark fans each batch's InputPartitions across python
+    workers, and an incremental groupBy aggregates across batches in
+    complete mode. availableNow drains the bounded offset range, so the
+    replay is deterministic and the final aggregate equals the batch
+    computation over all generated rows — which is exactly what the DuckDB
+    generate_series oracle computes (integer arithmetic + one division +
+    decimal sums; the same cross-engine argument as
+    scan_python_datasource). sf_dir is unused: the source IS the data.
+
+    Scale notes: offsets are the durability contract — on restart Spark
+    replays from the last committed offset, so a real connector maps them
+    to upstream positions (Kafka offsets, API cursors); per-batch
+    parallelism is the partitions() fan-out; python-worker marshalling is
+    the slow path, so a bulk connector emits Arrow batches or lands
+    parquet instead (scan_python_datasource's note)."""
+    import time as _t
+
+    _register_synth_stream(spark)
+    agg = (
+        spark.readStream.format("synthstream")
+        .load()
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("score").cast("decimal(29,6)"))
+            .cast("double")
+            .alias("sum_score"),
+        )
+    )
+    sink = f"pystream_{abs(hash(sf_dir)) % 10**8}"
+    ckpt = f"/tmp/spark_graft_ckpt/{sink}-{_t.time_ns()}"
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(sink)

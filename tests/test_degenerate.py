@@ -49,6 +49,7 @@ _NONZERO_ON_EMPTY = {
     # the Python data source generates its own rows — table inputs
     # (empty or not) don't exist for it
     "scan_python_datasource": 7,
+    "stream_python_source": 7,
 }
 
 

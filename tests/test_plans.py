@@ -242,6 +242,7 @@ _BNLJ_BY_DESIGN = {
     "text_unigram_logprob",
     "analytics_pareto_topk",  # 1-row broadcast total × K-row report
     "agg_quantile_bins",  # 1-row broadcast boundaries × narrow projection
+    "analytics_rfm",  # 1-row broadcast quartile boundaries, same shape
 }
 
 

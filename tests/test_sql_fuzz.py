@@ -181,7 +181,7 @@ RELATIONAL_OPS = (
     "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_bitwise",
     "fn_agg_collect", "fn_nested",
     "hist_numeric", "sample_hash", "sample_stratified",
-    "profile_columns", "analytics_pareto_topk",
+    "profile_columns", "analytics_pareto_topk", "analytics_rfm",
     "graph_pagerank", "sort_zorder_layout",
 )
 
