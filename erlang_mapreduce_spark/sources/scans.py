@@ -481,6 +481,7 @@ SELECT doc_id,
        sha256(text) AS sha_hex
 FROM documents
 WHERE doc_id < {BINFILE_MAX_DOC} AND text IS NOT NULL
+  AND octet_length(encode(text)) > 0
 """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,15 +504,22 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     an indexed container (the multimodal_meta docstring's tar/parquet
     note) rather than scanning millions of KB-sized files, whose listing
     and per-file task overheads dominate. NULL-text docs have no file to
-    write, matching the oracle's filter. The driver-side writes are
-    bounded by BINFILE_MAX_DOC (setup for the demonstrated SCAN, not the
-    data path)."""
+    write, and EMPTY texts are excluded on both sides because Spark's
+    binaryFile source silently SKIPS zero-byte files (verified;
+    fuzz-found — a real ingest pipeline should know its empty samples
+    never arrive through this path). The driver-side writes are bounded
+    by BINFILE_MAX_DOC (setup for the demonstrated SCAN, not the data
+    path)."""
     import re
     import shutil
 
     docs = (
         load(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < BINFILE_MAX_DOC) & F.col("text").isNotNull())
+        .filter(
+            (F.col("doc_id") < BINFILE_MAX_DOC)
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
         .select("doc_id", "text")
         .collect()
     )

@@ -332,3 +332,36 @@ def test_embedding_op_matches_oracle_on_random_vectors(
 ):
     for d in corpus_dirs:
         run_compare(spark, name, d)
+
+
+# Writers/sinks and the true streaming-replay ops: eager (each invocation
+# writes scratch or drives a real incremental query), so one seed keeps
+# the sweep affordable — the NULL/tie/duplicate shapes still flow through
+# the actual write→read-back and micro-batch paths.
+WRITER_OPS = (
+    "sink_partitioned", "sink_text_formatted", "scan_text",
+    "scan_csv_json", "scan_partition_pruned", "scan_orc",
+    "scan_schema_evolution", "merge_upsert", "snapshot_time_travel",
+    "compact_small_files", "multimodal_resize", "scan_binary_files",
+    "pipeline_dataset_export",
+)
+
+STREAM_REPLAY_OPS = (
+    "stream_custom_state", "stream_watermark_late",
+    "stream_stateful_dedup", "stream_stream_join",
+    "stream_file_sink", "stream_foreachbatch_upsert",
+)
+
+
+@pytest.mark.parametrize("name", WRITER_OPS)
+def test_writer_op_matches_oracle_on_random_db(spark, fuzz_dirs,
+                                               corpus_dirs, name):
+    run_compare(spark, name, fuzz_dirs[0])
+    run_compare(spark, name, corpus_dirs[0])
+
+
+@pytest.mark.parametrize("name", STREAM_REPLAY_OPS)
+def test_stream_replay_op_matches_oracle_on_random_events(
+    spark, corpus_dirs, name
+):
+    run_compare(spark, name, corpus_dirs[0])
