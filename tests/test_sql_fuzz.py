@@ -343,8 +343,12 @@ WRITER_OPS = (
     "scan_csv_json", "scan_partition_pruned", "scan_orc",
     "scan_schema_evolution", "merge_upsert", "snapshot_time_travel",
     "compact_small_files", "multimodal_resize", "scan_binary_files",
-    "pipeline_dataset_export",
+    "pipeline_dataset_export", "join_bloom_filtered",
+    "dedup_cluster_keep_best",
 )
+# With these, EVERY oracle-checkable op is fuzzed; the only exclusions
+# are rows-only-by-design (agg_approx, sim_search_ivf) and the two
+# self-generating Python sources whose output is data-independent.
 
 STREAM_REPLAY_OPS = (
     "stream_custom_state", "stream_watermark_late",
