@@ -39,6 +39,7 @@ from ..ckpt import (
 )
 from ..registry import query
 from ..tables import load, scan_parallel
+from .curation import _MD5_UNIFORM_SQL
 
 
 def _materialize(df: DataFrame, name: str) -> DataFrame:
@@ -1121,4 +1122,54 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )
+
+
+@query(
+    "dedup_cluster_downweight",
+    oracle=f"""
+{_CC_CTES.strip()},
+csize AS (
+    SELECT cluster_id, count(*) AS cluster_size
+    FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       round(1.0 / s.cluster_size, 6) AS keep_p
+FROM labels l JOIN csize s USING (cluster_id)
+WHERE {_MD5_UNIFORM_SQL.format(col="l.doc_id")} < 1.0 / s.cluster_size
+""",
+)
+def dedup_cluster_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup by cluster-size DOWN-WEIGHTING — the alternative to
+    hard keep-one-per-cluster (dedup_cluster_keep_best) several training
+    pipelines prefer: every document in a near-dup cluster of size R
+    survives with probability 1/R, so each duplicated CONTENT contributes
+    ~one expected copy while which copy survives stays unbiased (hard
+    dedup always keeps the same member, concentrating any correlated
+    artifacts of the keeper rule). Singletons have keep_p 1.0 and always
+    survive.
+
+    The keep decision compares an md5-derived uniform against 1/R — the
+    sample_quality_weighted determinism rule (same verdict both engines,
+    every run, any partitioning; NOT rand()). Plan: CC labels (see
+    dedup_cluster_cc) → one count agg on cluster_id → an equi-join back —
+    both keyed on cluster_id so the exchange is reused; the filter is
+    narrow. 1/R division and the uniform are bit-identical cross-engine
+    (exact int→double conversions, one IEEE divide)."""
+    from .curation import _md5_uniform
+
+    labels = dedup_cluster_cc(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    keep_p_raw = F.lit(1.0) / F.col("cluster_size")
+    return (
+        labels.join(sizes, "cluster_id")
+        .filter(_md5_uniform(F.col("doc_id")) < keep_p_raw)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.round(keep_p_raw, 6).alias("keep_p"),
+        )
     )
