@@ -1173,3 +1173,133 @@ def dedup_cluster_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(keep_p_raw, 6).alias("keep_p"),
         )
     )
+
+
+CONTAIN_T = 0.8  # containment threshold: |A∩B| / |A| for the contained side
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+{_GRAMS_CTE.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+hydrated AS (
+    SELECT i.doc_a, i.doc_b, i.ix, sa.sz AS sa, sb.sz AS sb
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a AS doc_contained, doc_b AS doc_container,
+       CAST(ix AS DOUBLE) / sa AS containment
+FROM hydrated WHERE CAST(ix AS DOUBLE) / sa >= {CONTAIN_T}
+UNION ALL
+SELECT doc_b, doc_a, CAST(ix AS DOUBLE) / sb
+FROM hydrated WHERE CAST(ix AS DOUBLE) / sb >= {CONTAIN_T}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered (contained, container) pairs
+    where the contained document's gram set is ≥ {CONTAIN_T:.0%} inside the
+    other's — the partial-copy / quotation / boilerplate-wrapper signal
+    symmetric Jaccard misses (a short doc fully quoted inside a long one
+    has low Jaccard but containment ~1). Same inverted-index machinery as
+    dedup_ngram_jaccard — rare-gram pair stream, count prefilter
+    (ix ≥ T·least(sa, sb) keeps every pair that could clear EITHER
+    direction; exact while the DF cap is inert), exact array_intersect
+    verify — then each direction's containment ix/|contained| filters
+    independently, so one unordered candidate can emit zero, one, or both
+    ordered rows. Verbatim-duplicate groups collapse to representatives
+    (identical sets ⇒ identical containments) and expand ORDERED: both
+    directions hold at 1.0 inside a group, and a cross-group rep verdict
+    applies member-wise in its own orientation. Exact integer division in
+    IEEE doubles — bit-identical cross-engine, no rounding needed."""
+    release_transient_storage()  # free the previous invocation's blocks
+    docs = load(spark, sf_dir, "documents")
+    members, rep_docs = _verbatim_reps(docs)
+    members = _materialize(members, "containment_members")
+    doc_sets = _materialize(
+        _doc_gram_sets(rep_docs), "containment_gram_sets"
+    )
+    inter = (
+        _rare_pair_stream(doc_sets)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sizes = doc_sets.select("doc_id", F.size("ghs").alias("sz"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cands = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("cnt").cast("double")
+            >= CONTAIN_T * F.least("sa.sz", "sb.sz")
+        )
+        .select("doc_a", "doc_b")
+    )
+    ga, gb = doc_sets.alias("ga"), doc_sets.alias("gb")
+    verified = (
+        cands.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga.ghs", "gb.ghs"))
+            .cast("double")
+            .alias("ix"),
+            F.size("ga.ghs").cast("double").alias("sa"),
+            F.size("gb.ghs").cast("double").alias("sb"),
+        )
+    )
+    rep_ordered = (
+        verified.filter(F.col("ix") / F.col("sa") >= CONTAIN_T).select(
+            F.col("doc_a").alias("rep_con"),
+            F.col("doc_b").alias("rep_holder"),
+            (F.col("ix") / F.col("sa")).alias("containment"),
+        )
+    ).unionByName(
+        verified.filter(F.col("ix") / F.col("sb") >= CONTAIN_T).select(
+            F.col("doc_b").alias("rep_con"),
+            F.col("doc_a").alias("rep_holder"),
+            (F.col("ix") / F.col("sb")).alias("containment"),
+        )
+    )
+    # ordered member expansion: contained members × container members,
+    # each in its rep verdict's orientation
+    m_con = members.select(
+        F.col("rep_id").alias("rep_con"), F.col("doc_id").alias("dc")
+    )
+    m_hold = members.select(
+        F.col("rep_id").alias("rep_holder"), F.col("doc_id").alias("dh")
+    )
+    cross = (
+        rep_ordered.join(m_con, "rep_con")
+        .join(m_hold, "rep_holder")
+        .select(
+            F.col("dc").alias("doc_contained"),
+            F.col("dh").alias("doc_container"),
+            "containment",
+        )
+    )
+    # within-group: every ORDERED pair of a verbatim group with a
+    # nonempty gram set is mutual containment 1.0
+    elig = _nonempty_reps(doc_sets)
+    w1 = members.join(elig, members.rep_id == elig.rep_id).select(
+        members.rep_id.alias("r"), F.col("doc_id").alias("dc")
+    )
+    w2 = members.select(
+        F.col("rep_id").alias("r"), F.col("doc_id").alias("dh")
+    )
+    within = (
+        w1.join(w2, "r")
+        .filter(F.col("dc") != F.col("dh"))
+        .select(
+            F.col("dc").alias("doc_contained"),
+            F.col("dh").alias("doc_container"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within)

@@ -79,6 +79,7 @@ _OPS = (
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_containment",
     "dedup_passage",
     "dedup_span_rolling",
     "dedup_levenshtein",
