@@ -337,3 +337,35 @@ def test_transient_storage_released_between_invocations(spark, sf_dir):
     assert jsc.getPersistentRDDs().size() > before  # blocks exist while live
     release_transient_storage()
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_containment_consistent_with_jaccard(spark, sf_dir):
+    """Cross-op algebra: for any unordered pair, jaccard = ix/(sa+sb-ix)
+    and containment_a = ix/sa ≥ jaccard — so every jaccard-pair must
+    appear in the containment output in at least one orientation with a
+    value ≥ its jaccard (thresholds 0.5 vs 0.8 permitting: a pair with
+    jaccard ≥ 0.8 certainly clears containment in both orientations at
+    ≥ 0.8). Also: orientation sanity — (a,b) and (b,a) both present only
+    when both directions clear the threshold."""
+    from erlang_mapreduce_spark.operators.dedup import (
+        CONTAIN_T,
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    con = {
+        (r.doc_contained, r.doc_container): r.containment
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    for (a, b), j in jac.items():
+        if j >= CONTAIN_T:
+            assert (a, b) in con and (b, a) in con, (a, b, j)
+        best = max(con.get((a, b), 0.0), con.get((b, a), 0.0))
+        if best:
+            assert best >= j - 1e-9, (a, b, j, best)
+    for (c, h), v in con.items():
+        assert CONTAIN_T - 1e-9 <= v <= 1.0 + 1e-9, (c, h, v)
