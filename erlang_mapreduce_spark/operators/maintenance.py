@@ -363,3 +363,146 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rmdir(os.path.dirname(base))
         except OSError:
             pass
+
+
+# dq_expectations thresholds: (check_name, threshold). Metrics are defined
+# so that PASS means metric >= threshold — one comparison direction keeps
+# the report uniform.
+DQ_CHECKS = (
+    ("orders_orderkey_unique", 1.0),       # distinct/count
+    ("lineitem_ref_integrity", 1.0),       # matched/count (FK → orders)
+    ("customer_acctbal_nonnull", 0.9),     # non-null fraction
+    ("events_value_in_range", 0.9),        # fraction in [-1000, 10000]
+    ("documents_text_nonempty", 0.9),      # non-null AND non-empty fraction
+)
+
+
+@query(
+    "dq_expectations",
+    oracle=f"""
+SELECT 'orders_orderkey_unique' AS check_name,
+       round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+             / nullif(count(*), 0), 6) AS metric,
+       CAST({DQ_CHECKS[0][1]} AS DOUBLE) AS threshold,
+       coalesce(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+                / nullif(count(*), 0) >= {DQ_CHECKS[0][1]}, TRUE) AS pass
+FROM orders
+UNION ALL
+SELECT 'lineitem_ref_integrity',
+       round(CAST(count(o.o_orderkey) AS DOUBLE) / nullif(count(*), 0), 6),
+       CAST({DQ_CHECKS[1][1]} AS DOUBLE),
+       coalesce(CAST(count(o.o_orderkey) AS DOUBLE) / nullif(count(*), 0)
+                >= {DQ_CHECKS[1][1]}, TRUE)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'customer_acctbal_nonnull',
+       round(CAST(count(c_acctbal) AS DOUBLE) / nullif(count(*), 0), 6),
+       CAST({DQ_CHECKS[2][1]} AS DOUBLE),
+       coalesce(CAST(count(c_acctbal) AS DOUBLE) / nullif(count(*), 0)
+                >= {DQ_CHECKS[2][1]}, TRUE)
+FROM customer
+UNION ALL
+SELECT 'events_value_in_range',
+       round(CAST(count(CASE WHEN value >= -1000 AND value <= 10000
+                             THEN 1 END) AS DOUBLE)
+             / nullif(count(*), 0), 6),
+       CAST({DQ_CHECKS[3][1]} AS DOUBLE),
+       coalesce(CAST(count(CASE WHEN value >= -1000 AND value <= 10000
+                                THEN 1 END) AS DOUBLE)
+                / nullif(count(*), 0) >= {DQ_CHECKS[3][1]}, TRUE)
+FROM events
+UNION ALL
+SELECT 'documents_text_nonempty',
+       round(CAST(count(CASE WHEN text IS NOT NULL AND length(text) > 0
+                             THEN 1 END) AS DOUBLE)
+             / nullif(count(*), 0), 6),
+       CAST({DQ_CHECKS[4][1]} AS DOUBLE),
+       coalesce(CAST(count(CASE WHEN text IS NOT NULL AND length(text) > 0
+                                THEN 1 END) AS DOUBLE)
+                / nullif(count(*), 0) >= {DQ_CHECKS[4][1]}, TRUE)
+FROM documents
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations gate (the Deequ/Great-Expectations
+    workload): declarative constraints — key uniqueness, referential
+    integrity, non-null and in-range fractions — evaluated into one
+    (check, metric, threshold, pass) report that a pipeline asserts on
+    before trusting a snapshot. Complements profile_columns: that op
+    DESCRIBES a table, this one JUDGES five cross-table contracts.
+
+    Plan shape: one aggregate per checked table (each a partial/final
+    pair over one scan — checks against the same table share its scan),
+    and referential integrity as a LEFT join against the distinct FK
+    target counting matches — at 100 TB that is one shuffle on the key
+    (or a broadcast when the dimension fits), never an unbounded anti
+    materialization; everything else is scan-local. Metrics are exact
+    int/int divisions rounded to 6; empty tables yield NULL metric and
+    vacuous pass=true on both engines (nullif/coalesce)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+    d = load(spark, sf_dir, "documents")
+
+    def report(name: str, thr: float, num, den) -> DataFrame:
+        frac = num.cast("double") / F.nullif(den, F.lit(0))
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.round(frac, 6).alias("metric"),
+            F.lit(thr).alias("threshold"),
+            F.coalesce(frac >= thr, F.lit(True)).alias("pass"),
+        )
+
+    rows = [
+        o.agg(
+            report(
+                DQ_CHECKS[0][0], DQ_CHECKS[0][1],
+                F.count_distinct("o_orderkey"), F.count("*"),
+            ).alias("r")
+        ),
+        li.join(
+            o.select("o_orderkey").distinct(),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        ).agg(
+            report(
+                DQ_CHECKS[1][0], DQ_CHECKS[1][1],
+                F.count("o_orderkey"), F.count("*"),
+            ).alias("r")
+        ),
+        c.agg(
+            report(
+                DQ_CHECKS[2][0], DQ_CHECKS[2][1],
+                F.count("c_acctbal"), F.count("*"),
+            ).alias("r")
+        ),
+        e.agg(
+            report(
+                DQ_CHECKS[3][0], DQ_CHECKS[3][1],
+                F.count(
+                    F.when(
+                        (F.col("value") >= -1000) & (F.col("value") <= 10000),
+                        1,
+                    )
+                ),
+                F.count("*"),
+            ).alias("r")
+        ),
+        d.agg(
+            report(
+                DQ_CHECKS[4][0], DQ_CHECKS[4][1],
+                F.count(
+                    F.when(
+                        F.col("text").isNotNull() & (F.length("text") > 0), 1
+                    )
+                ),
+                F.count("*"),
+            ).alias("r")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("r.*")

@@ -72,7 +72,7 @@ DRIVER_PRIORITY: list[str] = [
     "ivf_centroids", "sql_volume_shipping", "sql_market_share",
     "sql_small_qty_revenue", "analytics_transition_matrix",
     "scan_binary_files", "analytics_rfm", "stream_python_source",
-    "dedup_cluster_downweight", "dedup_containment",
+    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
     # --- 17-44: newest driver evidence is r01 ---
     "text_fingerprint", "multimodal_meta", "text_lang_id",
     "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",

@@ -50,6 +50,7 @@ _NONZERO_ON_EMPTY = {
     # (empty or not) don't exist for it
     "scan_python_datasource": 7,
     "stream_python_source": 7,
+    "dq_expectations": 5,  # one report row per check; empty ⇒ vacuous pass
 }
 
 

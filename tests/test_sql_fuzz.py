@@ -180,7 +180,7 @@ RELATIONAL_OPS = (
     "set_union_intersect_except", "dedup_exact", "dedup_levenshtein",
     "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_bitwise",
     "fn_agg_collect", "fn_nested",
-    "hist_numeric", "sample_hash", "sample_stratified",
+    "hist_numeric", "sample_hash", "sample_stratified", "dq_expectations",
     "profile_columns", "analytics_pareto_topk", "analytics_rfm",
     "graph_pagerank", "sort_zorder_layout",
 )
