@@ -248,3 +248,42 @@ def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two engines. At 100 TB both aggregates shuffle on l_partkey and
     AQE reuses the partitioning for the join-back."""
     return _sql(spark, sf_dir, _Q17_TABLES, _Q17)
+
+
+_Q21_TABLES = ("supplier", "lineitem", "orders", "nation")
+
+# TPC-H Q21 shape: EXISTS and NOT EXISTS against the SAME fact table in
+# one query — the plan must run a left-semi AND a left-anti join over
+# lineitem keyed on the same order key. The reference predicate (receipt
+# after commit) maps onto the fixture's l_returnflag: a supplier "kept the
+# order waiting" if THEIR line was returned while no co-supplier's was.
+_Q21 = """
+SELECT s_name, n_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name, n_name
+"""
+
+
+@query("sql_waiting_suppliers", oracle=_Q21)
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped sole-blame query via ``spark.sql``: for finalized
+    orders, count per supplier the returned lines where OTHER suppliers
+    participated in the order (EXISTS) but none of THEM had a return
+    (NOT EXISTS) — the classic existential-pair shape that forces a
+    left-semi and a left-anti join against the same fact table in one
+    plan. Both correlated subqueries decorrelate to joins keyed on
+    l_orderkey, so the fact table shuffles on one key for all three
+    touches and AQE can reuse the partitioning; counts only, no float
+    surface. The same text runs on DuckDB."""
+    return _sql(spark, sf_dir, _Q21_TABLES, _Q21)

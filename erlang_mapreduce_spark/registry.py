@@ -73,6 +73,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_small_qty_revenue", "analytics_transition_matrix",
     "scan_binary_files", "analytics_rfm", "stream_python_source",
     "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
+    "sql_waiting_suppliers",
     # --- 17-44: newest driver evidence is r01 ---
     "text_fingerprint", "multimodal_meta", "text_lang_id",
     "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",

@@ -21,6 +21,7 @@ ZERO_EVIDENCE_R4 = [
     "sql_small_qty_revenue", "analytics_transition_matrix",
     "scan_binary_files", "analytics_rfm", "stream_python_source",
     "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
+    "sql_waiting_suppliers",
 ]
 R01_ONLY = [
     "text_fingerprint", "multimodal_meta", "text_lang_id",

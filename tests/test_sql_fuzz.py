@@ -33,6 +33,7 @@ SQL_OPS = (
     "sql_volume_shipping",
     "sql_market_share",
     "sql_small_qty_revenue",
+    "sql_waiting_suppliers",
 )
 
 _SRC = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
