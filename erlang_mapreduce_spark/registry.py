@@ -47,53 +47,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 131 registered ops, insertion
+# insertion order and stops after 50 ops. With 143 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
-# whole registry (r1-2: the §2.B contract; r3: every op with zero driver
-# evidence — after r3, 123/131 ops hold a driver row from SOME round, and
-# tests/test_correctness.py re-proves the whole registry locally each run,
-# artifact CORRECTNESS_local_full.json).
+# whole registry. After r4, every op holds a driver row from some round
+# (Counter over CORRECTNESS_r01..r04 newest evidence: 50×r04, 49×r03,
+# 44×r02), and tests/test_correctness.py re-proves the whole registry
+# locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-4 window (this ordering), freshest-evidence-last policy:
-#   1-16:  zero driver evidence — the 8 ops built after the r3 window was
-#          packed plus the 8 round-4-new ops.
-#   17-44: the 28 ops whose newest driver evidence is r01 (rotated out
-#          since round 1 — the oldest evidence in the registry).
+# Round-5 window (this ordering), freshest-evidence-last policy:
+#   1-44:  the 44 ops whose newest driver evidence is r02 (the oldest
+#          evidence left in the registry).
 #   45:    the flagship text_bigram_freq (kept in-window every round).
-#   46-50: the first 5 r02-evidence contract ops; the rest of the r02
-#          block leads the round-5 window.
-# After r4: no op's newest driver evidence predates r2.
+#   46-50: the first 5 r03-evidence ops; the remaining 44 r03 ops lead
+#          the round-6 window.
+# After r5: no op's newest driver evidence predates r3.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-16: zero driver evidence (post-r3-window builds + round-4-new) ---
-    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
-    "snapshot_time_travel", "analytics_pattern_match",
-    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
-    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
-    "sql_small_qty_revenue", "analytics_transition_matrix",
-    "scan_binary_files", "analytics_rfm", "stream_python_source",
-    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
-    "sql_waiting_suppliers",
-    # --- 17-44: newest driver evidence is r01 ---
-    "text_fingerprint", "multimodal_meta", "text_lang_id",
-    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
-    "text_tfidf", "text_quality_score", "text_token_count",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_cluster_cc", "dedup_levenshtein",
-    "join_skew_salted", "join_bucketed", "join_null_safe",
-    "pipeline_dataset_export", "pipeline_corpus_clean",
-    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
-    "agg_unpivot",
-    # --- 45: flagship, driver-checked every round ---
-    "text_bigram_freq",
-    # --- 46+: r02 evidence (first 5 make the window; the rest rotate
-    # into the round-5 window first) ---
-    "scan_parquet", "scan_text", "scan_csv_json", "sink_partitioned",
+    # --- 1-44: newest driver evidence is r02 ---
+    "scan_text", "scan_csv_json", "sink_partitioned",
     "project_select", "filter_pred",
     "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
     "join_theta_range", "join_asof", "join_interval",
-    # --- 51+: r02 evidence (rotate into the round-5 window first) ---
     "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
     "agg_global", "agg_ratio_of_total",
     "win_rank", "win_analytic", "win_frame",
@@ -104,9 +78,13 @@ DRIVER_PRIORITY: list[str] = [
     "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
     "sql_pricing_summary", "stream_stream_join",
     "stream_tumbling", "stream_sliding", "stream_session",
-    # --- r03 evidence (freshest — last in line for re-verification) ---
+    # --- 45: flagship, driver-checked every round ---
+    "text_bigram_freq",
+    # --- 46-50: the 5 oldest r03-evidence ops (complete the window) ---
     "text_decontaminate", "dedup_passage", "dedup_span_rolling",
-    "sample_quality_weighted", "agg_heavy_hitters", "text_repetition_score",
+    "sample_quality_weighted", "agg_heavy_hitters",
+    # --- 51-94: r03 evidence (lead the round-6 window) ---
+    "text_repetition_score",
     "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
     "win_range_interval", "cdc_latest_by_key", "text_normalize",
     "scan_orc", "scan_partition_pruned", "sink_text_formatted",
@@ -127,6 +105,25 @@ DRIVER_PRIORITY: list[str] = [
     "merge_upsert", "compact_small_files", "agg_quantile_bins",
     "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
     "fn_nested",
+    # --- 95-143: r04 evidence (freshest — last in line) ---
+    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
+    "snapshot_time_travel", "analytics_pattern_match",
+    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
+    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
+    "sql_small_qty_revenue", "analytics_transition_matrix",
+    "scan_binary_files", "analytics_rfm", "stream_python_source",
+    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
+    "sql_waiting_suppliers",
+    "text_fingerprint", "multimodal_meta", "text_lang_id",
+    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
+    "text_tfidf", "text_quality_score", "text_token_count",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_cluster_cc", "dedup_levenshtein",
+    "join_skew_salted", "join_bucketed", "join_null_safe",
+    "pipeline_dataset_export", "pipeline_corpus_clean",
+    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
+    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
+    "agg_unpivot", "scan_parquet",
 ]
 
 

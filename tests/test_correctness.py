@@ -9,31 +9,29 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-4 driver window (VERDICT_r03 item 2): the ops with ZERO driver
-# evidence (built after the r3 window was packed, plus round-4-new ops)
-# and the ops whose newest driver evidence is r01 MUST sit in the first-50
-# window this round, plus the flagship which stays in-window every round.
-ZERO_EVIDENCE_R4 = [
-    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
-    "snapshot_time_travel", "analytics_pattern_match",
-    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
-    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
-    "sql_small_qty_revenue", "analytics_transition_matrix",
-    "scan_binary_files", "analytics_rfm", "stream_python_source",
-    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
-    "sql_waiting_suppliers",
+# Round-5 driver window (VERDICT_r04 item 1): the 44 ops whose newest
+# driver evidence is r02 (the oldest evidence left after r4) MUST sit in
+# the first-50 window this round, plus the flagship which stays in-window
+# every round. The 5 remaining slots take the oldest r03-evidence ops.
+R02_ONLY = [
+    "scan_text", "scan_csv_json", "sink_partitioned",
+    "project_select", "filter_pred",
+    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
+    "join_theta_range", "join_asof", "join_interval",
+    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
+    "agg_global", "agg_ratio_of_total",
+    "win_rank", "win_analytic", "win_frame",
+    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
+    "text_tokenize", "sim_search",
+    "udf_scalar", "udf_grouped", "udaf", "udtf",
+    "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
+    "sql_pricing_summary", "stream_stream_join",
+    "stream_tumbling", "stream_sliding", "stream_session",
 ]
-R01_ONLY = [
-    "text_fingerprint", "multimodal_meta", "text_lang_id",
-    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
-    "text_tfidf", "text_quality_score", "text_token_count",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_cluster_cc", "dedup_levenshtein",
-    "join_skew_salted", "join_bucketed", "join_null_safe",
-    "pipeline_dataset_export", "pipeline_corpus_clean",
-    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
-    "agg_unpivot",
+R03_WINDOW_TAIL = [
+    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
+    "sample_quality_weighted", "agg_heavy_hitters",
 ]
 
 
@@ -47,11 +45,12 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-4 rotation goal: every zero-driver-evidence op and every op
-    with r01-only evidence sits in the checked window, and the flagship
-    stays in it."""
+    """Round-5 rotation goal: every op whose newest driver evidence is r02
+    sits in the checked window, plus the flagship and the 5 oldest
+    r03-evidence ops that fill out the 50."""
     first50 = set(list(QUERIES)[:50])
-    must = set(ZERO_EVIDENCE_R4) | set(R01_ONLY) | {"text_bigram_freq"}
+    must = set(R02_ONLY) | set(R03_WINDOW_TAIL) | {"text_bigram_freq"}
+    assert len(must) == 50
     missing = must - first50
     assert not missing, f"not in driver-checked first 50: {sorted(missing)}"
 

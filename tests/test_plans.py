@@ -30,13 +30,10 @@ def test_scan_pushdown_and_pruning(spark, sf_dir):
     p = plan_of(QUERIES["scan_parquet"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in p or "GreaterThan" in p
     # column pruning: the 16-column lineitem scan reads exactly 5 columns
-    assert (
-        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
-        in p.replace("l_partkey:bigint,", "")
-        or p.count(":") > 0
-    )
     read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
     assert read_schema.count(",") == 4, read_schema  # 5 columns
+    for col in ("l_orderkey", "l_linenumber", "l_shipdate"):
+        assert col in read_schema, read_schema
 
 
 def test_dimension_join_broadcasts(spark, sf_dir):
