@@ -9,29 +9,36 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-5 driver window (VERDICT_r04 item 1): the 44 ops whose newest
-# driver evidence is r02 (the oldest evidence left after r4) MUST sit in
+# Round-6 driver window (VERDICT_r05 item 2): the 44 ops whose newest
+# driver evidence is r03 (the oldest evidence left after r5) MUST sit in
 # the first-50 window this round, plus the flagship which stays in-window
-# every round. The 5 remaining slots take the oldest r03-evidence ops.
-R02_ONLY = [
-    "scan_text", "scan_csv_json", "sink_partitioned",
-    "project_select", "filter_pred",
-    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
-    "join_theta_range", "join_asof", "join_interval",
-    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
-    "agg_global", "agg_ratio_of_total",
-    "win_rank", "win_analytic", "win_frame",
-    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "text_tokenize", "sim_search",
-    "udf_scalar", "udf_grouped", "udaf", "udtf",
-    "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
-    "sql_pricing_summary", "stream_stream_join",
-    "stream_tumbling", "stream_sliding", "stream_session",
+# every round. The 5 remaining slots take the oldest r04-evidence ops.
+R03_ONLY = [
+    "text_repetition_score",
+    "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
+    "win_range_interval", "cdc_latest_by_key", "text_normalize",
+    "scan_orc", "scan_partition_pruned", "sink_text_formatted",
+    "agg_approx", "topk_per_group", "fn_bitwise",
+    "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
+    "dedup_minhash",
+    "stream_watermark_late", "stream_stateful_dedup", "sim_search_ann",
+    "pipeline_seq_pack", "sample_mix_rebalance",
+    "sample_cap_per_source", "agg_ngram_counts",
+    "text_unigram_logprob",
+    "analytics_cohort_retention", "analytics_funnel",
+    "dedup_cluster_keep_best",
+    "stream_file_sink",
+    "analytics_sessionize", "analytics_anomaly_extremes",
+    "cdc_scd2", "join_asof_tolerance",
+    "sample_split_train_eval", "profile_columns",
+    "analytics_active_users_7d", "analytics_pareto_topk",
+    "merge_upsert", "compact_small_files", "agg_quantile_bins",
+    "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
+    "fn_nested",
 ]
-R03_WINDOW_TAIL = [
-    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
-    "sample_quality_weighted", "agg_heavy_hitters",
+R04_WINDOW_TAIL = [
+    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
+    "snapshot_time_travel", "analytics_pattern_match",
 ]
 
 
@@ -45,11 +52,11 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-5 rotation goal: every op whose newest driver evidence is r02
+    """Round-6 rotation goal: every op whose newest driver evidence is r03
     sits in the checked window, plus the flagship and the 5 oldest
-    r03-evidence ops that fill out the 50."""
+    r04-evidence ops that fill out the 50."""
     first50 = set(list(QUERIES)[:50])
-    must = set(R02_ONLY) | set(R03_WINDOW_TAIL) | {"text_bigram_freq"}
+    must = set(R03_ONLY) | set(R04_WINDOW_TAIL) | {"text_bigram_freq"}
     assert len(must) == 50
     missing = must - first50
     assert not missing, f"not in driver-checked first 50: {sorted(missing)}"
