@@ -633,14 +633,27 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     In-engine grams are xxhash64 longs while the oracle joins raw gram
     strings: the usual 2^-64 collision class (dedup_ngram_jaccard's
     argument). Docs with no trigram (<3 tokens or NULL text) drop — the
-    curation-family convention."""
-    from .dedup import _doc_gram_sets
+    curation-family convention.
 
+    The gram-set table is MATERIALIZED (dedup's `_materialize`) before
+    the explode, and not only for its two consumers (per-doc totals +
+    gram stream): `InferFiltersFromGenerate` turns the explode into a
+    `size(ghs) > 0 AND isnotnull(ghs)` filter that predicate pushdown
+    sinks BELOW scan_parallel's exchange — re-evaluating the whole
+    interpreted gram-build lambda per row on the scan side, which is one
+    task for a single-split input (measured 6.3 s vs 1.3 s at sf0.1:
+    the duplicated filter eval serialized on one core was ~5 s of the
+    query). The checkpoint is an optimizer barrier: the inferred filter
+    lands on materialized arrays, where size() is O(1)."""
+    from ..ckpt import release_transient_storage
+    from .dedup import _doc_gram_sets, _materialize
+
+    release_transient_storage()  # free the previous invocation's blocks
     # raw-scan input: restore parallelism BEFORE the narrow gram build
     # (_doc_gram_sets no longer repartitions — its dedup callers hand it
     # post-shuffle inputs; this one hands it the scan itself)
     docs = scan_parallel(load(spark, sf_dir, "documents"))
-    sets_ = _doc_gram_sets(docs)
+    sets_ = _materialize(_doc_gram_sets(docs), "novelty_gram_sets")
     per_doc = sets_.filter(F.size("ghs") > 0).select(
         "doc_id", F.size("ghs").cast("bigint").alias("n_grams"), "ghs"
     )

@@ -33,38 +33,54 @@ from pyspark.sql import functions as F
 
 from ..ckpt import (
     free_local_checkpoint,
+    guard_result,
     park_local_checkpoint,
     pooled_local_checkpoint,
     release_transient_storage,
+    shared_local_checkpoint,
 )
 from ..registry import query
 from ..tables import load, scan_parallel
 from .curation import _MD5_UNIFORM_SQL
 
 
-def _materialize(df: DataFrame, name: str) -> DataFrame:
-    """Materialize a table consumed by several downstream branches of one
+def _materialize(df: DataFrame, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Materialize a table consumed by several downstream branches of ONE
     query (gram sets feed bands + verify ×2; the member map feeds the
     expansion twice). Mode is selected like connected_components' rounds:
 
     - default (sandbox/local): pooled eager ``localCheckpoint`` — computed
       exactly once up front, read by every consumer, blocks freed at the
-      next dedup invocation (``ckpt.release_transient_storage``). On a
-      real cluster an executor loss during the query fails it (blocks are
+      next dedup invocation (``ckpt.release_transient_storage``; results
+      built on the blocks must go through ``guard_result``). On a real
+      cluster an executor loss during the query fails it (blocks are
       unreplicated) — acceptable for a single query, or use the durable
       mode below.
     - $SPARK_GRAFT_CHECKPOINT_DIR set (production): snapshot to parquet
       under that fault-tolerant path and read back — the durable form the
       100 TB posture wants for a corpus-scale gram-set table (survives
-      executor loss without recompute, shareable across queries of one
-      corpus snapshot). Files are per-invocation (overwrite by name), so a
-      long-running cluster reuses the same paths instead of accumulating.
+      executor loss without recompute). Paths are namespaced by
+      applicationId + sf tag so two concurrent sessions (or two corpora in
+      one session) never clobber each other's snapshot between its write
+      and a lazy read-back; within one namespace re-invocations overwrite
+      with identical data, so a long-running cluster reuses paths instead
+      of accumulating.
+
+    For tables reused ACROSS queries of one corpus (rep members, gram
+    sets), use ``_shared_materialize`` instead — it dedupes the build.
     """
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckpt_dir:
-        path = os.path.join(ckpt_dir, f"dedup_{name}.parquet")
+        spark = df.sparkSession
+        tag = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else "default"
+        path = os.path.join(
+            ckpt_dir,
+            spark.sparkContext.applicationId,
+            tag,
+            f"dedup_{name}.parquet",
+        )
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        return spark.read.parquet(path)
     # eager localCheckpoint, NOT lazy persist: with persist() the three
     # consumers race-fill the InMemoryRelation inside one job (measured
     # 2× median regression with wild 4-11 s pass variance on jaccard);
@@ -72,6 +88,109 @@ def _materialize(df: DataFrame, name: str) -> DataFrame:
     # stores raw blocks. Pooled, so the blocks are freed at the next
     # dedup invocation instead of accumulating for the JVM's lifetime.
     return pooled_local_checkpoint(df)
+
+
+def _corpus_fingerprint(sf_dir: str):
+    """Cheap stat-based fingerprint of the documents table under sf_dir,
+    folded into shared-cache keys so a fixture REWRITTEN at the same path
+    (tests do this; production corpus snapshots are immutable) misses the
+    cache instead of serving stale blocks."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            sts = [os.stat(os.path.join(p, e)) for e in sorted(os.listdir(p))]
+            return (
+                len(sts),
+                sum(s.st_size for s in sts),
+                max((s.st_mtime_ns for s in sts), default=0),
+            )
+        st = os.stat(p)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
+
+
+# durable-mode twin of ckpt._SHARED: key -> parquet-backed DataFrame.
+# Files are durable, so entries carry no lease and never invalidate
+# dependents; the dict only dedupes the write.
+_DURABLE_SHARED: dict = {}
+
+
+def _shared_materialize(spark, sf_dir: str, name: str, builder) -> DataFrame:
+    """Materialize a corpus-derived table ONCE per (session, corpus) and
+    reuse it across operators: the verbatim-rep member map and the per-doc
+    gram sets feed dedup_ngram_jaccard, dedup_containment, dedup_simhash,
+    dedup_minhash, and dedup_cluster_cc's internal jaccard — without
+    sharing, each op (and each bench pass) rebuilt the same table under a
+    private pool key. Local mode delegates to the LRU-bounded
+    ``ckpt.shared_local_checkpoint``; durable mode snapshots to one
+    namespaced parquet path per key and reuses the read-back handle."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        _corpus_fingerprint(sf_dir),
+    )
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        cached = _DURABLE_SHARED.get(key)
+        if cached is not None:
+            return cached
+        path = os.path.join(
+            ckpt_dir,
+            spark.sparkContext.applicationId,
+            os.path.basename(os.path.normpath(sf_dir)),
+            f"shared_{name}.parquet",
+        )
+        builder().write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        _DURABLE_SHARED[key] = df
+        return df
+    return shared_local_checkpoint(key, builder, desc=name)
+
+
+def _shared_members(spark, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, rep_id) verbatim-group member map — see
+    `_verbatim_reps`."""
+    return _shared_materialize(
+        spark,
+        sf_dir,
+        "verbatim_members",
+        lambda: _verbatim_reps(load(spark, sf_dir, "documents"))[0],
+    )
+
+
+def _shared_rep_docs(spark, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, text) representative documents — one row per
+    distinct text; the input every gram/signature builder shares."""
+    return _shared_materialize(
+        spark,
+        sf_dir,
+        "verbatim_rep_docs",
+        lambda: _verbatim_reps(load(spark, sf_dir, "documents"))[1],
+    )
+
+
+def _shared_gram_sets(spark, sf_dir: str) -> DataFrame:
+    """Shared xxhash64 gram-set table over the rep docs (jaccard,
+    containment, cluster ops)."""
+    return _shared_materialize(
+        spark,
+        sf_dir,
+        "gram_sets_xx",
+        lambda: _doc_gram_sets(_shared_rep_docs(spark, sf_dir)),
+    )
+
+
+def _shared_gram_sets_md5(spark, sf_dir: str) -> DataFrame:
+    """Shared md5-derived double-hash gram-set table over the rep docs
+    (minhash — the cross-engine-exact variant)."""
+    return _shared_materialize(
+        spark,
+        sf_dir,
+        "gram_sets_md5",
+        lambda: _doc_gram_sets_md5(_shared_rep_docs(spark, sf_dir)),
+    )
 
 N_GRAM = 3
 JACCARD_T = 0.5
@@ -314,12 +433,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_verbatim_reps` / `_expand_rep_pairs`) — pipeline cost scales with
     DISTINCT texts, not duplicate-clique sizes."""
     release_transient_storage()  # free the previous invocation's blocks
-    docs = load(spark, sf_dir, "documents")
-    members, rep_docs = _verbatim_reps(docs)
-    members = _materialize(members, "jaccard_members")
-    # three consumers (pair stream + sizes + verify): materialize once —
-    # see the storage-mode note on _materialize
-    doc_sets = _materialize(_doc_gram_sets(rep_docs), "jaccard_gram_sets")
+    members = _shared_members(spark, sf_dir)
+    # three consumers (pair stream + sizes + verify) AND three sibling ops
+    # (containment, cluster_cc's internal jaccard, keep_best/downweight
+    # via cc): one shared materialization per (session, corpus)
+    doc_sets = _shared_gram_sets(spark, sf_dir)
     inter = (
         _rare_pair_stream(doc_sets)
         .groupBy("doc_a", "doc_b")
@@ -338,8 +456,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     rep_pairs = _verify_jaccard(prefiltered, doc_sets)
-    return _expand_rep_pairs(
-        rep_pairs, members, _nonempty_reps(doc_sets), F.lit(1.0), "jaccard"
+    return guard_result(
+        _expand_rep_pairs(
+            rep_pairs, members, _nonempty_reps(doc_sets), F.lit(1.0), "jaccard"
+        )
     )
 
 
@@ -575,10 +695,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost a function of distinct texts (verbatim pairs re-enter as exact
     jaccard-1.0 rows, which is what verification yields for them)."""
     release_transient_storage()  # free the previous invocation's blocks
-    docs = load(spark, sf_dir, "documents")
-    members, rep_docs = _verbatim_reps(docs)
-    members = _materialize(members, "minhash_members")
-    doc_sets = _materialize(_doc_gram_sets_md5(rep_docs), "minhash_gram_sets")
+    members = _shared_members(spark, sf_dir)
+    doc_sets = _shared_gram_sets_md5(spark, sf_dir)
     bands = minhash_bands(doc_sets)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -595,8 +713,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     rep_pairs = _verify_jaccard(cands, doc_sets)
-    return _expand_rep_pairs(
-        rep_pairs, members, _nonempty_reps(doc_sets), F.lit(1.0), "jaccard"
+    return guard_result(
+        _expand_rep_pairs(
+            rep_pairs, members, _nonempty_reps(doc_sets), F.lit(1.0), "jaccard"
+        )
     )
 
 

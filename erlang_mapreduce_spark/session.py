@@ -23,6 +23,14 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's partition coalescing is BYTE-based, but the text/gram/sketch
+    # ops are CPU-heavy per byte: a 5k-doc fixture shuffle is ~1 MB, which
+    # default coalescing (minPartitionSize=1m) folds into ONE partition —
+    # serializing interpreted gram builds and Arrow UDF signature math on
+    # a single core (measured: dedup_minhash's whole post-rep pipeline ran
+    # 1-task). A 32k floor keeps ~20-30 tasks on fixture-sized shuffles
+    # while being invisible at scale, where every partition is megabytes.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "32k",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local-test sizing; a 1000-executor deployment overrides via spark-submit
