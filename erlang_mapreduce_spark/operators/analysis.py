@@ -645,7 +645,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the duplicated filter eval serialized on one core was ~5 s of the
     query). The checkpoint is an optimizer barrier: the inferred filter
     lands on materialized arrays, where size() is O(1)."""
-    from ..ckpt import release_transient_storage
+    from ..ckpt import guard_result, release_transient_storage
     from .dedup import _doc_gram_sets, _materialize
 
     release_transient_storage()  # free the previous invocation's blocks
@@ -653,7 +653,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_doc_gram_sets no longer repartitions — its dedup callers hand it
     # post-shuffle inputs; this one hands it the scan itself)
     docs = scan_parallel(load(spark, sf_dir, "documents"))
-    sets_ = _materialize(_doc_gram_sets(docs), "novelty_gram_sets")
+    sets_ = _materialize(
+        _doc_gram_sets(docs), "novelty_gram_sets", sf_dir=sf_dir
+    )
     per_doc = sets_.filter(F.size("ghs") > 0).select(
         "doc_id", F.size("ghs").cast("bigint").alias("n_grams"), "ghs"
     )
@@ -666,7 +668,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("owner").alias("doc_id"))
         .agg(F.count("*").alias("n_unique"))
     )
-    return (
+    return guard_result(
         per_doc.drop("ghs")
         .join(uniq, "doc_id", "left")
         .select(

@@ -112,7 +112,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     side — at 100 TB the corpus is scanned exactly once and never
     shuffled. The oracle joins raw gram strings; xxhash64 equality is
     collision-equivalent up to 2^-64."""
-    from ..ckpt import release_transient_storage
+    from ..ckpt import guard_result, release_transient_storage
     from .dedup import _doc_gram_sets, _materialize
 
     release_transient_storage()  # free the previous invocation's blocks
@@ -121,7 +121,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once — dedup's _materialize (pooled eager checkpoint, or
     # a durable parquet snapshot under $SPARK_GRAFT_CHECKPOINT_DIR);
     # raw-scan input, so parallelism is restored before the narrow build
-    sets = _materialize(_doc_gram_sets(docs, n=DECON_N), "decon_gram_sets")
+    sets = _materialize(
+        _doc_gram_sets(docs, n=DECON_N), "decon_gram_sets", sf_dir=sf_dir
+    )
     ev_grams = (
         sets.filter(F.col("doc_id") < EVAL_MAX_DOC)
         .select(F.explode("ghs").alias("gh"))
@@ -134,7 +136,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
     )
-    return (
+    return guard_result(
         train.select("doc_id")
         .join(shared, "doc_id", "left")
         .select(

@@ -94,7 +94,16 @@ def _corpus_fingerprint(sf_dir: str):
     """Cheap stat-based fingerprint of the documents table under sf_dir,
     folded into shared-cache keys so a fixture REWRITTEN at the same path
     (tests do this; production corpus snapshots are immutable) misses the
-    cache instead of serving stale blocks."""
+    cache instead of serving stale blocks.
+
+    Known limit (accepted, documented): the fingerprint is size+mtime_ns —
+    a rewrite that preserves BOTH (e.g. an archiver restoring mtimes over
+    same-length bytes) is indistinguishable and would serve stale blocks.
+    Hashing file contents would close that hole at the cost of re-reading
+    the corpus on every op entry, which defeats the cache's purpose; a
+    pipeline that mutates corpora in place should version paths instead
+    (the immutable-snapshot convention every lakehouse format assumes).
+    tests/test_ckpt_guard.py pins the size+mtime case."""
     p = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isdir(p):
@@ -112,7 +121,11 @@ def _corpus_fingerprint(sf_dir: str):
 
 # durable-mode twin of ckpt._SHARED: key -> parquet-backed DataFrame.
 # Files are durable, so entries carry no lease and never invalidate
-# dependents; the dict only dedupes the write.
+# dependents; the dict only dedupes the write. Keys include the
+# checkpoint dir itself: if $SPARK_GRAFT_CHECKPOINT_DIR changes
+# mid-session (tests use a fresh tmp dir per test), a later call must
+# write under the NEW dir, not return a handle onto the old — possibly
+# deleted — path.
 _DURABLE_SHARED: dict = {}
 
 
@@ -133,7 +146,7 @@ def _shared_materialize(spark, sf_dir: str, name: str, builder) -> DataFrame:
     )
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckpt_dir:
-        cached = _DURABLE_SHARED.get(key)
+        cached = _DURABLE_SHARED.get((ckpt_dir, *key))
         if cached is not None:
             return cached
         path = os.path.join(
@@ -144,7 +157,7 @@ def _shared_materialize(spark, sf_dir: str, name: str, builder) -> DataFrame:
         )
         builder().write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
-        _DURABLE_SHARED[key] = df
+        _DURABLE_SHARED[(ckpt_dir, *key)] = df
         return df
     return shared_local_checkpoint(key, builder, desc=name)
 
@@ -828,10 +841,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     full pipeline would emit every member pair with hamming 0) — see
     `_verbatim_reps`."""
     release_transient_storage()  # free the previous invocation's blocks
-    docs = load(spark, sf_dir, "documents")
-    members, rep_docs = _verbatim_reps(docs)
-    members = _materialize(members, "simhash_members")
-    sh = simhash(rep_docs)
+    # shared member map: one build per (session, corpus) across the whole
+    # dedup family — see _shared_materialize
+    members = _shared_members(spark, sf_dir)
+    sh = simhash(_shared_rep_docs(spark, sf_dir))
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -871,12 +884,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a doc appears in sh iff it has ≥1 nonempty token — the oracle's
     # `WHERE len(tok) > 0` stream implies the same membership
     eligible = sh.select(F.col("doc_id").alias("rep_id"))
-    return _expand_rep_pairs(
-        rep_pairs,
-        members,
-        eligible,
-        F.lit(0).cast(rep_pairs.schema["hamming"].dataType),
-        "hamming",
+    return guard_result(
+        _expand_rep_pairs(
+            rep_pairs,
+            members,
+            eligible,
+            F.lit(0).cast(rep_pairs.schema["hamming"].dataType),
+            "hamming",
+        )
     )
 
 
@@ -984,7 +999,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _ = connected_components(
         pairs, checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     )
-    return (
+    return guard_result(
         docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
@@ -1238,10 +1253,12 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster_id", (-F.col("b.neg_id")).alias("keeper_id"))
     )
-    return lab.join(best, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    return guard_result(
+        lab.join(best, "cluster_id").select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+        )
     )
 
 
@@ -1283,7 +1300,7 @@ def dedup_cluster_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cluster_size")
     )
     keep_p_raw = F.lit(1.0) / F.col("cluster_size")
-    return (
+    return guard_result(
         labels.join(sizes, "cluster_id")
         .filter(_md5_uniform(F.col("doc_id")) < keep_p_raw)
         .select(
@@ -1338,12 +1355,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies member-wise in its own orientation. Exact integer division in
     IEEE doubles — bit-identical cross-engine, no rounding needed."""
     release_transient_storage()  # free the previous invocation's blocks
-    docs = load(spark, sf_dir, "documents")
-    members, rep_docs = _verbatim_reps(docs)
-    members = _materialize(members, "containment_members")
-    doc_sets = _materialize(
-        _doc_gram_sets(rep_docs), "containment_gram_sets"
-    )
+    # shared member map + gram sets: same tables dedup_ngram_jaccard and
+    # dedup_cluster_cc read — one build per (session, corpus)
+    members = _shared_members(spark, sf_dir)
+    doc_sets = _shared_gram_sets(spark, sf_dir)
     inter = (
         _rare_pair_stream(doc_sets)
         .groupBy("doc_a", "doc_b")
@@ -1422,4 +1437,4 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("containment"),
         )
     )
-    return cross.unionByName(within)
+    return guard_result(cross.unionByName(within))

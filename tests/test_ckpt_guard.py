@@ -1,0 +1,110 @@
+"""Lease-guard and shared-cache-invalidation tests for ckpt.py.
+
+The guard machinery (`ckpt._GuardedDataFrame`, `guard_result`) subclasses a
+private Spark class (`pyspark.sql.classic.dataframe.DataFrame`) and
+overrides `_jdf` as a checking property — exactly the kind of code a Spark
+upgrade breaks silently. These tests force the error path end-to-end so a
+regression shows up as a test failure, not as users getting Spark's raw
+"checkpoint block not found" (or, worse, silently stale data from the
+shared LRU)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from erlang_mapreduce_spark import ckpt
+from erlang_mapreduce_spark.ckpt import (
+    CheckpointReleasedError,
+    release_transient_storage,
+    shared_local_checkpoint,
+)
+
+
+def test_stale_pooled_result_raises_named_error(spark, sf_dir):
+    """A pooled-checkpoint-backed result forced AFTER
+    release_transient_storage() must raise CheckpointReleasedError — the
+    named contract error pointing at the fix — never Spark's raw
+    block-not-found internals error. (text_ngram_novelty's gram-set table
+    goes through _materialize → pooled_local_checkpoint, and its return
+    is guard_result-wrapped.)"""
+    from erlang_mapreduce_spark.operators.analysis import text_ngram_novelty
+
+    fresh = text_ngram_novelty(spark, sf_dir)
+    assert fresh.count() > 0  # forcing while the blocks are live is fine
+    stale = text_ngram_novelty(spark, sf_dir)
+    release_transient_storage()
+    with pytest.raises(CheckpointReleasedError):
+        stale.count()
+
+
+def test_stale_after_next_pooled_op(spark, sf_dir):
+    """The documented contract violation: holding op A's lazy result across
+    op B's invocation (B's entry release_transient_storage() frees A's
+    blocks). The violation must surface as the named error when A's result
+    is finally touched, while B's own fresh result stays forceable."""
+    from erlang_mapreduce_spark.operators.analysis import text_ngram_novelty
+    from erlang_mapreduce_spark.operators.curation import text_decontaminate
+
+    a = text_ngram_novelty(spark, sf_dir)
+    b = text_decontaminate(spark, sf_dir)  # entry release frees a's blocks
+    assert b.count() > 0
+    with pytest.raises(CheckpointReleasedError):
+        a.count()
+
+
+def test_shared_lru_eviction_kills_dependents(spark, sf_dir):
+    """Shared-cache leases die only on LRU eviction — so a result depending
+    exclusively on shared tables (dedup_ngram_jaccard after the round-6
+    refactor) survives release_transient_storage(), but gets the named
+    error once enough NEW shared entries push its tables out of the LRU."""
+    from erlang_mapreduce_spark.operators.dedup import dedup_ngram_jaccard
+
+    r = dedup_ngram_jaccard(spark, sf_dir)
+    release_transient_storage()  # shared leases survive this ...
+    assert r.count() >= 0
+    try:
+        r2 = dedup_ngram_jaccard(spark, sf_dir)
+        for i in range(ckpt._SHARED_CAP + 1):  # ... but not eviction
+            shared_local_checkpoint(
+                ("test-evict-dummy", i), lambda: spark.range(1), desc="dummy"
+            )
+        with pytest.raises(CheckpointReleasedError):
+            r2.count()
+    finally:
+        # reset: drop the dummies (and any evicted-but-half-built state) so
+        # later dedup tests rebuild from a clean cache instead of mixing
+        # dummy keys into their LRU budget
+        ckpt.release_shared()
+        release_transient_storage()
+
+
+def test_shared_cache_fingerprint_miss_on_rewrite(spark, sf_dir, tmp_path):
+    """Chaos test for the cross-invocation shared LRU: a corpus fixture
+    REWRITTEN at the same path — same byte size, bumped mtime, the
+    nastiest realistic in-place rewrite — must MISS the cache (a fresh key
+    is inserted) instead of serving the old corpus's blocks. The
+    fingerprint is stat-based (size + mtime_ns): a rewrite that preserves
+    BOTH size and mtime_ns would defeat it — that caveat is documented on
+    `_corpus_fingerprint`; production corpus snapshots are immutable."""
+    from erlang_mapreduce_spark.operators.dedup import _shared_members
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    doc = corpus / "documents.parquet"
+    shutil.copyfile(os.path.join(sf_dir, "documents.parquet"), doc)
+
+    n1 = _shared_members(spark, str(corpus)).count()
+    keys_before = set(ckpt._SHARED.keys())
+
+    st = os.stat(doc)
+    os.utime(doc, ns=(st.st_atime_ns, st.st_mtime_ns + 1))  # in-place rewrite
+
+    n2 = _shared_members(spark, str(corpus)).count()
+    keys_after = set(ckpt._SHARED.keys())
+    assert keys_after - keys_before, (
+        "mtime-bumped rewrite was served from the shared cache (stale read)"
+    )
+    assert n2 == n1  # same bytes -> same member map, freshly rebuilt

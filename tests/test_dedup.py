@@ -303,11 +303,19 @@ def test_cc_durable_checkpoint_mode(spark, sf_dir, tmp_path):
 
 
 def test_gram_set_durable_mode_same_pairs(spark, sf_dir, tmp_path, monkeypatch):
-    """$SPARK_GRAFT_CHECKPOINT_DIR set → _materialize snapshots the gram-set
-    and member tables to parquet under it (the durable 100 TB posture,
-    mirroring connected_components' two modes) and the op's answer is
-    unchanged; unset → pooled persist. Both code paths produce the same
-    exact pair set."""
+    """$SPARK_GRAFT_CHECKPOINT_DIR set → _shared_materialize snapshots the
+    shared member/rep-doc/gram-set tables to parquet under
+    <ckpt_dir>/<applicationId>/<sf-tag>/shared_*.parquet (the durable
+    100 TB posture, mirroring connected_components' two modes) and the
+    op's answer is unchanged; unset → the localCheckpoint shared LRU.
+
+    The durable branch is PROVEN taken on a fresh key: the local-mode call
+    runs first, but its entries live in the separate ``ckpt._SHARED`` LRU
+    — the durable dict keys on (ckpt_dir, ...) and this test's tmp_path is
+    brand new, so the three snapshot files below can only exist if the
+    env-var branch actually built and wrote them."""
+    import os
+
     default = {
         (r.doc_a, r.doc_b, r.jaccard)
         for r in dedup_ngram_jaccard(spark, sf_dir).collect()
@@ -318,8 +326,17 @@ def test_gram_set_durable_mode_same_pairs(spark, sf_dir, tmp_path, monkeypatch):
         for r in dedup_ngram_jaccard(spark, sf_dir).collect()
     }
     assert durable == default
-    snapshots = list(tmp_path.glob("dedup_jaccard_*.parquet"))
-    assert len(snapshots) == 2, f"expected 2 parquet snapshots, got {snapshots}"
+    tag_dir = (
+        tmp_path
+        / spark.sparkContext.applicationId
+        / os.path.basename(os.path.normpath(sf_dir))
+    )
+    snaps = sorted(p.name for p in tag_dir.glob("shared_*.parquet"))
+    assert snaps == [
+        "shared_gram_sets_xx.parquet",
+        "shared_verbatim_members.parquet",
+        "shared_verbatim_rep_docs.parquet",
+    ], f"durable snapshots missing under {tag_dir}: {snaps}"
 
 
 def test_transient_storage_released_between_invocations(spark, sf_dir):
