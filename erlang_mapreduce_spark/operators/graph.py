@@ -14,8 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ckpt import pooled_persist, release_transient_storage
+from ..ckpt import (
+    guard_result,
+    pooled_local_checkpoint,
+    pooled_persist,
+    release_transient_storage,
+)
 from ..registry import query
+from ..session import scoped_conf
 from ..tables import load
 
 PR_ITERS = 3  # fixed power-iteration rounds (unrolled in the oracle)
@@ -118,10 +124,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r"
             )
         ).select(F.col("dst").alias("node"), "r")
-    return ranks.select(
+    out = ranks.select(
         F.concat(
             F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
             F.expr("node div 2").cast("string"),
         ).alias("node"),
         F.col("r").alias("rank_micro"),
     )
+    # Execute the rounds EAGERLY under a scoped AQE floor override: the
+    # session-wide minPartitionSize=32k floor exists for CPU-heavy gram
+    # shuffles, but pagerank's per-round exchanges are byte-light AND
+    # cpu-light — the floor pinned each of the ~8 exchanges at ~32
+    # near-empty tasks (measured 2.49 s → 4.75 s at sf0.1, stable across
+    # passes). Restoring Spark's default 1m floor lets AQE coalesce them
+    # to a handful of tasks; the conf only binds at execution start, so
+    # the result (one row per node — tiny) is materialized inside the
+    # scope via a pooled localCheckpoint and returned guarded.
+    with scoped_conf(
+        spark,
+        {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m"},
+    ):
+        return guard_result(pooled_local_checkpoint(out))

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import scoped_conf
 from ..tables import load
 from .analysis import _EMAIL_RE, _LONGNUM_RE
 
@@ -189,21 +190,38 @@ def pipeline_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "export_shards",
     )
     try:
-        sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
-        # writer's schema, not inference: a fully-gated (empty) corpus
-        # writes zero data files, and schema inference would fail on them
-        # (see sink_partitioned) — an empty export must account as empty,
-        # not error
-        back = spark.read.schema(sharded.schema).parquet(out)
-        acct = back.groupBy("shard").agg(
-            F.count("*").alias("docs"),
-            F.sum("n_tokens").alias("tokens"),
-            F.sum("n_chars").alias("chars"),
-        )
-        # Materialize the per-shard accounting (bounded: one row per shard,
-        # 8 here) so the scratch export can be deleted before returning —
-        # the result must not dangle on a temp dir that accumulates per run.
-        result = spark.createDataFrame(acct.collect(), acct.schema)
+        # Scoped AQE floor override (see session.scoped_conf): the export's
+        # dedup-window shuffle is byte-light, and the session-wide 32k
+        # floor kept it at ~32 tasks → each task writing its own file per
+        # shard → ~256 small files to write and re-list (measured +55% at
+        # sf0.1, r6). Spark's default floor coalesces to a few tasks and
+        # ~an order of magnitude fewer shard files. Every action of this
+        # op STARTS inside the scope (write, read-back count, collect), so
+        # the override actually binds — nothing lazy escapes.
+        with scoped_conf(
+            spark,
+            {
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize": (
+                    "1m"
+                )
+            },
+        ):
+            sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+            # writer's schema, not inference: a fully-gated (empty) corpus
+            # writes zero data files, and schema inference would fail on
+            # them (see sink_partitioned) — an empty export must account
+            # as empty, not error
+            back = spark.read.schema(sharded.schema).parquet(out)
+            acct = back.groupBy("shard").agg(
+                F.count("*").alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+                F.sum("n_chars").alias("chars"),
+            )
+            # Materialize the per-shard accounting (bounded: one row per
+            # shard, 8 here) so the scratch export can be deleted before
+            # returning — the result must not dangle on a temp dir that
+            # accumulates per run.
+            result = spark.createDataFrame(acct.collect(), acct.schema)
     finally:
         # remove only THIS invocation's leaf: two exports in one Spark
         # application (different sf_dirs, or concurrent callers) must not

@@ -16,6 +16,7 @@ session factory whose defaults are chosen for scale-out behavior:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,47 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Dlog4j2.level=error",
 }
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime SQL confs for the duration of a block, restoring the
+    caller's values (or unsetting keys the session never had) on exit.
+
+    Only affects executions that START inside the block — Spark snapshots
+    the session conf when a query begins, so this is useful exactly for
+    operators that materialize EAGERLY inside their own body (an action,
+    a write, a localCheckpoint). A lazily returned plan executes later
+    under whatever conf is live then; scoping it here would be a silent
+    no-op, which is why graph_pagerank checkpoints its (tiny) result
+    inside the scope instead of returning the raw lazy plan.
+
+    Motivation (round-6 regression): the session-wide AQE
+    coalescePartitions.minPartitionSize=32k floor keeps CPU-heavy gram
+    shuffles from collapsing to one task, but it also pinned
+    graph_pagerank's ~8 tiny exchanges at ~32 near-empty tasks each
+    (measured 2.49 s → 4.75 s at sf0.1) and multiplied
+    pipeline_dataset_export's shard-file count. Those byte-light ops scope
+    the floor back to Spark's default here rather than dragging the whole
+    session's tuning with them."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            try:
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:
+                pass
 
 
 def get_spark(app_name: str = "erlang-mapreduce-spark") -> SparkSession:
