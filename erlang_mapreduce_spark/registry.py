@@ -50,20 +50,57 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # insertion order and stops after 50 ops. With 143 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
-# whole registry. After r5, no op's newest driver evidence predates r3
-# (Counter over CORRECTNESS_r01..r05 newest evidence: 50×r05, 49×r04,
-# 44×r03), and tests/test_correctness.py re-proves the whole registry
+# whole registry. After r7, no op's newest driver evidence predates r4
+# (Counter over CORRECTNESS_r01..r07 newest evidence: 50×r07, 49×r05,
+# 44×r04), and tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-6 window (this ordering), freshest-evidence-last policy:
-#   1-44:  the 44 ops whose newest driver evidence is r03 (the oldest
+# Round-8 window (this ordering), freshest-evidence-last policy:
+#   1-44:  the 44 ops whose newest driver evidence is r04 (the oldest
 #          evidence left in the registry).
 #   45:    the flagship text_bigram_freq (kept in-window every round).
-#   46-50: the first 5 r04-evidence ops; the remaining 44 r04 ops lead
-#          the round-7 window.
-# After r6: no op's newest driver evidence predates r4.
+#   46-50: the first 5 r05-evidence ops; the remaining 44 r05 ops lead
+#          the round-9 window.
+# After r8: no op's newest driver evidence predates r5.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-44: newest driver evidence is r03 ---
+    # --- 1-44: newest driver evidence is r04 ---
+    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
+    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
+    "sql_small_qty_revenue", "analytics_transition_matrix",
+    "scan_binary_files", "analytics_rfm", "stream_python_source",
+    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
+    "sql_waiting_suppliers",
+    "text_fingerprint", "multimodal_meta", "text_lang_id",
+    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
+    "text_tfidf", "text_quality_score", "text_token_count",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_cluster_cc", "dedup_levenshtein",
+    "join_skew_salted", "join_bucketed", "join_null_safe",
+    "pipeline_dataset_export", "pipeline_corpus_clean",
+    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
+    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
+    "agg_unpivot", "scan_parquet",
+    # --- 45: flagship, driver-checked every round ---
+    "text_bigram_freq",
+    # --- 46-50: the 5 oldest r05-evidence ops (complete the window) ---
+    "scan_text", "scan_csv_json", "sink_partitioned",
+    "project_select", "filter_pred",
+    # --- 51-94: r05 evidence (lead the round-9 window) ---
+    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
+    "join_theta_range", "join_asof", "join_interval",
+    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
+    "agg_global", "agg_ratio_of_total",
+    "win_rank", "win_analytic", "win_frame",
+    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
+    "text_tokenize", "sim_search",
+    "udf_scalar", "udf_grouped", "udaf", "udtf",
+    "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
+    "sql_pricing_summary", "stream_stream_join",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
+    "sample_quality_weighted", "agg_heavy_hitters",
+    # --- 95-138: r07 evidence (the round-7 window minus flagship) ---
     "text_repetition_score",
     "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
     "win_range_interval", "cdc_latest_by_key", "text_normalize",
@@ -85,45 +122,9 @@ DRIVER_PRIORITY: list[str] = [
     "merge_upsert", "compact_small_files", "agg_quantile_bins",
     "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
     "fn_nested",
-    # --- 45: flagship, driver-checked every round ---
-    "text_bigram_freq",
-    # --- 46-50: the 5 oldest r04-evidence ops (complete the window) ---
+    # --- 139-143: r07 evidence (the round-7 window tail — freshest) ---
     "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
     "snapshot_time_travel", "analytics_pattern_match",
-    # --- 51-94: r04 evidence (lead the round-7 window) ---
-    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
-    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
-    "sql_small_qty_revenue", "analytics_transition_matrix",
-    "scan_binary_files", "analytics_rfm", "stream_python_source",
-    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
-    "sql_waiting_suppliers",
-    "text_fingerprint", "multimodal_meta", "text_lang_id",
-    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
-    "text_tfidf", "text_quality_score", "text_token_count",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_cluster_cc", "dedup_levenshtein",
-    "join_skew_salted", "join_bucketed", "join_null_safe",
-    "pipeline_dataset_export", "pipeline_corpus_clean",
-    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
-    "agg_unpivot", "scan_parquet",
-    # --- 95-143: r05 evidence (freshest — last in line) ---
-    "scan_text", "scan_csv_json", "sink_partitioned",
-    "project_select", "filter_pred",
-    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
-    "join_theta_range", "join_asof", "join_interval",
-    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
-    "agg_global", "agg_ratio_of_total",
-    "win_rank", "win_analytic", "win_frame",
-    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "text_tokenize", "sim_search",
-    "udf_scalar", "udf_grouped", "udaf", "udtf",
-    "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
-    "sql_pricing_summary", "stream_stream_join",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
-    "sample_quality_weighted", "agg_heavy_hitters",
 ]
 
 

@@ -9,36 +9,31 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-6 driver window (VERDICT_r05 item 2): the 44 ops whose newest
-# driver evidence is r03 (the oldest evidence left after r5) MUST sit in
+# Round-8 driver window (VERDICT_r07 item 1): the 44 ops whose newest
+# driver evidence is r04 (the oldest evidence left after r7) MUST sit in
 # the first-50 window this round, plus the flagship which stays in-window
-# every round. The 5 remaining slots take the oldest r04-evidence ops.
-R03_ONLY = [
-    "text_repetition_score",
-    "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
-    "win_range_interval", "cdc_latest_by_key", "text_normalize",
-    "scan_orc", "scan_partition_pruned", "sink_text_formatted",
-    "agg_approx", "topk_per_group", "fn_bitwise",
-    "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
-    "dedup_minhash",
-    "stream_watermark_late", "stream_stateful_dedup", "sim_search_ann",
-    "pipeline_seq_pack", "sample_mix_rebalance",
-    "sample_cap_per_source", "agg_ngram_counts",
-    "text_unigram_logprob",
-    "analytics_cohort_retention", "analytics_funnel",
-    "dedup_cluster_keep_best",
-    "stream_file_sink",
-    "analytics_sessionize", "analytics_anomaly_extremes",
-    "cdc_scd2", "join_asof_tolerance",
-    "sample_split_train_eval", "profile_columns",
-    "analytics_active_users_7d", "analytics_pareto_topk",
-    "merge_upsert", "compact_small_files", "agg_quantile_bins",
-    "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
-    "fn_nested",
+# every round. The 5 remaining slots take the oldest r05-evidence ops.
+R04_ONLY = [
+    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
+    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
+    "sql_small_qty_revenue", "analytics_transition_matrix",
+    "scan_binary_files", "analytics_rfm", "stream_python_source",
+    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
+    "sql_waiting_suppliers",
+    "text_fingerprint", "multimodal_meta", "text_lang_id",
+    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
+    "text_tfidf", "text_quality_score", "text_token_count",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_cluster_cc", "dedup_levenshtein",
+    "join_skew_salted", "join_bucketed", "join_null_safe",
+    "pipeline_dataset_export", "pipeline_corpus_clean",
+    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
+    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
+    "agg_unpivot", "scan_parquet",
 ]
-R04_WINDOW_TAIL = [
-    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
-    "snapshot_time_travel", "analytics_pattern_match",
+R05_WINDOW_TAIL = [
+    "scan_text", "scan_csv_json", "sink_partitioned",
+    "project_select", "filter_pred",
 ]
 
 
@@ -52,11 +47,11 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-6 rotation goal: every op whose newest driver evidence is r03
+    """Round-8 rotation goal: every op whose newest driver evidence is r04
     sits in the checked window, plus the flagship and the 5 oldest
-    r04-evidence ops that fill out the 50."""
+    r05-evidence ops that fill out the 50."""
     first50 = set(list(QUERIES)[:50])
-    must = set(R03_ONLY) | set(R04_WINDOW_TAIL) | {"text_bigram_freq"}
+    must = set(R04_ONLY) | set(R05_WINDOW_TAIL) | {"text_bigram_freq"}
     assert len(must) == 50
     missing = must - first50
     assert not missing, f"not in driver-checked first 50: {sorted(missing)}"
