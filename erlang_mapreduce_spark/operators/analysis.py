@@ -620,64 +620,79 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementary to the repetition score (intra-doc) and decontamination
     (cross-corpus) ops.
 
-    Plan: gram sets are built NARROWLY per doc (`_doc_gram_sets`,
-    dedup.py — array_distinct(transform(...)), zero shuffles, 8 bytes per
-    gram), then ONE hash agg over the exploded grams computes each gram's
-    document frequency AND its min-doc_id owner together — for a
-    df-1 gram that owner IS the unique holder, so per-doc unique counts
-    fall out of a second small agg without ever joining the gram relation
-    back to itself (the naive df-join-back shuffles the full gram table
-    twice; this shuffles it once, and the follow-up aggs are O(distinct
-    grams) and O(docs)). Per-doc totals ride the narrow array size.
+    Plan — verbatim-collapsed (the pair ops' `_verbatim_reps` device,
+    dedup.py): gram sets are built once per DISTINCT text over the shared
+    rep-doc table (`_shared_gram_sets` — narrow
+    array_distinct(transform(...)) with xxhash64 longs, 8 bytes/gram,
+    materialized so `InferFiltersFromGenerate` can't sink the gram-build
+    lambda below the scan exchange), then ONE hash agg over the exploded
+    rep grams computes each gram's rep-GROUP count and min-rep owner
+    together. A gram is corpus-unique iff exactly ONE text group contains
+    it AND that group has exactly one member — group multiplicity comes
+    from a tiny O(docs)→O(reps) count over the shared member map, applied
+    AFTER the gram agg (never joined into the gram stream), so the only
+    gram-sized shuffle carries 16-byte (gh, rep_id) pairs over DISTINCT
+    texts with map-side combine. `rep_id` is min(doc_id) of its group
+    (`_verbatim_reps`), so for a unique gram the owner rep IS the owning
+    doc — matching the oracle's min-doc_id owner exactly. Member docs
+    then pick up their rep's (n_grams, n_unique) through one O(docs) ⋈
+    O(reps) join; mult>1 groups get n_unique 0 by construction (every
+    gram they hold has dfreq ≥ 2).
+
+    Scale: corpus-wide document frequency is irreducibly linear in
+    DISTINCT text volume, but web-scale pretraining corpora are 30-50 %
+    verbatim duplicates — the collapse removes exactly that factor (the
+    10× replicated probe drops from alpha ~1.0 to near-flat), and the
+    shared tables amortize across the whole dedup/curation family.
     Novelty divides two exact ints — bit-identical in both engines.
     In-engine grams are xxhash64 longs while the oracle joins raw gram
     strings: the usual 2^-64 collision class (dedup_ngram_jaccard's
     argument). Docs with no trigram (<3 tokens or NULL text) drop — the
-    curation-family convention.
-
-    The gram-set table is MATERIALIZED (dedup's `_materialize`) before
-    the explode, and not only for its two consumers (per-doc totals +
-    gram stream): `InferFiltersFromGenerate` turns the explode into a
-    `size(ghs) > 0 AND isnotnull(ghs)` filter that predicate pushdown
-    sinks BELOW scan_parallel's exchange — re-evaluating the whole
-    interpreted gram-build lambda per row on the scan side, which is one
-    task for a single-split input (measured 6.3 s vs 1.3 s at sf0.1:
-    the duplicated filter eval serialized on one core was ~5 s of the
-    query). The checkpoint is an optimizer barrier: the inferred filter
-    lands on materialized arrays, where size() is O(1)."""
+    curation-family convention."""
     from ..ckpt import guard_result, release_transient_storage
-    from .dedup import _doc_gram_sets, _materialize
+    from .dedup import _shared_gram_sets, _shared_members
 
     release_transient_storage()  # free the previous invocation's blocks
-    # raw-scan input: restore parallelism BEFORE the narrow gram build
-    # (_doc_gram_sets no longer repartitions — its dedup callers hand it
-    # post-shuffle inputs; this one hands it the scan itself)
-    docs = scan_parallel(load(spark, sf_dir, "documents"))
-    sets_ = _materialize(
-        _doc_gram_sets(docs), "novelty_gram_sets", sf_dir=sf_dir
+    members = _shared_members(spark, sf_dir)  # (doc_id, rep_id)
+    sets_ = _shared_gram_sets(spark, sf_dir)  # (doc_id=rep, ghs) per rep
+    mult = members.groupBy("rep_id").agg(F.count("*").alias("mult"))
+    per_rep = sets_.filter(F.size("ghs") > 0).select(
+        F.col("doc_id").alias("rep_id"),
+        F.size("ghs").cast("bigint").alias("n_grams"),
+        "ghs",
     )
-    per_doc = sets_.filter(F.size("ghs") > 0).select(
-        "doc_id", F.size("ghs").cast("bigint").alias("n_grams"), "ghs"
-    )
-    grams = per_doc.select("doc_id", F.explode("ghs").alias("gh"))
-    df_owner = grams.groupBy("gh").agg(
-        F.count("*").alias("dfreq"), F.min("doc_id").alias("owner")
+    grams = per_rep.select("rep_id", F.explode("ghs").alias("gh"))
+    grp_owner = grams.groupBy("gh").agg(
+        F.count("*").alias("gcnt"), F.min("rep_id").alias("owner")
     )
     uniq = (
-        df_owner.filter(F.col("dfreq") == 1)
-        .groupBy(F.col("owner").alias("doc_id"))
+        grp_owner.filter(F.col("gcnt") == 1)
+        .groupBy(F.col("owner").alias("rep_id"))
         .agg(F.count("*").alias("n_unique"))
     )
+    rep_stats = (
+        per_rep.drop("ghs")
+        .join(mult, "rep_id")
+        .join(uniq, "rep_id", "left")
+        .select(
+            "rep_id",
+            "n_grams",
+            F.when(
+                F.col("mult") == 1, F.coalesce("n_unique", F.lit(0))
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
     return guard_result(
-        per_doc.drop("ghs")
-        .join(uniq, "doc_id", "left")
+        members.join(rep_stats, "rep_id")
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
-            (
-                F.coalesce("n_unique", F.lit(0)).cast("double")
-                / F.col("n_grams")
-            ).alias("novelty"),
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
         )
     )

@@ -71,8 +71,19 @@ def _materialize(df: DataFrame, name: str, sf_dir: str | None = None) -> DataFra
     """
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckpt_dir:
+        import hashlib
+
         spark = df.sparkSession
-        tag = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else "default"
+        if sf_dir:
+            # basename alone would alias two corpora that share a leaf
+            # dir name; suffix a digest of the full path (same reasoning
+            # as _shared_materialize's durable snapshots)
+            disc = hashlib.md5(
+                os.path.abspath(sf_dir).encode()
+            ).hexdigest()[:12]
+            tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{disc}"
+        else:
+            tag = "default"
         path = os.path.join(
             ckpt_dir,
             spark.sparkContext.applicationId,
@@ -149,10 +160,21 @@ def _shared_materialize(spark, sf_dir: str, name: str, builder) -> DataFrame:
         cached = _DURABLE_SHARED.get((ckpt_dir, *key))
         if cached is not None:
             return cached
+        # the path must discriminate everything the CACHE KEY does: two
+        # corpora sharing a basename (or one rewritten in place, changing
+        # the fingerprint) would otherwise overwrite the same parquet
+        # while an earlier cached handle keeps lazily reading it —
+        # silently serving the other corpus's rows. A short digest of
+        # (abspath, fingerprint) makes each key's snapshot its own file.
+        import hashlib
+
+        disc = hashlib.md5(
+            repr((os.path.abspath(sf_dir), key[-1])).encode()
+        ).hexdigest()[:12]
         path = os.path.join(
             ckpt_dir,
             spark.sparkContext.applicationId,
-            os.path.basename(os.path.normpath(sf_dir)),
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{disc}",
             f"shared_{name}.parquet",
         )
         builder().write.mode("overwrite").parquet(path)

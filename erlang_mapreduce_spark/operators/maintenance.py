@@ -124,19 +124,37 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     born) is rewritten so each partition holds ceil(rows/8192) right-sized
     files.
 
-    The compaction pass is one shuffle keyed on the PARTITION column
-    (hash-clustering every partition's rows into a single task — all rows
-    of a given key land in exactly one task even under hash collision,
-    collisions just share a task between keys) + `maxRecordsPerFile`, which
-    rolls the writer deterministically every 8192 records. The returned
-    accounting is (rows, ACTUAL on-disk file count, decimal content sum)
-    per partition, and the oracle recomputes the file count as
-    ceil(n/8192) with integer arithmetic — the hash matches iff the
+    The compaction clusters rows into EXACT 8192-row file groups while
+    keeping every writer core busy — `repartition(partition_col)` alone
+    would funnel each partition value into ONE task (3 values ⇒ 3 live
+    cores; measured 5 s of the 6.8 s total at the 10× probe scale):
+
+    1. a counting pass records exact rows per (partition value, input
+       split) — `spark_partition_id()` is stable across the two jobs
+       because both plans scan the same parquet splits with no prior
+       exchange; the count scan prunes to one column;
+    2. a window prefix-sum over that SMALL table (rows = values × splits)
+       turns counts into per-split starting offsets, broadcast-joined
+       back so the offset lookup stays in the scan stage;
+    3. `row_number` over (value, split) — parallelism values × splits,
+       never one-task-per-value — plus the offset gives each row an exact
+       per-value ordinal, whose div-8192 is its file-group id;
+    4. the write shuffle keys on (value, group id): groups land whole in
+       whichever task hashes them, and since every group is exactly 8192
+       rows (one remainder per value), `maxRecordsPerFile` rolls the
+       writer at group boundaries no matter how groups share tasks —
+       total files per value is EXACTLY ceil(n/8192) while ~all cores
+       write.
+
+    The returned accounting is (rows, ACTUAL on-disk file count, decimal
+    content sum) per partition, and the oracle recomputes the file count
+    as ceil(n/8192) with integer arithmetic — the hash matches iff the
     rewrite produced exactly the predicted layout with no row lost. At
-    real scale the per-partition clustering becomes repartitionByRange
-    on (partition, sort key) for multiple writer tasks per huge partition,
-    and the trigger is a file-listing pass filtering dirs whose mean file
-    size is under target — the rewrite plan itself is unchanged."""
+    100 TB the counts table is #values × #splits rows — broadcast-sized
+    for date-partitioned tables (1e3 values × 1e5 splits only if every
+    split holds every value, which partition-dir locality prevents); the
+    trigger in production is a file-listing pass filtering dirs whose
+    mean file size is under target — the rewrite plan is unchanged."""
     import os
     import shutil
 
@@ -157,14 +175,49 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.repartition(16).write.mode("overwrite").partitionBy(
             "l_returnflag"
         ).parquet(frag)
-        # 2. compaction: cluster by partition value, roll files at the
-        # record target (writer's schema on read-back: an empty source
-        # writes no data files and inference would fail — see
-        # pipeline_dataset_export)
+        # 2. compaction: exact 8192-row file groups, parallel writers
+        # (docstring steps 1-4). _pv is a null-safe surrogate of the
+        # partition value — groupBy/join/repartition all treat NULL keys
+        # differently (join would DROP null-partition rows); the hive
+        # writer still partitions on the real column. (writer's schema on
+        # read-back: an empty source writes no data files and inference
+        # would fail — see pipeline_dataset_export)
+        from pyspark.sql import Window
+
         back_schema = src.schema
-        frag_df = spark.read.schema(back_schema).parquet(frag)
+        frag_df = (
+            spark.read.schema(back_schema)
+            .parquet(frag)
+            .withColumn(
+                "_pv", F.coalesce("l_returnflag", F.lit("\x00null"))
+            )
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        cnts = frag_df.groupBy("_pv", "_pid").agg(F.count("*").alias("_n"))
+        woff = (
+            Window.partitionBy("_pv")
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = cnts.select(
+            "_pv",
+            "_pid",
+            F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+        )
+        wrn = Window.partitionBy("_pv", "_pid").orderBy(
+            F.monotonically_increasing_id()
+        )
         (
-            frag_df.repartition("l_returnflag")
+            frag_df.join(F.broadcast(offs), ["_pv", "_pid"])
+            .withColumn(
+                "_fidx",
+                F.floor(
+                    (F.col("_off") + F.row_number().over(wrn) - 1)
+                    / COMPACT_ROWS_PER_FILE
+                ),
+            )
+            .repartition("_pv", "_fidx")
+            .drop("_pv", "_pid", "_off", "_fidx")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", COMPACT_ROWS_PER_FILE)
             .partitionBy("l_returnflag")

@@ -60,6 +60,14 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]):
     no-op, which is why graph_pagerank checkpoints its (tiny) result
     inside the scope instead of returning the raw lazy plan.
 
+    Single-threaded-session assumption: the override mutates the
+    SESSION-GLOBAL runtime conf, so a query launched concurrently from
+    another thread of the same session during the block would snapshot
+    (and silently run under) the scoped values. The engine's contract is
+    one driving thread per session (bench, driver, and tests all comply);
+    concurrent drivers should use separate sessions
+    (``SparkSession.newSession()`` shares the context but not the conf).
+
     Motivation (round-6 regression): the session-wide AQE
     coalescePartitions.minPartitionSize=32k floor keeps CPU-heavy gram
     shuffles from collapsing to one task, but it also pinned
@@ -70,10 +78,12 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]):
     session's tuning with them."""
     saved: dict[str, str | None] = {}
     for k, v in confs.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+        # get(k) with no default falls back to Spark's BUILT-IN default
+        # for known keys (it raises only for unknown ones), which would
+        # make exit pin that default explicitly instead of unsetting —
+        # masking any later session-level retuning. get(k, None) returns
+        # None exactly when the session never set the key.
+        saved[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
         yield

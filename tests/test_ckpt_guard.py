@@ -23,18 +23,26 @@ from erlang_mapreduce_spark.ckpt import (
 )
 
 
-def test_stale_pooled_result_raises_named_error(spark, sf_dir):
+def _pooled_guarded_result(spark):
+    """A guard_result over a pooled checkpoint, built straight from the
+    ckpt.py primitives — the composition every _materialize-using op has,
+    WITHOUT depending on any particular op's current internals (ops have
+    migrated between pooled and shared storage across rounds; these tests
+    must pin ckpt.py, not an op's composition of the day)."""
+    from erlang_mapreduce_spark.ckpt import guard_result, pooled_local_checkpoint
+
+    base = pooled_local_checkpoint(spark.range(100).toDF("n"))
+    return guard_result(base.groupBy((base.n % 7).alias("k")).count())
+
+
+def test_stale_pooled_result_raises_named_error(spark):
     """A pooled-checkpoint-backed result forced AFTER
     release_transient_storage() must raise CheckpointReleasedError — the
     named contract error pointing at the fix — never Spark's raw
-    block-not-found internals error. (text_ngram_novelty's gram-set table
-    goes through _materialize → pooled_local_checkpoint, and its return
-    is guard_result-wrapped.)"""
-    from erlang_mapreduce_spark.operators.analysis import text_ngram_novelty
-
-    fresh = text_ngram_novelty(spark, sf_dir)
+    block-not-found internals error."""
+    fresh = _pooled_guarded_result(spark)
     assert fresh.count() > 0  # forcing while the blocks are live is fine
-    stale = text_ngram_novelty(spark, sf_dir)
+    stale = _pooled_guarded_result(spark)
     release_transient_storage()
     with pytest.raises(CheckpointReleasedError):
         stale.count()
@@ -45,34 +53,40 @@ def test_stale_after_next_pooled_op(spark, sf_dir):
     op B's invocation (B's entry release_transient_storage() frees A's
     blocks). The violation must surface as the named error when A's result
     is finally touched, while B's own fresh result stays forceable."""
-    from erlang_mapreduce_spark.operators.analysis import text_ngram_novelty
     from erlang_mapreduce_spark.operators.curation import text_decontaminate
 
-    a = text_ngram_novelty(spark, sf_dir)
+    a = _pooled_guarded_result(spark)
     b = text_decontaminate(spark, sf_dir)  # entry release frees a's blocks
     assert b.count() > 0
     with pytest.raises(CheckpointReleasedError):
         a.count()
 
 
-def test_shared_lru_eviction_kills_dependents(spark, sf_dir):
-    """Shared-cache leases die only on LRU eviction — so a result depending
-    exclusively on shared tables (dedup_ngram_jaccard after the round-6
-    refactor) survives release_transient_storage(), but gets the named
-    error once enough NEW shared entries push its tables out of the LRU."""
-    from erlang_mapreduce_spark.operators.dedup import dedup_ngram_jaccard
+def test_shared_lru_eviction_kills_dependents(spark):
+    """Shared-cache leases die only on LRU eviction — so a guard_result
+    depending exclusively on a shared table survives
+    release_transient_storage(), but gets the named error once enough NEW
+    shared entries push its table out of the LRU. Built straight from
+    shared_local_checkpoint + guard_result so the test pins ckpt.py's
+    eviction contract, not any op's current storage composition."""
+    from erlang_mapreduce_spark.ckpt import guard_result
 
-    r = dedup_ngram_jaccard(spark, sf_dir)
-    release_transient_storage()  # shared leases survive this ...
-    assert r.count() >= 0
+    release_transient_storage()  # op-entry convention: clean lease slate
     try:
-        r2 = dedup_ngram_jaccard(spark, sf_dir)
+        base = shared_local_checkpoint(
+            ("test-evict-subject",),
+            lambda: spark.range(100).toDF("n"),
+            desc="subject",
+        )
+        r = guard_result(base.groupBy((base.n % 7).alias("k")).count())
+        release_transient_storage()  # shared leases survive this ...
+        assert r.count() > 0
         for i in range(ckpt._SHARED_CAP + 1):  # ... but not eviction
             shared_local_checkpoint(
                 ("test-evict-dummy", i), lambda: spark.range(1), desc="dummy"
             )
         with pytest.raises(CheckpointReleasedError):
-            r2.count()
+            r.count()
     finally:
         # reset: drop the dummies (and any evicted-but-half-built state) so
         # later dedup tests rebuild from a clean cache instead of mixing
