@@ -326,17 +326,44 @@ def test_gram_set_durable_mode_same_pairs(spark, sf_dir, tmp_path, monkeypatch):
         for r in dedup_ngram_jaccard(spark, sf_dir).collect()
     }
     assert durable == default
-    tag_dir = (
-        tmp_path
-        / spark.sparkContext.applicationId
-        / os.path.basename(os.path.normpath(sf_dir))
+    app_dir = tmp_path / spark.sparkContext.applicationId
+    # the tag dir is "<basename>-<digest>" — the digest discriminates
+    # same-basename corpora and fingerprint changes (round-8 ADVICE fix)
+    tag_dirs = list(
+        app_dir.glob(f"{os.path.basename(os.path.normpath(sf_dir))}-*")
     )
-    snaps = sorted(p.name for p in tag_dir.glob("shared_*.parquet"))
+    assert len(tag_dirs) == 1, f"expected one tag dir, got {tag_dirs}"
+    snaps = sorted(p.name for p in tag_dirs[0].glob("shared_*.parquet"))
     assert snaps == [
         "shared_gram_sets_xx.parquet",
         "shared_verbatim_members.parquet",
         "shared_verbatim_rep_docs.parquet",
-    ], f"durable snapshots missing under {tag_dir}: {snaps}"
+    ], f"durable snapshots missing under {tag_dirs[0]}: {snaps}"
+
+
+def test_cluster_cc_durable_mode_end_to_end(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """dedup_cluster_cc end-to-end with $SPARK_GRAFT_CHECKPOINT_DIR set:
+    the per-round persist→checkpoint→unpersist path inside
+    connected_components AND the durable shared/materialized gram tables
+    all run in durable mode, the cluster labels are identical to
+    local-checkpoint mode, and checkpoint files actually land under the
+    given directory (both the RDD checkpoint tree and the parquet
+    snapshots)."""
+    from erlang_mapreduce_spark.operators.dedup import dedup_cluster_cc
+
+    local_labels = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_cluster_cc(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path))
+    durable_labels = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_cluster_cc(spark, sf_dir).collect()
+    }
+    assert durable_labels == local_labels
+    written = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert written, "durable mode wrote nothing under the checkpoint dir"
 
 
 def test_transient_storage_released_between_invocations(spark, sf_dir):
