@@ -137,8 +137,19 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local_detail.json"
     )
+    detail = {**compact, "passes": passes}
+    # preserve per-op isolated re-timings (tools/isolated_timing.py writes
+    # them under "isolated") across full-bench rewrites, so drift
+    # adjudications stay next to the medians they explain
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if "isolated" in prev:
+            detail["isolated"] = prev["isolated"]
+    except (OSError, ValueError):
+        pass
     with open(detail_path, "w") as f:
-        json.dump({**compact, "passes": passes}, f, indent=1)
+        json.dump(detail, f, indent=1)
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -43,6 +43,10 @@ _DEFAULTS = {
     # and convert in tables.load (Spark has no ns timestamp type)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # stage-progress bars are console noise here (no interactive user) and
+    # they flood the driver's ~2,000-char bench-stdout capture — BENCH_r03
+    # lost its official JSON line to exactly that overflow
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.extraJavaOptions": "-Dlog4j2.level=error",
 }
 
