@@ -696,3 +696,98 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Count-min sketch geometry: depth × width cells, each depth row an
+# independent double-hash permutation (Kirsch-Mitzenmacher, same device as
+# dedup_minhash). Error bound: est(g) - df(g) <= e/width · Σdf with
+# probability 1 - e^-depth per query — at 100 TB, width scales with the
+# distinct-gram budget while the SKETCH stays depth·width rows, which is
+# the whole point (SCALING.md names this the sublinear swap for
+# text_ngram_novelty's exact corpus-wide DF).
+CM_DEPTH = 4
+CM_WIDTH = 1024
+_CM_P = 2147483647  # 2^31 - 1 — dedup.MERSENNE_P, kept literal for the SQL
+
+
+@query(
+    "agg_ngram_df_sketch",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+                           ' ') AS gram
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)
+),
+h AS (
+    SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT % {_CM_P} AS a,
+           (('0x' || substr(md5(gram), 16, 15))::BIGINT % {_CM_P - 1}) + 1
+               AS b
+    FROM grams
+)
+SELECT CAST(d.d AS INTEGER) AS depth,
+       CAST(((a + d.d * b) % {_CM_P}) % {CM_WIDTH} AS INTEGER) AS cell,
+       count(*) AS cnt
+FROM h CROSS JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS d) d
+GROUP BY 1, 2
+""",
+)
+def agg_ngram_df_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of trigram DOCUMENT frequencies — the mergeable
+    summary a 100 TB pipeline persists instead of the exact corpus-wide
+    gram-DF table (text_ngram_novelty's statistic): est(g) =
+    min over depths of cnt[depth][h_depth(g)] upper-bounds the true DF
+    within e/width · total-instances, and sketches from corpus shards
+    merge by cell-wise addition. The op returns the sketch AS DATA —
+    (depth, cell, cnt) for every non-empty cell, ≤ depth·width rows.
+
+    Plan: the shared md5 gram-set table (`_shared_gram_sets_md5` — the
+    cross-engine-exact double-hash arrays dedup_minhash uses) joined once
+    with the verbatim-group multiplicities (DF counts every DOC, so a
+    group's reps count mult times), then a NARROW transform/explode to
+    (depth, cell) pairs and ONE hash agg whose map-side combine caps
+    every partition's shuffle contribution at depth·width rows — the
+    shuffle is O(cells), not O(gram instances), no matter the corpus
+    size. Hash arithmetic is the minhash permutation device ((a + d·b)
+    mod p mod width on md5-half-derived a, b < 2^31 — every intermediate
+    fits a long bit-identically in both engines), so the oracle matches
+    hash-exactly despite the 'sketch' name: determinism comes from the
+    hash family, approximation only enters when a QUERY reads a cell as
+    a DF estimate. tests/test_operators.py pins the CM guarantee
+    (est ≥ exact DF, bounded mean overestimate) against exact counts."""
+    from ..ckpt import guard_result, release_transient_storage
+    from .dedup import _shared_gram_sets_md5, _shared_members
+
+    release_transient_storage()
+    members = _shared_members(spark, sf_dir)
+    sets_ = _shared_gram_sets_md5(spark, sf_dir)  # (doc_id=rep, ghs, gh2s)
+    mult = members.groupBy(F.col("rep_id")).agg(F.count("*").alias("mult"))
+    pairs = (
+        sets_.select(
+            F.col("doc_id").alias("rep_id"),
+            F.arrays_zip("ghs", "gh2s").alias("gs"),
+        )
+        .join(mult, "rep_id")
+        .select("mult", F.explode("gs").alias("g"))
+    )
+    a = F.col("g.ghs") % F.lit(_CM_P)
+    b = (F.col("g.gh2s") % F.lit(_CM_P - 1)) + F.lit(1)
+    darr = F.transform(
+        F.sequence(F.lit(0), F.lit(CM_DEPTH - 1)),
+        lambda d: F.struct(
+            d.cast("int").alias("depth"),
+            ((a + d.cast("bigint") * b) % _CM_P % CM_WIDTH)
+            .cast("int")
+            .alias("cell"),
+        ),
+    )
+    cells = pairs.select("mult", F.explode(darr).alias("dc"))
+    return guard_result(
+        cells.groupBy(
+            F.col("dc.depth").alias("depth"), F.col("dc.cell").alias("cell")
+        ).agg(F.sum("mult").alias("cnt"))
+    )

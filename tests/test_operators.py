@@ -453,3 +453,62 @@ def test_ivf_centroids_within_sample_hull(spark, sf_dir):
     )
     lo, hi = int(hull.lo * _MICRO) - 1, int(hull.hi * _MICRO) + 1
     assert all(lo <= r.c_micro <= hi for r in cents)
+
+
+def test_cm_sketch_df_estimate_bounds(spark, sf_dir):
+    """The count-min guarantee for agg_ngram_df_sketch: for every probed
+    gram, est(g) = min over depths of cnt[depth][h_depth(g)] must
+    upper-bound the exact document frequency (CM never undercounts), and
+    the mean overestimate must respect the e/width · total bound."""
+    import math
+
+    from erlang_mapreduce_spark.operators.analysis import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _CM_P,
+        agg_ngram_df_sketch,
+    )
+
+    sketch = {
+        (r.depth, r.cell): r.cnt
+        for r in agg_ngram_df_sketch(spark, sf_dir).collect()
+    }
+    total = sum(c for (d, _), c in sketch.items() if d == 0)
+
+    # exact DF per gram hash pair, via the same shared md5 gram sets
+    from erlang_mapreduce_spark.operators.dedup import (
+        _shared_gram_sets_md5,
+        _shared_members,
+    )
+
+    members = _shared_members(spark, sf_dir)
+    mult = members.groupBy("rep_id").agg(F.count("*").alias("mult"))
+    exact = (
+        _shared_gram_sets_md5(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("rep_id"),
+            F.explode(F.arrays_zip("ghs", "gh2s")).alias("g"),
+        )
+        .join(mult, "rep_id")
+        .groupBy("g.ghs", "g.gh2s")
+        .agg(F.sum("mult").alias("df"))
+        .orderBy("ghs")
+        .limit(200)
+        .collect()
+    )
+    assert exact, "probe set empty — fixture has no grams?"
+    overs = []
+    for r in exact:
+        a, b = r.ghs % _CM_P, (r.gh2s % (_CM_P - 1)) + 1
+        est = min(
+            sketch.get((d, (a + d * b) % _CM_P % CM_WIDTH), 0)
+            for d in range(CM_DEPTH)
+        )
+        assert est >= r.df, (r, est)
+        overs.append(est - r.df)
+    # expected overestimate per depth row is total/width; min over
+    # depth rows only helps — allow 3x headroom on the mean
+    assert sum(overs) / len(overs) <= 3 * math.e * total / CM_WIDTH, (
+        sum(overs) / len(overs),
+        total,
+    )
