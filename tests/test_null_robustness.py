@@ -100,6 +100,7 @@ _OPS = (
     "sample_split_train_eval",
     "profile_columns",
     "text_ngram_novelty",
+    "agg_ngram_df_sketch",
     "merge_upsert",
     "fn_nested",
     "compact_small_files",
