@@ -791,3 +791,111 @@ def agg_ngram_df_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dc.depth").alias("depth"), F.col("dc.cell").alias("cell")
         ).agg(F.sum("mult").alias("cnt"))
     )
+
+
+@query(
+    "text_novelty_sketch",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+                           ' ') AS gram
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)
+),
+h AS (
+    SELECT doc_id, gram,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT % {_CM_P} AS a,
+           (('0x' || substr(md5(gram), 16, 15))::BIGINT % {_CM_P - 1}) + 1
+               AS b
+    FROM grams
+),
+cells AS (
+    SELECT doc_id, gram, d.d AS depth,
+           ((a + d.d * b) % {_CM_P}) % {CM_WIDTH} AS cell
+    FROM h CROSS JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS d) d
+),
+sketch AS (
+    SELECT depth, cell, count(*) AS cnt FROM cells GROUP BY depth, cell
+),
+est AS (
+    SELECT c.doc_id, c.gram, min(s.cnt) AS est
+    FROM cells c JOIN sketch s USING (depth, cell)
+    GROUP BY c.doc_id, c.gram
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE est = 1) AS n_unique_est,
+       CAST(count(*) FILTER (WHERE est = 1) AS DOUBLE) / count(*)
+           AS novelty_est
+FROM est
+GROUP BY doc_id
+""",
+)
+def text_novelty_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_ngram_novelty answered FROM the count-min sketch — the query
+    path a 100 TB deployment actually runs: est(g) = min over depths of
+    the sketch cell counts upper-bounds g's document frequency, so
+    est(g) = 1 PROVES df(g) = 1 (no false uniques, ever); collisions can
+    only hide true uniques, making novelty_est a deterministic LOWER
+    bound of the exact novelty (tests/test_operators.py pins both
+    properties against text_ngram_novelty). The whole statistic needs
+    only the depth·width-row sketch — mergeable across corpus shards and
+    broadcastable — instead of the O(distinct grams) exact DF table.
+
+    Plan: the sketch (agg_ngram_df_sketch — one O(cells) shuffle) is
+    BROADCAST to the rep-gram cell stream (4 narrow rows per distinct
+    rep gram), one hash agg takes min-over-depths per gram, a second
+    rolls per-rep totals, and the member map expands reps to docs —
+    verbatim-collapsed end to end like the exact op, zero additional
+    full-data shuffles beyond the gram agg itself. The md5 double-hash
+    arithmetic is engine-identical, so even this 'approximate' op is
+    hash-checked exactly: the approximation is a fixed deterministic
+    function, not randomness."""
+    from ..ckpt import guard_result
+    from .dedup import _shared_gram_sets_md5, _shared_members
+
+    sketch = agg_ngram_df_sketch(spark, sf_dir)  # entry releases pool
+    members = _shared_members(spark, sf_dir)
+    sets_ = _shared_gram_sets_md5(spark, sf_dir)
+    gs = sets_.select(
+        F.col("doc_id").alias("rep_id"),
+        F.explode(F.arrays_zip("ghs", "gh2s")).alias("g"),
+    )
+    a = F.col("g.ghs") % F.lit(_CM_P)
+    b = (F.col("g.gh2s") % F.lit(_CM_P - 1)) + F.lit(1)
+    darr = F.transform(
+        F.sequence(F.lit(0), F.lit(CM_DEPTH - 1)),
+        lambda d: F.struct(
+            d.cast("int").alias("depth"),
+            ((a + d.cast("bigint") * b) % _CM_P % CM_WIDTH)
+            .cast("int")
+            .alias("cell"),
+        ),
+    )
+    cells = gs.select(
+        "rep_id", "g", F.explode(darr).alias("dc")
+    ).select("rep_id", "g", F.col("dc.depth").alias("depth"),
+             F.col("dc.cell").alias("cell"))
+    est = (
+        cells.join(F.broadcast(sketch), ["depth", "cell"])
+        .groupBy("rep_id", "g")
+        .agg(F.min("cnt").alias("est"))
+    )
+    rep_stats = est.groupBy("rep_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("est") == 1).cast("bigint")).alias("n_unique_est"),
+    )
+    return guard_result(
+        members.join(rep_stats, "rep_id").select(
+            "doc_id",
+            "n_grams",
+            "n_unique_est",
+            (
+                F.col("n_unique_est").cast("double") / F.col("n_grams")
+            ).alias("novelty_est"),
+        )
+    )

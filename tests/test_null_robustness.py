@@ -101,6 +101,7 @@ _OPS = (
     "profile_columns",
     "text_ngram_novelty",
     "agg_ngram_df_sketch",
+    "text_novelty_sketch",
     "merge_upsert",
     "fn_nested",
     "compact_small_files",

@@ -512,3 +512,26 @@ def test_cm_sketch_df_estimate_bounds(spark, sf_dir):
         sum(overs) / len(overs),
         total,
     )
+
+
+def test_novelty_sketch_lower_bounds_exact(spark, sf_dir):
+    """text_novelty_sketch's two declared properties vs the exact op:
+    (1) no false uniques — every gram counted unique by the sketch is
+    unique exactly, so per-doc n_unique_est <= n_unique; (2) identical
+    n_grams (the sketch path changes DF estimation only, never the
+    per-doc gram sets)."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    exact = {
+        r.doc_id: (r.n_grams, r.n_unique)
+        for r in QUERIES["text_ngram_novelty"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.doc_id: (r.n_grams, r.n_unique_est)
+        for r in QUERIES["text_novelty_sketch"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for doc, (ng, nu_est) in approx.items():
+        ng_exact, nu_exact = exact[doc]
+        assert ng == ng_exact, (doc, ng, ng_exact)
+        assert nu_est <= nu_exact, (doc, nu_est, nu_exact)

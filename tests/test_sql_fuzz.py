@@ -295,7 +295,8 @@ DOC_OPS = (
     "dedup_passage", "dedup_span_rolling", "dedup_cluster_cc",
     "sample_quality_weighted", "sample_mix_rebalance",
     "sample_cap_per_source", "sample_split_train_eval",
-    "agg_ngram_counts", "agg_ngram_df_sketch", "agg_heavy_hitters",
+    "agg_ngram_counts", "agg_ngram_df_sketch", "text_novelty_sketch",
+    "agg_heavy_hitters",
     "pipeline_corpus_clean",
     "pipeline_seq_pack", "fn_array", "fn_url", "udf_scalar", "udtf",
     "multimodal_meta", "multimodal_decode", "multimodal_frame_sample",
