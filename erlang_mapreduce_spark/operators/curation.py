@@ -147,6 +147,120 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 4096  # bloom filter size in bits (64 longs)
+BLOOM_K = 3  # hash probes per gram
+_BLOOM_P = 2147483647  # dedup.MERSENNE_P, literal for the SQL
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+{_TOKS_CTE.strip()},
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(ws[CAST(i AS INTEGER):CAST(i + {DECON_N} - 1 AS INTEGER)], ' ') AS gram
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {DECON_N} + 2)) AS i
+          FROM toks)
+),
+h AS (
+    SELECT doc_id, gram,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT % {_BLOOM_P} AS a,
+           (('0x' || substr(md5(gram), 16, 15))::BIGINT % {_BLOOM_P - 1}) + 1 AS b
+    FROM grams
+),
+cells AS (
+    SELECT doc_id, gram, k.k AS k, ((a + k.k * b) % {_BLOOM_P}) % {BLOOM_M} AS bit
+    FROM h CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k) k
+),
+bits AS (SELECT DISTINCT bit FROM cells WHERE doc_id < {EVAL_MAX_DOC}),
+hit AS (
+    SELECT c.doc_id, c.gram
+    FROM cells c JOIN bits USING (bit)
+    WHERE c.doc_id >= {EVAL_MAX_DOC}
+    GROUP BY 1, 2 HAVING count(*) = {BLOOM_K}
+),
+n AS (SELECT doc_id, count(*) AS n FROM hit GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS n_flagged_grams,
+       coalesce(n.n, 0) > 0 AS contaminated_bloom
+FROM documents d LEFT JOIN n USING (doc_id)
+WHERE d.doc_id >= {EVAL_MAX_DOC}
+""",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_decontaminate answered through a BLOOM FILTER of the eval
+    gram set — the sublinear swap a 100 TB deployment runs when the
+    held-out corpus itself is large: the probe structure is a FIXED
+    BLOOM_M-bit bitset (512 bytes here) regardless of eval size, built
+    with one tiny aggregate, OR-mergeable across eval shards, and
+    embedded as a 64-long literal array so the train-side membership
+    test is a PURE NARROW projection — zero joins, zero shuffles, the
+    whole corpus is scanned once at parquet speed (the exact op's
+    broadcast semi-join + per-doc groupBy both disappear).
+
+    Bloom guarantee, pinned locally against text_decontaminate: no
+    false NEGATIVES — every truly contaminated doc is flagged
+    (contaminated ⇒ contaminated_bloom) and n_flagged_grams ≥
+    n_shared_grams; false positives are the documented price (k=3,
+    m=4096 ⇒ ~3% per-gram FP at the fixture's eval load). The k bit
+    positions come from the same md5 double-hash family as the CM
+    sketch (Kirsch-Mitzenmacher (a + k·b) mod p), so the 'approximate'
+    answer is a deterministic function of the data and the DuckDB
+    oracle hash-checks it EXACTLY.
+
+    The .collect() pulls only distinct SET BIT positions — bounded by
+    BLOOM_M = 4096 ints at any corpus size (the same bounded-accounting
+    class as the IVF training sample)."""
+    from .dedup import _doc_gram_sets_md5
+
+    docs = scan_parallel(load(spark, sf_dir, "documents"))
+    sets = _doc_gram_sets_md5(docs, n=DECON_N)
+    gr = F.explode(F.arrays_zip("ghs", "gh2s")).alias("g")
+    a = F.col("g.ghs") % F.lit(_BLOOM_P)
+    b = (F.col("g.gh2s") % F.lit(_BLOOM_P - 1)) + F.lit(1)
+    karr = F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda k: (a + k.cast("bigint") * b) % _BLOOM_P % BLOOM_M,
+    )
+    ev_bits = sorted(
+        r.bit
+        for r in sets.filter(F.col("doc_id") < EVAL_MAX_DOC)
+        .select(gr)
+        .select(F.explode(karr).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for bit in ev_bits:
+        words[bit >> 6] |= 1 << (bit & 63)
+    # signed-long literal fold (Python ints > 2^63-1 won't fit LongType)
+    warr = F.array(
+        *[F.lit(w - (1 << 64) if w >= 1 << 63 else w).cast("long")
+          for w in words]
+    )
+
+    def _bit_set(bit: Column) -> Column:
+        word = F.element_at(warr, F.shiftright(bit, 6).cast("int") + 1)
+        return F.bit_get(word, bit % 64) == 1
+
+    train = sets.filter(F.col("doc_id") >= EVAL_MAX_DOC)
+
+    def _probe(g: Column) -> Column:
+        pa = g["ghs"] % F.lit(_BLOOM_P)
+        pb = (g["gh2s"] % F.lit(_BLOOM_P - 1)) + F.lit(1)
+        ok = F.lit(True)
+        for k in range(BLOOM_K):
+            ok = ok & _bit_set((pa + F.lit(k) * pb) % _BLOOM_P % BLOOM_M)
+        return ok
+
+    n_flagged = F.size(F.filter(F.arrays_zip("ghs", "gh2s"), _probe))
+    return train.select(
+        "doc_id",
+        n_flagged.cast("long").alias("n_flagged_grams"),
+        (n_flagged > 0).alias("contaminated_bloom"),
+    )
+
+
 PASSAGE_W = 8  # tokens per passage chunk
 
 
@@ -755,6 +869,88 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # train/val/test byte thresholds out of 256: ~90 / ~5 / ~5
+CHUNK_W = 12  # tokens per chunk
+CHUNK_S = 8  # chunk stride (CHUNK_W - CHUNK_S = 4 tokens of overlap)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+{_TOKS_CTE.strip()},
+n AS (
+    SELECT doc_id, ws,
+           CASE WHEN len(ws) <= {CHUNK_W} THEN 1
+                ELSE CAST(ceil((len(ws) - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT) + 1
+           END AS nc
+    FROM toks
+),
+c AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(
+               ws[CAST(i * {CHUNK_S} + 1 AS INTEGER):CAST(i * {CHUNK_S} + {CHUNK_W} AS INTEGER)],
+               ' ') AS chunk_text,
+           CAST(len(ws[CAST(i * {CHUNK_S} + 1 AS INTEGER):CAST(i * {CHUNK_S} + {CHUNK_W} AS INTEGER)])
+                AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM n)
+)
+SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+       ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS chunk_hash
+FROM c
+""",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the step that turns cleaned
+    documents into model-ready pieces (RAG corpora, long-doc pretraining
+    with context-window overlap): CHUNK_W-token windows every CHUNK_S
+    tokens, so consecutive chunks share CHUNK_W - CHUNK_S tokens and no
+    sentence is ever seen only at a hard boundary. Differs from
+    dedup_passage's disjoint chunks (a dedup granularity) — overlap is
+    the point here. Each chunk carries a content-addressed 60-bit id
+    (md5 of the chunk text — cross-engine exact, same device as
+    _doc_gram_sets_md5) so downstream chunk-level dedup or retrieval
+    indexing can key on the hash without re-reading text.
+
+    Entirely NARROW: chunks explode from each document's own row — zero
+    exchanges at any scale; at 100 TB the chunker runs at parquet-scan
+    speed and composes with any upstream filter pushdown. The short
+    final chunk is kept (n_tokens reports its true length) — dropping
+    tails loses document endings, the classic chunking bug. Docs at or
+    under CHUNK_W tokens yield exactly one chunk; NULL texts yield none
+    (NULL propagates through the sequence, explode drops it — same on
+    both engines)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    )
+    t = F.size("ws")
+    nc = F.when(t <= CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.ceil((t - CHUNK_W) / F.lit(float(CHUNK_S))).cast("long") + 1
+    )
+    c = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), nc - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.array_join(
+                        F.slice("ws", i.cast("int") * CHUNK_S + 1, CHUNK_W),
+                        " ",
+                    ).alias("chunk_text"),
+                    F.size(
+                        F.slice("ws", i.cast("int") * CHUNK_S + 1, CHUNK_W)
+                    )
+                    .cast("long")
+                    .alias("n_tokens"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    return c.withColumn(
+        "chunk_hash",
+        F.conv(F.substring(F.md5("chunk_text"), 1, 15), 16, 10).cast("long"),
+    )
+
+
 _SPLIT_TRAIN_LT = 230
 _SPLIT_VAL_LT = 243
 

@@ -102,6 +102,8 @@ _OPS = (
     "text_ngram_novelty",
     "agg_ngram_df_sketch",
     "text_novelty_sketch",
+    "text_chunk_overlap",
+    "decontaminate_bloom",
     "merge_upsert",
     "fn_nested",
     "compact_small_files",

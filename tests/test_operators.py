@@ -535,3 +535,59 @@ def test_novelty_sketch_lower_bounds_exact(spark, sf_dir):
         ng_exact, nu_exact = exact[doc]
         assert ng == ng_exact, (doc, ng, ng_exact)
         assert nu_est <= nu_exact, (doc, nu_est, nu_exact)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """decontaminate_bloom's declared guarantee vs the exact op: no false
+    negatives — every contaminated doc is flagged and the flagged-gram
+    count dominates the exact shared-gram count (bloom FPs only ever ADD
+    grams)."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    exact = {
+        r.doc_id: (r.n_shared_grams, r.contaminated)
+        for r in QUERIES["text_decontaminate"](spark, sf_dir).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_flagged_grams, r.contaminated_bloom)
+        for r in QUERIES["decontaminate_bloom"](spark, sf_dir).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc, (nf, cb) in bloom.items():
+        ns, c = exact[doc]
+        assert nf >= ns, (doc, nf, ns)
+        if c:
+            assert cb, doc
+
+
+def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
+    """Chunk semantics pinned in python: chunk 0 plus the post-overlap
+    tail of every later chunk reassembles the exact token stream, chunk
+    starts advance by the stride, and the final chunk reaches the last
+    token (no dropped tails)."""
+    from erlang_mapreduce_spark.operators.curation import CHUNK_S, CHUNK_W
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    docs = {
+        r.doc_id: r.text.lower().split()
+        for r in load(spark, sf_dir, "documents").collect()
+        if r.text is not None
+    }
+    chunks: dict[int, list] = {}
+    for r in QUERIES["text_chunk_overlap"](spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    assert set(chunks) == set(docs)
+    import re
+
+    for doc_id, rows in chunks.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        # re.split('\s+') of the raw text matches Spark's split semantics
+        ws = re.split(r"\s+", " ".join(docs[doc_id])) if docs[doc_id] else [""]
+        toks: list[str] = []
+        for i, r in enumerate(rows):
+            ct = r.chunk_text.split(" ") if r.chunk_text != "" else [""]
+            assert r.chunk_idx == i
+            assert r.n_tokens == len(ct)
+            assert ct == ws[i * CHUNK_S : i * CHUNK_S + CHUNK_W]
+            toks = toks[: i * CHUNK_S] + ct
+        assert toks == ws, doc_id
