@@ -969,3 +969,105 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users")
     )
+
+
+KMV_K = 256  # minima retained per group (KMV standard error ~ 1/sqrt(k-2))
+# (k-1) * 2^60 pre-folded to the ONE double literal both engines divide by
+# the k-th minimum — rounding happens once here, not per-engine
+_KMV_NUM = float((KMV_K - 1) << 60)
+
+
+def kmv_sketch_partition(k: int):
+    """Factory for the per-partition KMV pass of `agg_kmv_distinct`: fold
+    Arrow batches into the k smallest DISTINCT hashes per group, bounded
+    state k·groups rows regardless of partition size. Module-level so the
+    pure-pandas generator is property-testable without a Spark session."""
+    import pandas as pd
+
+    def gen(batches):
+        acc = None
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["h"])
+            parts = pd.concat([acc, pdf]) if acc is not None else pdf
+            acc = (
+                parts.drop_duplicates()
+                .sort_values("h", kind="stable")
+                # dropna=False: a NULL group key is a real group (SQL
+                # GROUP BY semantics) — pandas silently drops it otherwise
+                .groupby("grp", sort=False, dropna=False)
+                .head(k)
+            )
+        yield acc if acc is not None else pd.DataFrame(
+            {"grp": pd.Series(dtype=object), "h": pd.Series(dtype="int64")}
+        )
+
+    return gen
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT o_orderpriority,
+           ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM orders WHERE o_custkey IS NOT NULL
+),
+r AS (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM h
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS k_used,
+       CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+            ELSE {_KMV_NUM!r} / CAST(max(h) AS DOUBLE) END AS est_distinct
+FROM r WHERE rn <= {KMV_K} GROUP BY o_orderpriority
+""",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority via a K-MINIMUM-VALUES
+    sketch — the fourth corner of the distinct-count family
+    (agg_distinct exact-Expand, agg_bitmap_distinct exact-bitmap,
+    agg_approx HLL): like HLL it is O(k) mergeable state, unlike HLL
+    the retained minima support SET ALGEBRA (|A∪B| by merging sketches,
+    |A∩B| by inclusion-exclusion on the combined k-th minimum) — the
+    sketch a dedup pipeline keeps per shard to answer overlap questions
+    without re-scanning. Estimator: (k-1)/u_(k) with u the hash mapped
+    to (0,1) (Beyer et al., "On Synopses for Distinct-Value Estimation
+    under Multiset Operations"); k=256 → ~6% standard error, bound
+    pinned against the exact count locally.
+
+    Plan shape (the 100 TB posture): hashes are computed JVM-side
+    (md5 → 60-bit long, whole-stage codegen), each partition folds to
+    its k smallest distinct per group in a vectorized Arrow pass
+    (kmv_sketch_partition — bounded k·groups rows out, the same
+    partial-summary pattern as agg_heavy_hitters' Misra-Gries pass),
+    and the ONLY exchange carries P·k·groups summary rows into a
+    collect_set/array_sort/slice merge — never the raw keys. KMV
+    mergeability makes the result PARTITION-INDEPENDENT: each
+    partition's k-smallest-distinct is a superset of its contribution
+    to the global k smallest, so the merged minima — and therefore the
+    estimate — equal the single-machine answer exactly, which is what
+    lets DuckDB hash-check an 'approximate' op: the estimate is a
+    deterministic function of the md5 family (same device as
+    decontaminate_bloom / the CM sketch). NULL keys are excluded on
+    both engines (count_distinct semantics)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    hashed = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sk = hashed.mapInPandas(kmv_sketch_partition(KMV_K), "grp string, h long")
+    arr = sk.groupBy("grp").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("arr")
+    )
+    m = F.size("arr")
+    return arr.select(
+        F.col("grp").alias("o_orderpriority"),
+        m.cast("long").alias("k_used"),
+        F.when(m < KMV_K, m.cast("double"))
+        .otherwise(F.lit(_KMV_NUM) / F.element_at("arr", KMV_K).cast("double"))
+        .alias("est_distinct"),
+    )

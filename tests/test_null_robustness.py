@@ -52,7 +52,12 @@ _SPIKES = {
         # dir mapping (__HIVE_DEFAULT_PARTITION__ ↔ None)
         "l_returnflag": "l_orderkey % 10 = 5",
     },
-    "orders": {"o_comment": "o_orderkey % 10 = 3"},
+    "orders": {
+        "o_comment": "o_orderkey % 10 = 3",
+        # a NULL group key: pins agg_kmv_distinct's NULL-group handling
+        # (SQL GROUP BY keeps it; pandas groupby must not drop it)
+        "o_orderpriority": "o_orderkey % 10 = 4",
+    },
     "part": {"p_comment": "p_partkey % 10 = 3"},
 }
 
@@ -104,6 +109,7 @@ _OPS = (
     "text_novelty_sketch",
     "text_chunk_overlap",
     "decontaminate_bloom",
+    "agg_kmv_distinct",
     "merge_upsert",
     "fn_nested",
     "compact_small_files",

@@ -591,3 +591,69 @@ def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
             assert ct == ws[i * CHUNK_S : i * CHUNK_S + CHUNK_W]
             toks = toks[: i * CHUNK_S] + ct
         assert toks == ws, doc_id
+
+
+def test_kmv_distinct_error_bound_and_partition_independence(spark, sf_dir):
+    """agg_kmv_distinct's two declared properties: (1) the estimate lands
+    within 5 standard errors (~1/sqrt(k-2)) of the exact per-group
+    distinct count; (2) KMV mergeability makes the result identical
+    under any partitioning of the input — re-running over a skewed
+    1-partition layout must reproduce every row bit-for-bit."""
+    from erlang_mapreduce_spark.operators.relational import (
+        KMV_K,
+        _KMV_NUM,
+        kmv_sketch_partition,
+    )
+    from erlang_mapreduce_spark.registry import QUERIES
+    from erlang_mapreduce_spark.tables import load as _load
+
+    est = {
+        r.o_orderpriority: (r.k_used, r.est_distinct)
+        for r in QUERIES["agg_kmv_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in _load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    se = 5.0 / (KMV_K - 2) ** 0.5
+    for grp, (k_used, e) in est.items():
+        n = exact[grp]
+        if k_used < KMV_K:
+            assert e == float(n), (grp, e, n)  # under-full sketch is exact
+        else:
+            assert abs(e - n) <= se * n, (grp, e, n, se)
+
+    # partition-independence: same answer from a single skewed partition
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    hashed = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).coalesce(1)
+    sk = hashed.mapInPandas(kmv_sketch_partition(KMV_K), "grp string, h long")
+    arr = sk.groupBy("grp").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("arr")
+    )
+    m = F.size("arr")
+    one = {
+        r.o_orderpriority: (r.k_used, r.est_distinct)
+        for r in arr.select(
+            F.col("grp").alias("o_orderpriority"),
+            m.cast("long").alias("k_used"),
+            F.when(m < KMV_K, m.cast("double"))
+            .otherwise(
+                F.lit(_KMV_NUM) / F.element_at("arr", KMV_K).cast("double")
+            )
+            .alias("est_distinct"),
+        ).collect()
+    }
+    assert one == est

@@ -176,6 +176,7 @@ RELATIONAL_OPS = (
     "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
     "agg_global", "agg_ratio_of_total", "agg_pivot", "agg_percentile",
     "agg_mode", "agg_unpivot", "agg_corr_stats", "agg_quantile_bins",
+    "agg_kmv_distinct",
     "win_rank", "win_frame", "win_ntile",
     "sort_global", "topk", "topk_per_group",
     "set_union_intersect_except", "dedup_exact", "dedup_levenshtein",
