@@ -145,3 +145,150 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m"},
     ):
         return guard_result(pooled_local_checkpoint(out))
+
+
+@query(
+    "graph_triangle_count",
+    oracle=None,  # composed at import below (reuses dedup's gram CTEs)
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the NEAR-DUPLICATE similarity
+    graph (edges = exact-Jaccard ≥ JACCARD_T pairs, the dedup_ngram_jaccard
+    output): the clustering-cohesion primitive — a document in many
+    triangles sits inside a dense duplicate cluster (boilerplate family),
+    one with edges but no triangles is a chain of pairwise-similar
+    revisions; downweighting strategies treat the two very differently.
+    The classic MapReduce graph benchmark, inexpressible in the
+    reference's one-pass engine, and deliberately run on the similarity
+    graph rather than a co-occurrence projection: TPC-H-ish co-supply
+    projections of this fixture are near-complete (degenerate), while
+    the similarity graph is sparse by construction at any corpus size —
+    its edge count is bounded by the dedup pipeline's own candidate
+    budget (GRAM_DF_CAP + verbatim collapse).
+
+    Algorithm: degree-ordered orientation (Cohen's MapReduce scheme):
+    every edge points from its smaller (degree, node) endpoint — packed
+    into ONE long key d·2^32 + node so both engines compare identically —
+    so each triangle is generated exactly once as a wedge at its
+    lowest-degree corner and closed by one equi-join. Out-degree under
+    this orientation is O(sqrt(m)) regardless of hub (clique) size: wedge
+    fan-out, the only super-linear term, is Σ C(outdeg, 2) ≤ m·√m instead
+    of the hub-quadratic Σ C(deg, 2) of a naive wedge join — for a
+    duplicate clique of R docs that is the difference between R³ and R³/6
+    emitted once, with every join a shuffle-keyed equi-join (no cartesian,
+    pinned by the blanket plan test). Docs with no qualifying edges
+    report 0 via the left join; integer counts hash exactly."""
+    from .dedup import dedup_ngram_jaccard
+
+    e = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ek = (
+        e.join(deg.alias("du"), F.col("u") == F.col("du.node"))
+        .join(deg.alias("dv"), F.col("v") == F.col("dv.node"))
+        .select(
+            "u",
+            "v",
+            (F.col("du.d") * F.lit(4294967296) + F.col("u")).alias("ku"),
+            (F.col("dv.d") * F.lit(4294967296) + F.col("v")).alias("kv"),
+        )
+    )
+    lo = F.col("ku") < F.col("kv")
+    o = ek.select(
+        F.when(lo, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lo, F.col("ku")).otherwise(F.col("kv")).alias("srck"),
+        F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("dstk"),
+    )
+    wa, wb, wc = o.alias("wa"), o.alias("wb"), o.alias("wc")
+    tri = (
+        wa.join(
+            wb,
+            (F.col("wa.srck") == F.col("wb.srck"))
+            & (F.col("wa.dstk") < F.col("wb.dstk")),
+        )
+        .join(
+            wc,
+            (F.col("wc.srck") == F.col("wa.dstk"))
+            & (F.col("wc.dstk") == F.col("wb.dstk")),
+        )
+        .select(
+            F.col("wa.src").alias("u"),
+            F.col("wa.dst").alias("v"),
+            F.col("wb.dst").alias("w"),
+        )
+    )
+    pn = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n"))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(pn, docs.doc_id == pn.node, "left").select(
+        "doc_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles")
+    )
+
+
+def _triangle_oracle() -> str:
+    """The DuckDB twin, composed from dedup's gram CTEs so the edge set
+    is definitionally dedup_ngram_jaccard's oracle output."""
+    from .dedup import _GRAMS_CTE, JACCARD_T
+
+    return f"""
+{_GRAMS_CTE.strip()},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+eg AS (
+    SELECT doc_a AS u, doc_b AS v
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= {JACCARD_T}
+),
+deg AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM eg UNION ALL SELECT v AS node FROM eg)
+    GROUP BY 1
+),
+o AS (
+    SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+           CASE WHEN ku < kv THEN v ELSE u END AS dst,
+           CASE WHEN ku < kv THEN ku ELSE kv END AS srck,
+           CASE WHEN ku < kv THEN kv ELSE ku END AS dstk
+    FROM (
+        SELECT eg.u, eg.v,
+               du.d * 4294967296 + eg.u AS ku,
+               dv.d * 4294967296 + eg.v AS kv
+        FROM eg JOIN deg du ON du.node = eg.u JOIN deg dv ON dv.node = eg.v
+    )
+),
+tri AS (
+    SELECT a.src AS u, a.dst AS v, b.dst AS w
+    FROM o a
+    JOIN o b ON a.srck = b.srck AND a.dstk < b.dstk
+    JOIN o c ON c.srck = a.dstk AND c.dstk = b.dstk
+),
+pn AS (
+    SELECT node, count(*) AS n
+    FROM (SELECT u AS node FROM tri UNION ALL
+          SELECT v AS node FROM tri UNION ALL
+          SELECT w AS node FROM tri)
+    GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles
+FROM documents d LEFT JOIN pn ON pn.node = d.doc_id
+"""
+
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["graph_triangle_count"] = _triangle_oracle().strip()

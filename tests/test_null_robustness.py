@@ -110,6 +110,7 @@ _OPS = (
     "text_chunk_overlap",
     "decontaminate_bloom",
     "agg_kmv_distinct",
+    "graph_triangle_count",
     "merge_upsert",
     "fn_nested",
     "compact_small_files",

@@ -297,7 +297,7 @@ DOC_OPS = (
     "sample_quality_weighted", "sample_mix_rebalance",
     "sample_cap_per_source", "sample_split_train_eval",
     "agg_ngram_counts", "agg_ngram_df_sketch", "text_novelty_sketch",
-    "text_chunk_overlap", "decontaminate_bloom",
+    "text_chunk_overlap", "decontaminate_bloom", "graph_triangle_count",
     "agg_heavy_hitters",
     "pipeline_corpus_clean",
     "pipeline_seq_pack", "fn_array", "fn_url", "udf_scalar", "udtf",
