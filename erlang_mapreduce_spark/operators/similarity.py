@@ -339,6 +339,34 @@ def _train_sample(e: DataFrame) -> DataFrame:
     )
 
 
+def _sample_micros(e: DataFrame):
+    """The shared deterministic k-means training sample as an int64 micro
+    matrix (N, dim): md5 1-in-4 spread (full-corpus fallback when the
+    spread holds < IVF_K vectors — the probe is LIMIT-bounded so even the
+    branch decision never scans past IVF_K rows), total-ordered by
+    vec_id, hard-capped by LIMIT (driver-side collect safe at any corpus
+    size; the GlobalLimit is pinned in tests/test_dedup.py). Used by both
+    the IVF trainer and the PQ codebook trainer so the two indexes train
+    on the IDENTICAL sample."""
+    import numpy as np
+
+    em = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(v, x -> CAST(floor(x * {_MICRO}) AS BIGINT))"
+        ).alias("vm"),
+    )
+    spread = em.filter(_spread_hash(F.col("vec_id")) == 0)
+    # fallback probe: "does the spread hold at least IVF_K vectors?" needs
+    # only IVF_K rows, so LIMIT bounds the probe scan (a bare count() here
+    # would scan the full corpus just to pick a branch at 100 TB)
+    base = spread if spread.limit(IVF_K).count() >= IVF_K else em
+    sample = base.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("vm").collect()
+    if not sample:
+        return np.zeros((0, 0), dtype=np.int64)
+    return np.array([r.vm for r in sample], dtype=np.int64)
+
+
 def _train_centroids(e: DataFrame):
     """Lloyd's k-means on a DETERMINISTIC bounded sample, driver-side
     numpy — the standard IVF recipe: the index structure is trained on a
@@ -357,21 +385,9 @@ def _train_centroids(e: DataFrame):
     centroids, shape (k, dim)."""
     import numpy as np
 
-    em = e.select(
-        "vec_id",
-        F.expr(
-            f"transform(v, x -> CAST(floor(x * {_MICRO}) AS BIGINT))"
-        ).alias("vm"),
-    )
-    spread = em.filter(_spread_hash(F.col("vec_id")) == 0)
-    # fallback probe: "does the spread hold at least IVF_K vectors?" needs
-    # only IVF_K rows, so LIMIT bounds the probe scan (a bare count() here
-    # would scan the full corpus just to pick a branch at 100 TB)
-    base = spread if spread.limit(IVF_K).count() >= IVF_K else em
-    sample = base.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("vm").collect()
-    if not sample:
+    X = _sample_micros(e)
+    if X.size == 0:
         return np.zeros((0, 0), dtype=np.int64)
-    X = np.array([r.vm for r in sample], dtype=np.int64)
     k = min(IVF_K, len(X))
     C = X[:k].copy()
     for _ in range(IVF_ITERS):
@@ -541,6 +557,307 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+PQ_M = 8  # subspaces (64 dims -> 8 sub-vectors of 8)
+PQ_DSUB = IVF_DIM // PQ_M
+PQ_KS = 16  # sub-centroids per subspace (4-bit codes; 256 in production)
+PQ_ITERS = 3
+PQ_SHORTLIST = 32  # ADC candidates kept per query before exact re-rank
+
+
+def _train_pq_codebooks(e: DataFrame):
+    """Per-subspace Lloyd's k-means on the SHARED deterministic sample
+    (`_sample_micros` — identical to the IVF trainer's): PQ_M independent
+    codebooks of PQ_KS centroids over PQ_DSUB-dim sub-vectors, all
+    arithmetic int64 micros with ties to the lowest cell and floored
+    integer means — the same cross-engine-exact recipe as
+    `_train_centroids`, which is what lets pq_codebooks AND the whole
+    sim_search_pq query carry exact-hash oracles. Returns int64 micros,
+    shape (PQ_M, k, PQ_DSUB); k clamps to the sample size."""
+    import numpy as np
+
+    X = _sample_micros(e)
+    if X.size == 0:
+        return np.zeros((PQ_M, 0, PQ_DSUB), dtype=np.int64)
+    books = []
+    k = min(PQ_KS, len(X))
+    for m in range(PQ_M):
+        S = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        C = S[:k].copy()
+        for _ in range(PQ_ITERS):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)  # ties → lowest cell (numpy first index)
+            for j in range(k):
+                mem = a == j
+                if mem.any():
+                    C[j] = np.floor(
+                        S[mem].sum(0).astype(np.float64) / int(mem.sum())
+                    ).astype(np.int64)
+        books.append(C)
+    return np.stack(books)
+
+
+def _pq_cte() -> str:
+    """Shared DuckDB CTE chain deriving the PQ codebooks — the per-sub
+    generalization of `_ivf_centroid_oracle`'s Lloyd unrolling (identical
+    sample CTEs, one extra `sub` grouping column everywhere). Ends at
+    ``pcb(sub, cell, dim, val)``."""
+    rounds = []
+    for i in range(1, PQ_ITERS + 1):
+        p = i - 1
+        rounds.append(f"""
+pa{i} AS (
+    SELECT sid, sub, cell FROM (
+        SELECT d.sid, d.sub, d.cell,
+               row_number() OVER (PARTITION BY d.sid, d.sub
+                                  ORDER BY d.dist, d.cell) AS rn
+        FROM (SELECT s.sid, s.sub, c.cell,
+                     sum((s.val - c.val) * (s.val - c.val)) AS dist
+              FROM ssub s JOIN pc{p} c ON c.sub = s.sub AND c.dim = s.dim
+              GROUP BY 1, 2, 3) d
+    ) WHERE rn = 1
+),
+pc{i} AS (
+    SELECT c.sub, c.cell, c.dim, coalesce(m.val, c.val) AS val
+    FROM pc{p} c
+    LEFT JOIN (
+        SELECT a.sub, a.cell, s.dim,
+               CAST(floor(CAST(sum(s.val) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS val
+        FROM pa{i} a JOIN ssub s ON s.sid = a.sid AND s.sub = a.sub
+        GROUP BY 1, 2, 3
+    ) m ON m.sub = c.sub AND m.cell = c.cell AND m.dim = c.dim
+)""")
+    return f"""
+WITH em AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * {_MICRO}) AS BIGINT)) AS vm
+    FROM embeddings
+),
+spread AS (
+    SELECT vec_id, vm FROM em
+    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+          % 4 = 0
+),
+pick AS (
+    SELECT (SELECT count(*) FROM (SELECT 1 FROM spread LIMIT {IVF_K}))
+           < {IVF_K} AS use_all
+),
+samp AS (
+    SELECT vec_id AS sid, vm FROM (
+        SELECT vec_id, vm FROM spread WHERE NOT (SELECT use_all FROM pick)
+        UNION ALL
+        SELECT vec_id, vm FROM em WHERE (SELECT use_all FROM pick)
+    ) ORDER BY vec_id LIMIT {IVF_TRAIN_CAP}
+),
+ssub AS (
+    SELECT sid, CAST((i - 1) // {PQ_DSUB} AS INTEGER) AS sub,
+           CAST((i - 1) % {PQ_DSUB} + 1 AS INTEGER) AS dim,
+           vm[CAST(i AS INTEGER)] AS val
+    FROM samp, range(1, {IVF_DIM + 1}) t(i)
+),
+ranked AS (SELECT vm, row_number() OVER (ORDER BY sid) AS rn FROM samp),
+pc0 AS (
+    SELECT CAST((i - 1) // {PQ_DSUB} AS INTEGER) AS sub,
+           CAST(rn - 1 AS INTEGER) AS cell,
+           CAST((i - 1) % {PQ_DSUB} + 1 AS INTEGER) AS dim,
+           vm[CAST(i AS INTEGER)] AS val
+    FROM ranked, range(1, {IVF_DIM + 1}) t(i)
+    WHERE rn <= {PQ_KS}
+),{",".join(rounds)},
+pcb AS (SELECT sub, cell, dim, val FROM pc{PQ_ITERS})
+"""
+
+
+@query(
+    "pq_codebooks",
+    oracle=_pq_cte() + "\nSELECT sub, cell, dim, val AS c_micro FROM pcb",
+)
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PRODUCT-QUANTIZATION index structure as a table —
+    (sub, cell, dim, c_micro) per sub-centroid coordinate; the PQ
+    counterpart of `ivf_centroids` and the artifact a production
+    pipeline persists and broadcasts to every encoder/scorer. Training
+    is deterministic integer-micro Lloyd per subspace on the shared
+    bounded sample, so the DuckDB twin re-derives identical codebooks
+    by unrolling the same rounds with one extra `sub` column."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    C = _train_pq_codebooks(e)
+    rows = [
+        (sub, cell, dim + 1, int(val))
+        for sub, book in enumerate(C.tolist())
+        for cell, vec in enumerate(book)
+        for dim, val in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "sub int, cell int, dim int, c_micro bigint"
+    )
+
+
+@query(
+    "sim_search_pq",
+    oracle=_pq_cte() + f""",
+edim AS (
+    SELECT vec_id, CAST((i - 1) // {PQ_DSUB} AS INTEGER) AS sub,
+           CAST((i - 1) % {PQ_DSUB} + 1 AS INTEGER) AS dim,
+           vm[CAST(i AS INTEGER)] AS val
+    FROM em, range(1, {IVF_DIM + 1}) t(i)
+),
+dists AS (
+    SELECT e.vec_id, e.sub, c.cell,
+           sum((e.val - c.val) * (e.val - c.val)) AS d
+    FROM edim e JOIN pcb c ON c.sub = e.sub AND c.dim = e.dim
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cell) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+adc AS (
+    SELECT cx.vec_id AS neighbor_id, dq.vec_id AS query_id,
+           sum(dq.d) AS adc
+    FROM codes cx
+    JOIN dists dq ON dq.sub = cx.sub AND dq.cell = cx.cell
+    WHERE dq.vec_id < {N_QUERIES} AND cx.vec_id <> dq.vec_id
+    GROUP BY 1, 2
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {PQ_SHORTLIST}
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rer AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(list_cosine_similarity(qe.v, ne.v), 6) AS cos
+    FROM short s
+    JOIN ev qe ON qe.vec_id = s.query_id
+    JOIN ev ne ON ne.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM rer)
+WHERE rn <= {TOP_K}
+""",
+)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k — the COMPRESSION corner of the
+    similarity family (sim_search exact / sim_search_ann LSH-pruned /
+    sim_search_ivf centroid-routed): every corpus vector is encoded as
+    PQ_M 4-bit codes (4 bytes here vs 512 for the raw doubles — the
+    ~100× memory ratio that lets a 100 TB embedding corpus fit a
+    RAM-resident scan), queries precompute a per-subspace lookup table,
+    and asymmetric-distance (ADC) scoring is a pure table-lookup sum
+    over the CODES — the raw vectors are touched only to exact-re-rank
+    the PQ_SHORTLIST survivors (broadcast joins on 640 rows). Jégou et
+    al., "Product Quantization for Nearest Neighbor Search".
+
+    Plan: encode and LUT passes are NARROW Arrow batches (numpy argmin
+    over int64 micros, ties to lowest cell — the `_train_centroids`
+    determinism recipe); ADC is a broadcast join of the 20-query LUT
+    set against the codes stream with one JVM `aggregate` lookup-sum
+    per pair (no Python in the scoring loop); the only width-P shuffle
+    is the per-query shortlist window over 16-byte (query, neighbor,
+    adc) rows. Every quantity — micro quantization, codebooks, codes,
+    int64 ADC sums, round-6 cosine re-rank — is computed bit-identically
+    by the DuckDB twin, so even the index's approximation error is
+    hash-checked exactly; recall vs brute force is additionally pinned
+    in tests/test_dedup.py."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    C = _train_pq_codebooks(e)
+    if C.shape[1] == 0:  # empty corpus: closure must still broadcast
+        C = np.zeros((PQ_M, 1, PQ_DSUB), dtype=np.int64)
+    k = C.shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        X = np.floor(np.stack(v.to_numpy()) * _MICRO).astype(np.int64)
+        codes = np.empty((len(X), PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            S = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+            d = ((S[:, None, :] - C[m][None, :, :]) ** 2).sum(-1)
+            codes[:, m] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    @pandas_udf("array<long>")
+    def lut(v: pd.Series) -> pd.Series:
+        X = np.floor(np.stack(v.to_numpy()) * _MICRO).astype(np.int64)
+        out = np.empty((len(X), PQ_M * k), dtype=np.int64)
+        for m in range(PQ_M):
+            S = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+            out[:, m * k : (m + 1) * k] = (
+                (S[:, None, :] - C[m][None, :, :]) ** 2
+            ).sum(-1)
+        return pd.Series(list(out))
+
+    codes = e.select("vec_id", encode("v").alias("codes"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), lut("v").alias("lut")
+    )
+    adc_expr = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("lut"),
+            (m * k + F.element_at(F.col("codes"), (m + 1).cast("int")) + 1)
+            .cast("int"),
+        ),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_expr.alias("adc"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    cos = _cos_pandas()
+    rer = (
+        ne.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qe.filter(F.col("query_id") < N_QUERIES)), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 149 registered ops, insertion
+# insertion order and stops after 50 ops. With 151 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry. After r7, no op's newest driver evidence predates r4
@@ -128,6 +128,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- new in r8 (no driver evidence yet; local-full covers them) ---
     "agg_ngram_df_sketch", "text_novelty_sketch", "text_chunk_overlap",
     "decontaminate_bloom", "agg_kmv_distinct", "graph_triangle_count",
+    "pq_codebooks", "sim_search_pq",
 ]
 
 

@@ -413,3 +413,31 @@ def test_containment_consistent_with_jaccard(spark, sf_dir):
             assert best >= j - 1e-9, (a, b, j, best)
     for (c, h), v in con.items():
         assert CONTAIN_T - 1e-9 <= v <= 1.0 + 1e-9, (c, h, v)
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ-ADC keeps a 32-candidate shortlist from 4-bit codes; exact
+    re-rank can only reorder survivors, so (1) recall vs brute force
+    must clear the same 0.3 floor as the other ANN paths, (2) every
+    returned (cos) must EQUAL the brute-force cos for that pair (the
+    re-rank is exact), and (3) ranks are contiguous with monotone cos."""
+    from erlang_mapreduce_spark.operators.similarity import sim_search_pq
+
+    truth = sim_search(spark, sf_dir).collect()
+    approx = sim_search_pq(spark, sf_dir).collect()
+    t = {(r.query_id, r.neighbor_id) for r in truth}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(a & t) / len(t) >= 0.3
+    tcos = {(r.query_id, r.neighbor_id): r.cos for r in truth}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in tcos:
+            assert r.cos == tcos[(r.query_id, r.neighbor_id)], r
+    per_q: dict[int, list] = {}
+    for r in sorted(approx, key=lambda r: (r.query_id, r.rank)):
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1)
+        )
+        assert len(rows) <= TOP_K

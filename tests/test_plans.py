@@ -240,6 +240,10 @@ _BNLJ_BY_DESIGN = {
     "analytics_pareto_topk",  # 1-row broadcast total × K-row report
     "agg_quantile_bins",  # 1-row broadcast boundaries × narrow projection
     "analytics_rfm",  # 1-row broadcast quartile boundaries, same shape
+    # ADC scores EVERY code row against the broadcast query LUTs by
+    # design (PQ = compressed full scan, not a pruning index); the
+    # scanned rows are 4-byte codes, not vectors
+    "sim_search_pq",
 }
 
 

@@ -317,7 +317,7 @@ EVT_OPS = (
 )
 
 EMB_OPS = ("dedup_embedding", "sim_search", "sim_search_ann",
-           "ivf_centroids")
+           "ivf_centroids", "pq_codebooks", "sim_search_pq")
 
 
 @pytest.mark.parametrize("name", DOC_OPS)
