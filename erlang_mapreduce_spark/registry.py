@@ -82,10 +82,16 @@ DRIVER_PRIORITY: list[str] = [
     "agg_unpivot", "scan_parquet",
     # --- 45: flagship, driver-checked every round ---
     "text_bigram_freq",
-    # --- 46-50: the 5 oldest r05-evidence ops (complete the window) ---
+    # --- 46-50: five of the eight new-in-r8 ops (zero driver evidence is
+    #     older than any round number; all eight hash-match the oracle at
+    #     sf0.01 in CORRECTNESS_local_full, so they are safe in-window) ---
+    "agg_ngram_df_sketch", "text_novelty_sketch", "text_chunk_overlap",
+    "decontaminate_bloom", "agg_kmv_distinct",
+    # --- 51-53: the other three r8 ops (lead the round-9 window) ---
+    "graph_triangle_count", "pq_codebooks", "sim_search_pq",
+    # --- 54-...: r05 evidence (fill the round-9 window) ---
     "scan_text", "scan_csv_json", "sink_partitioned",
     "project_select", "filter_pred",
-    # --- 51-94: r05 evidence (lead the round-9 window) ---
     "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
     "join_theta_range", "join_asof", "join_interval",
     "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
@@ -122,13 +128,9 @@ DRIVER_PRIORITY: list[str] = [
     "merge_upsert", "compact_small_files", "agg_quantile_bins",
     "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
     "fn_nested",
-    # --- 139-143: r07 evidence (the round-7 window tail — freshest) ---
+    # --- tail: r07 evidence (the round-7 window tail — freshest) ---
     "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
     "snapshot_time_travel", "analytics_pattern_match",
-    # --- new in r8 (no driver evidence yet; local-full covers them) ---
-    "agg_ngram_df_sketch", "text_novelty_sketch", "text_chunk_overlap",
-    "decontaminate_bloom", "agg_kmv_distinct", "graph_triangle_count",
-    "pq_codebooks", "sim_search_pq",
 ]
 
 

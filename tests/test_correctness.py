@@ -31,9 +31,13 @@ R04_ONLY = [
     "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
     "agg_unpivot", "scan_parquet",
 ]
-R05_WINDOW_TAIL = [
-    "scan_text", "scan_csv_json", "sink_partitioned",
-    "project_select", "filter_pred",
+# New-in-r8 ops have NO driver evidence at all — older than any round
+# number — so five of the eight take the remaining window slots (all
+# eight hash-match the DuckDB oracle at sf0.01 locally); the other three
+# lead the round-9 window.
+NEW_R8_WINDOW_TAIL = [
+    "agg_ngram_df_sketch", "text_novelty_sketch", "text_chunk_overlap",
+    "decontaminate_bloom", "agg_kmv_distinct",
 ]
 
 
@@ -48,10 +52,10 @@ def test_driver_priority_covers_registry():
 
 def test_rotation_targets_in_first_50():
     """Round-8 rotation goal: every op whose newest driver evidence is r04
-    sits in the checked window, plus the flagship and the 5 oldest
-    r05-evidence ops that fill out the 50."""
+    sits in the checked window, plus the flagship and 5 of the 8
+    zero-evidence new-in-r8 ops that fill out the 50."""
     first50 = set(list(QUERIES)[:50])
-    must = set(R04_ONLY) | set(R05_WINDOW_TAIL) | {"text_bigram_freq"}
+    must = set(R04_ONLY) | set(NEW_R8_WINDOW_TAIL) | {"text_bigram_freq"}
     assert len(must) == 50
     missing = must - first50
     assert not missing, f"not in driver-checked first 50: {sorted(missing)}"
