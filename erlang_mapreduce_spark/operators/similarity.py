@@ -9,10 +9,11 @@ north-star ANN).
   band, exact cosine re-rank within candidates. Exact-hash oracle (every
   ingredient is deterministic arithmetic both engines compute
   identically); tests additionally measure recall vs brute force.
-- sim_search_ivf / ivf_centroids: centroid-routed ANN. The search path is
-  rows-only (nprobe routing has no SQL twin worth writing), but the
-  trained k-means index is integer-micro deterministic and
-  `ivf_centroids` exposes it as an exact-hash-checked table.
+- sim_search_ivf / ivf_centroids: centroid-routed ANN. Training, int64
+  micro routing (assignment + nprobe probe set), and the round-6 cosine
+  re-rank are all cross-engine-exact, so BOTH the trained index table
+  and the end-to-end search carry exact-hash oracles (the search was
+  rows-only before round 8).
 
 Two cosine implementations, used deliberately:
 - `cosine_col`: sequential double fold (zip_with + aggregate) —
@@ -402,7 +403,7 @@ def _train_centroids(e: DataFrame):
     return C
 
 
-def _ivf_centroid_oracle() -> str:
+def _ivf_cte() -> str:
     """DuckDB twin of `_train_centroids`, IVF_ITERS Lloyd rounds unrolled
     as chained CTEs (the graph_pagerank construction): micro-quantized
     sample → per-dim long rows → per-round argmin assignment (row_number
@@ -410,7 +411,9 @@ def _ivf_centroid_oracle() -> str:
     per-cell floored integer means, empty cells coalescing to their
     previous coordinates. All arithmetic is int64 + one exact
     double-divide per mean (sums < 2^53), so the centroid table
-    hash-matches the engine's bit for bit."""
+    hash-matches the engine's bit for bit. Ends at ``cen(cell, dim,
+    val)``; shared by the `ivf_centroids` and `sim_search_ivf` oracles
+    (the PQ twin `_pq_cte` generalizes the same chain per subspace)."""
     rounds = []
     for i in range(1, IVF_ITERS + 1):
         p = i - 1
@@ -470,12 +473,15 @@ c0 AS (
            vm[CAST(i AS INTEGER)] AS val
     FROM ranked, range(1, {IVF_DIM + 1}) t(i)
     WHERE rn <= {IVF_K}
-),{",".join(rounds)}
-SELECT cell, dim, val AS c_micro FROM c{IVF_ITERS}
+),{",".join(rounds)},
+cen AS (SELECT cell, dim, val FROM c{IVF_ITERS})
 """
 
 
-@query("ivf_centroids", oracle=_ivf_centroid_oracle())
+@query(
+    "ivf_centroids",
+    oracle=_ivf_cte() + "\nSELECT cell, dim, val AS c_micro FROM cen",
+)
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained IVF index STRUCTURE as a table — (cell, dim, c_micro)
     per centroid coordinate. This is sim_search_ivf's k-means made
@@ -499,7 +505,52 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_search_ivf")  # rows-only: index structure has no SQL twin
+@query(
+    "sim_search_ivf",
+    oracle=_ivf_cte() + f""",
+edim AS (
+    SELECT vec_id, CAST(i AS INTEGER) AS dim, vm[CAST(i AS INTEGER)] AS val
+    FROM em, range(1, {IVF_DIM + 1}) t(i)
+),
+dists AS (
+    SELECT e.vec_id, c.cell,
+           sum((e.val - c.val) * (e.val - c.val)) AS d
+    FROM edim e JOIN cen c USING (dim)
+    GROUP BY 1, 2
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM dists WHERE vec_id < {N_QUERIES}
+    ) WHERE rn <= {IVF_NPROBE}
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rer AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qe.v, ne.v), 6) AS cos
+    FROM probes p
+    JOIN assign a USING (cell)
+    JOIN ev qe ON qe.vec_id = p.query_id
+    JOIN ev ne ON ne.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM rer)
+WHERE rn <= {TOP_K}
+""",
+)
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN top-k — the centroid-routed alternative to
     the LSH path in sim_search_ann: k-means centroids partition the
@@ -510,29 +561,41 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned fraction is a direct dial (nprobe/K ≈ 25% here). Skewed cells
     are the scale hazard — AQE skew-join handles moderate imbalance;
     production IVF rebalances by splitting hot cells. Recall vs brute
-    force is pinned in tests/test_dedup.py."""
+    force is pinned in tests/test_dedup.py.
+
+    Routing runs on int64 MICROS against the micro centroids (squared
+    distances ≤ dim·(2·maxmicro)² ≪ 2^63 — exact), with numpy's
+    first-index/stable tie-breaks mirrored by the oracle's ``ORDER BY
+    d, cell``; the re-rank is the round-6 cosine both engines compute
+    identically. That makes the WHOLE search — routing, probe set,
+    approximation error included — exact-hash-checked against the
+    DuckDB twin, the same end-to-end guarantee sim_search_pq carries
+    (this op was rows-only before round 8)."""
     import numpy as np
 
     e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    C = _train_centroids(e).astype(np.float64) / _MICRO
-    if C.size == 0:  # empty corpus: no row ever reaches the UDFs, but the
-        C = np.zeros((1, IVF_DIM))  # closure must still broadcast a shape
+    Cm = _train_centroids(e)
+    if Cm.size == 0:  # empty corpus: no row ever reaches the UDFs, but the
+        Cm = np.zeros((1, IVF_DIM), dtype=np.int64)  # closure needs a shape
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def nearest_cell(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy())
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1))
+        X = np.floor(np.stack(v.to_numpy()) * _MICRO).astype(np.int64)
+        d = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1))  # ties → lowest cell
 
     @pandas_udf("array<int>")
     def probe_cells(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy())
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        return pd.Series(list(d.argsort(1)[:, :IVF_NPROBE]))
+        X = np.floor(np.stack(v.to_numpy()) * _MICRO).astype(np.int64)
+        d = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
+        # stable sort ⇒ equal distances keep ascending cell order — the
+        # oracle's ORDER BY (d, cell)
+        order = np.argsort(d, axis=1, kind="stable")
+        return pd.Series(list(order[:, :IVF_NPROBE]))
 
     corpus = e.select("vec_id", "v", nearest_cell("v").alias("cell"))
     q = (

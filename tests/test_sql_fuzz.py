@@ -317,7 +317,8 @@ EVT_OPS = (
 )
 
 EMB_OPS = ("dedup_embedding", "sim_search", "sim_search_ann",
-           "ivf_centroids", "pq_codebooks", "sim_search_pq")
+           "ivf_centroids", "sim_search_ivf", "pq_codebooks",
+           "sim_search_pq")
 
 
 @pytest.mark.parametrize("name", DOC_OPS)
@@ -353,8 +354,9 @@ WRITER_OPS = (
     "dedup_cluster_keep_best", "dedup_cluster_downweight",
 )
 # With these, EVERY oracle-checkable op is fuzzed; the only exclusions
-# are rows-only-by-design (agg_approx, sim_search_ivf) and the two
-# self-generating Python sources whose output is data-independent.
+# are rows-only-by-design (agg_approx — sim_search_ivf gained a full
+# oracle in round 8) and the two self-generating Python sources whose
+# output is data-independent.
 
 STREAM_REPLAY_OPS = (
     "stream_custom_state", "stream_watermark_late",
