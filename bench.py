@@ -71,6 +71,16 @@ HEADLINE = (
     "text_ngram_novelty",
     "sql_market_share",
     "analytics_transition_matrix",
+    # round-8 additions (sketch + search family) — tracked from BENCH_r08
+    # on; BENCH files before r08 lack these keys, so cross-round totals
+    # compare the shared subset
+    "agg_ngram_df_sketch",
+    "text_novelty_sketch",
+    "decontaminate_bloom",
+    "agg_kmv_distinct",
+    "graph_triangle_count",
+    "sim_search_ivf",
+    "sim_search_pq",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can
