@@ -33,8 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per oracle-checkable operator. Ops absent here
-    (streaming state, LSH dedup, UDF showcases) get the rows-only check."""
+    """DuckDB-equivalent SQL per oracle-checkable operator. The single op
+    absent here (agg_approx — engine-specific sketches, error-bounded in
+    tests) gets the rows-only check."""
     # file-based scans read fixture files materialized from the sf0.01
     # parquet; make sure they exist before the oracle side runs.
     if os.path.isdir(SF001):

@@ -555,6 +555,108 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_CAP = 16  # max upsampling copies per doc (pipelines cap repeats so a
+#                rare language cannot flood the mix with verbatim clones)
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+WITH c AS (
+    SELECT lang, count(*) AS cnt FROM documents
+    WHERE lang IS NOT NULL GROUP BY lang
+),
+w AS (
+    SELECT lang, cnt,
+           CAST(round(sqrt(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(27,6)) AS wd
+    FROM c
+),
+t AS (
+    SELECT lang, cnt,
+           CAST(wd AS DOUBLE) / CAST(sum(wd) OVER () AS DOUBLE)
+               * CAST(sum(cnt) OVER () AS DOUBLE)
+               / CAST(cnt AS DOUBLE) AS r
+    FROM w
+),
+j AS (
+    SELECT d.doc_id, d.lang, t.r,
+           CAST(floor(t.r) AS BIGINT)
+               + CASE WHEN {_MD5_UNIFORM_SQL.format(col="d.doc_id")}
+                           < t.r - floor(t.r)
+                      THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN t ON t.lang = d.lang
+)
+SELECT doc_id, lang, CAST(g AS INTEGER) AS copy, round(r, 6) AS rate
+FROM (SELECT doc_id, lang, r,
+             unnest(range(1, CAST(least(n_copies, {TEMP_CAP}) AS BIGINT) + 1))
+                 AS g
+      FROM j)
+""",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language resampling — the multilingual mixing
+    device from mT5 / XLM-R: sampling probability q_l ∝ p_l^T flattens
+    the language distribution (T=1 keeps it, T→0 equalizes), UPSAMPLING
+    rare languages (docs emitted multiple times, `copy` = 1..n) and
+    downsampling dominant ones, at constant total corpus size in
+    expectation. T is fixed at 0.5 so the weight is sqrt(count) — an
+    IEEE correctly-rounded operation both engines compute bit-identically
+    (a general pow(x, T) would need the round-6 transcendental hedge).
+
+    Per-doc copy count = floor(r_l) + one extra Bernoulli(frac(r_l))
+    copy decided by the md5-derived per-doc uniform — deterministic
+    across runs, engines, partitionings (same device as
+    sample_quality_weighted), capped at TEMP_CAP like production
+    pipelines cap repeats. Cross-engine exactness of r_l itself: the
+    5-ish per-language weights sum via DECIMAL (order-free), and both
+    engines evaluate the identical ((w/s)·N)/c double expression on
+    identical inputs. NULL-lang docs drop on both sides (inner join on
+    lang), mirroring sample_mix_rebalance's contract.
+
+    Scale shape: one pruned-column per-language count (tiny), broadcast
+    back over ONE corpus scan; the explode is narrow (no shuffle), so at
+    100 TB this is two passes over `lang` + one over kept docs — the
+    same cost envelope as sample_mix_rebalance."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = c.withColumn(
+        "wd",
+        F.round(F.sqrt(F.col("cnt").cast("double")), 6).cast("decimal(27,6)"),
+    )
+    win = Window.partitionBy()
+    t = w.select(
+        "lang",
+        "cnt",
+        (
+            F.col("wd").cast("double")
+            / F.sum("wd").over(win).cast("double")
+            * F.sum("cnt").over(win).cast("double")
+            / F.col("cnt").cast("double")
+        ).alias("r"),
+    )
+    j = d.join(F.broadcast(t), "lang").withColumn(
+        "n_copies",
+        F.floor("r").cast("long")
+        + F.when(
+            _md5_uniform(F.col("doc_id")) < F.col("r") - F.floor("r"), 1
+        ).otherwise(0),
+    )
+    return (
+        j.withColumn("n", F.least(F.col("n_copies"), F.lit(TEMP_CAP)))
+        .filter(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("sequence(1, int(n))")).alias("copy"),
+            F.round("r", 6).alias("rate"),
+        )
+    )
+
+
 NGRAM_N = 2  # word n-gram width for corpus LM statistics
 NGRAM_MIN_COUNT = 5  # prune grams below this corpus frequency
 

@@ -87,8 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     #     sf0.01 in CORRECTNESS_local_full, so they are safe in-window) ---
     "agg_ngram_df_sketch", "text_novelty_sketch", "text_chunk_overlap",
     "decontaminate_bloom", "agg_kmv_distinct",
-    # --- 51-53: the other three r8 ops (lead the round-9 window) ---
+    # --- 51-54: the other r8 ops (lead the round-9 window) ---
     "graph_triangle_count", "pq_codebooks", "sim_search_pq",
+    "sample_temperature",
     # --- 54-...: r05 evidence (fill the round-9 window) ---
     "scan_text", "scan_csv_json", "sink_partitioned",
     "project_select", "filter_pred",

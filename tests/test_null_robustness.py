@@ -90,6 +90,7 @@ _OPS = (
     "dedup_levenshtein",
     "sample_quality_weighted",
     "sample_mix_rebalance",
+    "sample_temperature",
     "sample_cap_per_source",
     "agg_ngram_counts",
     "multimodal_meta",

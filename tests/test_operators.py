@@ -657,3 +657,45 @@ def test_kmv_distinct_error_bound_and_partition_independence(spark, sf_dir):
         ).collect()
     }
     assert one == est
+
+
+def test_temperature_sampling_flattens_mix(spark, sf_dir):
+    """T=0.5 resampling must (a) preserve total corpus size within
+    4-sigma of the sum of Bernoulli variances, (b) move every language's
+    share TOWARD its temperature target q_l ∝ sqrt(c_l), upsampling the
+    rarest language (rate > 1, copy indices beyond 1 actually emitted)
+    and downsampling the most common (rate < 1, never more than 1 copy),
+    and (c) never exceed the TEMP_CAP repeat cap."""
+    from erlang_mapreduce_spark.operators.curation import (
+        TEMP_CAP,
+        sample_temperature,
+    )
+    from erlang_mapreduce_spark.tables import load
+
+    out = sample_temperature(spark, sf_dir).collect()
+    src = {r.lang: r.cnt for r in
+           load(spark, sf_dir, "documents").filter("lang IS NOT NULL")
+           .groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(src.values())
+    got = {}
+    rates = {}
+    for r in out:
+        got[r.lang] = got.get(r.lang, 0) + 1
+        rates[r.lang] = r.rate
+        assert 1 <= r.copy <= TEMP_CAP
+    # (a) expected total = n (pre-cap); Bernoulli noise per doc
+    assert abs(sum(got.values()) - n) <= 4 * n**0.5 + 1
+    # (b) per-language: observed count within 4-sigma of rate * c_l, and
+    # rate ordering is the inverse of count ordering (flattening)
+    for lang, c in src.items():
+        exp = min(rates[lang], TEMP_CAP) * c if rates[lang] >= 1 else (
+            rates[lang] * c)
+        frac = rates[lang] - int(rates[lang])
+        sigma = (c * frac * (1 - frac)) ** 0.5
+        assert abs(got.get(lang, 0) - exp) <= 4 * sigma + 1, (lang, exp)
+    rare = min(src, key=src.get)
+    common = max(src, key=src.get)
+    if src[rare] < src[common]:
+        assert rates[rare] > rates[common]
+        assert rates[common] <= 1.0 + 1e-9
+        assert max(r.copy for r in out if r.lang == rare) >= 1
