@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 151 registered ops, insertion
+# insertion order and stops after 50 ops. With 152 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry. After r7, no op's newest driver evidence predates r4
@@ -55,13 +55,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 44×r04), and tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-8 window (this ordering), freshest-evidence-last policy:
+# Round-8 window (this ordering), oldest-evidence-first policy — and ops
+# with NO driver evidence (added this round) count as oldest of all:
 #   1-44:  the 44 ops whose newest driver evidence is r04 (the oldest
-#          evidence left in the registry).
+#          round-numbered evidence left in the registry).
 #   45:    the flagship text_bigram_freq (kept in-window every round).
-#   46-50: the first 5 r05-evidence ops; the remaining 44 r05 ops lead
-#          the round-9 window.
-# After r8: no op's newest driver evidence predates r5.
+#   46-50: five of the nine new-in-r8 ops (zero driver evidence; all
+#          hash-match the oracle at sf0.01 in CORRECTNESS_local_full).
+#   51-54: the other four r8 ops — they lead the round-9 window, followed
+#          by the 49 r05-evidence ops.
+# After r8: no op's newest driver evidence predates r5 except the four
+# 51-54 newcomers, which round 9 must put in-window first.
 DRIVER_PRIORITY: list[str] = [
     # --- 1-44: newest driver evidence is r04 ---
     "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
