@@ -543,6 +543,130 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+from ..operators.relational import _KMV_NUM, KMV_K  # one KMV device
+
+
+@query(
+    "stream_kmv_distinct",
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS k_used,
+       CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+            ELSE {_KMV_NUM!r} / CAST(max(h) AS DOUBLE) END AS est_distinct
+FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+""",
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-user estimation over the stream — a KMV
+    sketch per event_type maintained across micro-batches via
+    foreachBatch, the streaming twin of `agg_kmv_distinct`
+    (relational.py): each batch folds to its k smallest distinct
+    md5-hashes per group, merges with the previous snapshot (union →
+    distinct → k smallest), and writes a NEW versioned snapshot keyed by
+    batch id (the stream_foreachbatch_upsert idempotence device — a
+    replayed batch rewrites its version from the same inputs).
+
+    Why this streaming op can carry a FULL exact-hash oracle when the
+    watermark ops cannot: KMV state is a deterministic function of the
+    SET of keys seen — insertion order and duplicates are irrelevant
+    (min-k of a union is the min-k of mins-k) — so after any in-order,
+    late, or duplicated replay the final sketch equals the one-shot
+    batch sketch over all events, which is exactly the SQL the oracle
+    runs. This is mergeability doing the work replay-equivalence proofs
+    do for the other foreachBatch ops, and it is precisely why a 100 TB
+    pipeline keeps sketches (not raw keys) as streaming state: O(k)
+    rows per group, exchange-free merges, and a restart can rebuild
+    from any snapshot version."""
+    from pyspark.sql import Window
+
+    d = _materialize_chunks(sf_dir, "plain")
+    base = os.path.join(
+        "/tmp/spark_graft_kmv",
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
+    )
+    cur: list[str] = []
+    w = Window.partitionBy("event_type").orderBy("h")
+
+    def batch_sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("user_id").isNotNull())
+            .select(
+                "event_type",
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+            )
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .drop("rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_sketch(batch_df)
+        if cur:
+            prev = spark.read.schema("event_type string, h long").parquet(
+                cur[-1]
+            )
+            delta = (
+                prev.unionByName(delta)
+                .distinct()
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= KMV_K)
+                .drop("rn")
+            )
+        v = os.path.join(base, f"v{batch_id}")
+        delta.write.mode("overwrite").parquet(v)
+        cur.append(v)
+
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        if not cur:  # empty source: no batch ever fired
+            return spark.createDataFrame(
+                [], "event_type string, k_used long, est_distinct double"
+            )
+        snap = spark.read.schema("event_type string, h long").parquet(
+            cur[-1]
+        )
+        m = F.count("*")
+        out = snap.groupBy("event_type").agg(
+            m.cast("long").alias("k_used"),
+            F.when(m < KMV_K, m.cast("double"))
+            .otherwise(F.lit(_KMV_NUM) / F.max("h").cast("double"))
+            .alias("est_distinct"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --- custom PYTHON streaming source (pyspark.sql.datasource stream API) ---
 
 _PYSTREAM_BATCHES = 4
