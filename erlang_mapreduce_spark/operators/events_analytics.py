@@ -556,3 +556,132 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("regular"))
         .alias("segment"),
     )
+
+
+MOTIF_W = 8  # subsequence length
+MOTIF_K = 10  # matches returned
+# query pattern in value-millis: a spike ramp 0,0,1,2,4,2,1,0
+_MOTIF_Q = (0, 0, 1000, 2000, 4000, 2000, 1000, 0)
+_MOTIF_CLAMP = 100_000_000  # |value| ≤ 1e5 after millis scaling — keeps
+#                             every (diff)² · W sum far inside int64
+
+
+@query(
+    "ts_motif_match",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id, ts, event_id,
+           least(greatest(CAST(floor(value * 1000) AS BIGINT),
+                          -{_MOTIF_CLAMP}), {_MOTIF_CLAMP}) AS vm
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+      AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+s AS (
+    SELECT user_id,
+           array_agg(vm ORDER BY ts, event_id) AS vs,
+           array_agg(event_id ORDER BY ts, event_id) AS ids
+    FROM ev GROUP BY user_id
+),
+wi AS (
+    SELECT user_id, ids, vs,
+           unnest(range(1, len(vs) - {MOTIF_W} + 2)) AS i
+    FROM s
+),
+w AS (
+    SELECT user_id, ids[CAST(i AS INTEGER)] AS start_event_id,
+           vs[CAST(i AS INTEGER):CAST(i + {MOTIF_W} - 1 AS INTEGER)] AS win
+    FROM wi
+),
+d AS (
+    SELECT user_id, start_event_id,
+           list_sum(list_transform(range(1, {MOTIF_W + 1}),
+               j -> (win[CAST(j AS INTEGER)]
+                     - {list(_MOTIF_Q)}[CAST(j AS INTEGER)])
+                    * (win[CAST(j AS INTEGER)]
+                       - {list(_MOTIF_Q)}[CAST(j AS INTEGER)]))) AS dist
+    FROM w
+)
+SELECT user_id, start_event_id, CAST(dist AS BIGINT) AS dist,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY dist, user_id, start_event_id)
+             AS rn
+      FROM d)
+WHERE rn <= {MOTIF_K}
+""",
+)
+def ts_motif_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence (motif) search — the per-user sliding-window
+    similarity query of the matrix-profile family: every length-W window
+    of each user's value series, ordered by event time, is scored by
+    Euclidean distance against a broadcast query pattern (a spike ramp
+    here), and the K best-matching subsequences across all users are
+    returned. The engine's similarity family covers vectors
+    (sim_search*); this is its ordered-sequence corner.
+
+    Cross-engine exactness by construction: values quantize to CLAMPED
+    int64 millis (the clamp keeps Σ diff² inside int64 for any input
+    corpus), the window is a frame-ordered collect_list whose order both
+    engines pin with the same (ts, event_id) total order, and the
+    distance is pure integer arithmetic — no float anywhere, so even
+    tie-free ranking is exact (ties break on user_id, start_event_id).
+
+    Scale shape: ONE shuffle (partition by user on the window frame);
+    scoring is a narrow higher-order zip_with/aggregate expression in
+    whole-stage codegen (no UDF); the global top-K is a
+    TakeOrderedAndProject (per-partition heap, K·P driver merge), never
+    a full sort. At 100 TB this is scan + per-user frames + K rows out —
+    matrix-profile self-joins would instead pre-bucket by SAX/PAA
+    symbol, the same candidate-pruning posture as sim_search_ann."""
+    q = F.array(*[F.lit(v) for v in _MOTIF_Q])
+    ev = (
+        load(spark, sf_dir, "events")
+        # a row without a timestamp (or id) cannot take a deterministic
+        # place in the series — and the engines disagree on NULL sort
+        # placement (Spark first, DuckDB's array_agg last), so they are
+        # excluded, not ordered
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") * 1000).cast("long"),
+                    F.lit(-_MOTIF_CLAMP),
+                ),
+                F.lit(_MOTIF_CLAMP),
+            ).alias("vm"),
+        )
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, MOTIF_W - 1)
+    )
+    wins = ev.select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        F.collect_list("vm").over(frame).alias("win"),
+    ).filter(F.size("win") == MOTIF_W)
+    scored = wins.select(
+        "user_id",
+        "start_event_id",
+        F.aggregate(
+            F.zip_with("win", q, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    top = scored.orderBy("dist", "user_id", "start_event_id").limit(MOTIF_K)
+    rank_w = Window.orderBy("dist", "user_id", "start_event_id")
+    return top.select(
+        "user_id",
+        "start_event_id",
+        "dist",
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+    )

@@ -287,3 +287,78 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches and AQE can reuse the partitioning; counts only, no float
     surface. The same text runs on DuckDB."""
     return _sql(spark, sf_dir, _Q21_TABLES, _Q21)
+
+
+_Q13_TABLES = ("customer", "orders")
+
+# TPC-H Q13 shape: the one suite query whose aggregation feeds off a LEFT
+# OUTER join — zero-order customers must survive as c_count = 0 (an inner
+# join would silently drop the histogram's biggest bucket). TPC-H excludes
+# comment-matched orders; the fixture has no o_comment, so the join-side
+# filter keeps the shape with o_orderpriority instead.
+_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("sql_customer_distribution", oracle=_Q13)
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution via
+    ``spark.sql``: filtered LEFT OUTER join, per-customer count
+    (count(o_orderkey) ignores the NULLs the outer join manufactures, so
+    order-less customers land in bucket 0), then a second aggregation
+    histograms the counts. Scale shape: both aggs are partial/final hash
+    pairs; the first shuffles on c_custkey (the join's own key, so AQE
+    reuses the exchange), the second on the tiny c_count domain —
+    integer-only surface, no float hazard. The same text runs on
+    DuckDB."""
+    return _sql(spark, sf_dir, _Q13_TABLES, _Q13)
+
+
+_Q22_TABLES = ("customer", "orders")
+
+# TPC-H Q22 shape: scalar subquery (global average) gating a WHERE, plus
+# NOT EXISTS (anti join) — the "rich customers who never ordered" report.
+# TPC-H derives cntrycode from substring(c_phone); the fixture has no
+# phone, so c_nationkey % 10 stands in. The scalar average goes through
+# the DECIMAL device: both engines compute the identical gate value, so
+# no customer can land on different sides of the threshold.
+_Q22 = f"""
+SELECT cntrycode, count(*) AS numcust,
+       {dsum_sql('c_acctbal')} AS totacctbal
+FROM (
+    SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode, c_acctbal,
+           c_custkey
+    FROM customer
+    WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+      AND c_acctbal > (
+          SELECT {davg_sql('c_acctbal')}
+          FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9)
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+) promising
+GROUP BY cntrycode
+"""
+
+
+@query("sql_promising_customers", oracle=_Q22)
+def sql_promising_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant-high-balance report via ``spark.sql``:
+    a scalar subquery (global decimal-exact average) gates account
+    balances, NOT EXISTS anti-joins away customers with any order, and
+    the survivors aggregate per country code. Plan shape: the scalar agg
+    is one tiny global aggregate broadcast into the filter; the anti
+    join shuffles on custkey (or broadcasts orders' key projection when
+    small); the final agg is a partial/final pair over ≤10 groups. The
+    same text runs on DuckDB."""
+    return _sql(spark, sf_dir, _Q22_TABLES, _Q22)

@@ -91,6 +91,7 @@ _OPS = (
     "sample_quality_weighted",
     "sample_mix_rebalance",
     "sample_temperature",
+    "ts_motif_match",
     "sample_cap_per_source",
     "agg_ngram_counts",
     "multimodal_meta",

@@ -34,6 +34,8 @@ SQL_OPS = (
     "sql_market_share",
     "sql_small_qty_revenue",
     "sql_waiting_suppliers",
+    "sql_customer_distribution",
+    "sql_promising_customers",
 )
 
 _SRC = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -314,7 +316,7 @@ EVT_OPS = (
     "join_asof_tolerance", "win_analytic", "win_range_interval",
     "cdc_latest_by_key", "cdc_scd2", "fn_map_json", "udf_grouped",
     "udaf", "stream_tumbling", "stream_sliding", "stream_session",
-    "rollup_time_hypertable", "ts_gap_fill",
+    "rollup_time_hypertable", "ts_gap_fill", "ts_motif_match",
 )
 
 EMB_OPS = ("dedup_embedding", "sim_search", "sim_search_ann",
