@@ -81,6 +81,7 @@ HEADLINE = (
     "graph_triangle_count",
     "sim_search_ivf",
     "sim_search_pq",
+    "ts_motif_match",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can
