@@ -6,6 +6,7 @@ engine-internal guarantees, pinned against exact in-engine ground truth.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from erlang_mapreduce_spark.tables import load
@@ -699,3 +700,88 @@ def test_temperature_sampling_flattens_mix(spark, sf_dir):
         assert rates[rare] > rates[common]
         assert rates[common] <= 1.0 + 1e-9
         assert max(r.copy for r in out if r.lang == rare) >= 1
+
+
+def test_motif_match_brute_force(spark, sf_dir):
+    """Third-implementation check for ts_motif_match: a pure-pandas sweep
+    (sort each user's series by (ts, event_id), slide a width-W window,
+    integer-millis Euclidean against the query pattern, global top-K by
+    (dist, user_id, start_event_id)) must reproduce the engine's matches
+    exactly — independent of both Spark and DuckDB, so a shared
+    misreading of the window/tie semantics would still be caught."""
+    import math
+
+    import pandas as pd
+
+    from erlang_mapreduce_spark.operators.events_analytics import (
+        _MOTIF_CLAMP,
+        _MOTIF_Q,
+        MOTIF_K,
+        MOTIF_W,
+    )
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    got = [
+        (r.user_id, r.start_event_id, r.dist, r.rank)
+        for r in QUERIES["ts_motif_match"](spark, sf_dir).collect()
+    ]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "ts", "event_id", "value"]
+    ].dropna()
+    cands = []
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        vm = [
+            max(-_MOTIF_CLAMP, min(_MOTIF_CLAMP, math.floor(v * 1000)))
+            for v in g["value"]
+        ]
+        ids = list(g["event_id"])
+        for i in range(len(vm) - MOTIF_W + 1):
+            dist = sum(
+                (vm[i + j] - _MOTIF_Q[j]) ** 2 for j in range(MOTIF_W)
+            )
+            cands.append((dist, int(uid), int(ids[i])))
+    cands.sort()
+    want = [
+        (u, s, d, rk + 1) for rk, (d, u, s) in enumerate(cands[:MOTIF_K])
+    ]
+    assert got == want
+
+
+def test_stream_kmv_matches_batch_and_is_deterministic(spark, sf_dir):
+    """The streaming KMV snapshot must equal the one-shot batch sketch
+    computed directly over the events table (mergeability: min-k of a
+    union is the min-k of mins-k), and a second full replay must
+    reproduce it bit-for-bit."""
+    from erlang_mapreduce_spark.operators.relational import _KMV_NUM, KMV_K
+    from erlang_mapreduce_spark.registry import QUERIES
+    from erlang_mapreduce_spark.tables import load
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = rows(QUERIES["stream_kmv_distinct"](spark, sf_dir))
+    again = rows(QUERIES["stream_kmv_distinct"](spark, sf_dir))
+    assert got == again, "replay must be deterministic"
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hashed = e.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    batch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.when(F.count("*") < KMV_K, F.count("*").cast("double"))
+            .otherwise(F.lit(_KMV_NUM) / F.max("h").cast("double"))
+            .alias("est_distinct"),
+        )
+    )
+    assert got == rows(batch)
