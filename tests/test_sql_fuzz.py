@@ -381,3 +381,24 @@ def test_stream_replay_op_matches_oracle_on_random_events(
     spark, corpus_dirs, name
 ):
     run_compare(spark, name, corpus_dirs[0])
+
+
+# Self-generating Python sources: their output is data-independent (the
+# source synthesizes its own rows), so randomized input tables cannot
+# exercise anything the fixed run does not.
+_FUZZ_EXEMPT = frozenset({"scan_python_datasource", "stream_python_source"})
+
+
+def test_fuzz_matrix_closure():
+    """Every oracle-checked op must sit in one of the fuzz sweeps above
+    (or the documented exemption set) — a future op cannot silently skip
+    the randomized trials, and a stale list entry cannot outlive its op."""
+    from erlang_mapreduce_spark.registry import ORACLES
+
+    listed = (set(SQL_OPS) | set(RELATIONAL_OPS) | set(DOC_OPS)
+              | set(EVT_OPS) | set(EMB_OPS) | set(WRITER_OPS)
+              | set(STREAM_REPLAY_OPS))
+    missing = set(ORACLES) - listed - _FUZZ_EXEMPT
+    assert not missing, f"oracle ops missing from fuzz matrix: {sorted(missing)}"
+    stale = listed - set(ORACLES)
+    assert not stale, f"fuzz lists name non-oracle ops: {sorted(stale)}"
