@@ -595,7 +595,7 @@ def minhash_signature(ghs, gh2s):
     return ((h1[None, :] + perm[:, None] * h2[None, :]) % p).min(axis=1)
 
 
-def minhash_bands(doc_sets: DataFrame) -> DataFrame:
+def minhash_bands(doc_sets: DataFrame, string_keys: bool = False) -> DataFrame:
     """(doc_id, ghs, gh2s) → (doc_id, band_id, band_hash).
 
     Standard double-hashing construction (Kirsch & Mitzenmacher): two base
@@ -614,7 +614,15 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
     NARROW: signatures derive from each doc's own row, so no exchange at
     any scale; band keys then hash 8 consecutive signature entries
     (xxhash64 — in-engine equality only; see dedup_minhash's collision
-    note)."""
+    note).
+
+    ``string_keys=True`` emits the raw '-'-joined signature slice as the
+    band key instead of its xxhash64 (matching the oracle's string_agg
+    construction exactly) — for consumers whose FLAGS are the final
+    output with no exact-verify stage behind them (stream_minhash_dedup),
+    where an in-engine-only hash would leave a (negligible but nonzero)
+    collision gap between engine and oracle. ~4× wider keys; at 100 TB
+    with no oracle in the loop, xxhash64 keys are the right default."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
@@ -632,6 +640,17 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
         "doc_id", sig64("ghs", "gh2s").alias("sig")
     )
     rows_per_band = N_HASH // N_BANDS
+
+    def key(b: int):
+        elems = [
+            F.element_at("sig", b * rows_per_band + i + 1)
+            for i in range(rows_per_band)
+        ]
+        if string_keys:
+            return F.concat_ws("-", *[e.cast("string") for e in elems])
+        return F.xxhash64(*elems)
+
+    out_col = "bkey" if string_keys else "band_hash"
     return sig.select(
         "doc_id",
         F.explode(
@@ -639,18 +658,13 @@ def minhash_bands(doc_sets: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + i + 1)
-                                for i in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        key(b).alias(out_col),
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band_id", "bb.band_hash")
+    ).select("doc_id", "bb.band_id", f"bb.{out_col}")
 
 
 @query(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import query
+from ..tables import load
 
 CHUNK_ROOT = "/tmp/spark_graft_stream_chunks"
 
@@ -662,6 +663,204 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(_KMV_NUM) / F.max("h").cast("double"))
             .alias("est_distinct"),
         )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _materialize_doc_chunks(sf_dir: str) -> str:
+    """Split documents into 4 ASCENDING-doc_id chunks (quartiles of the id
+    order, mtime-ordered like `_materialize_chunks`): replaying them in
+    order means every id smaller than a given doc has already streamed by
+    the time that doc arrives — the property stream_minhash_dedup's
+    batch-equivalence argument rests on."""
+    d = os.path.join(
+        CHUNK_ROOT, os.path.basename(os.path.normpath(sf_dir)), "docs"
+    )
+    sentinel = os.path.join(d, ".done")
+    if os.path.exists(sentinel):
+        return d
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE TEMP TABLE dv AS
+            SELECT doc_id, text, lang, source, n_chars,
+                   ntile(4) OVER (ORDER BY doc_id) AS q
+            FROM '{sf_dir}/documents.parquet'"""
+    )
+    for i in range(4):
+        con.execute(
+            f"""COPY (SELECT doc_id, text, lang, source, n_chars
+                      FROM dv WHERE q = {i + 1} ORDER BY doc_id)
+                TO '{d}/chunk_{i}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    base = time.time() - 100
+    for i in range(4):
+        os.utime(os.path.join(d, f"chunk_{i}.parquet"), (base + i, base + i))
+    with open(sentinel, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _minhash_oracle_prefix() -> str:
+    """Shared CTE chain: documents → md5 gram hashes → 64-perm signatures
+    → string band keys — the dedup_minhash oracle's construction, reused
+    verbatim so the streaming dedup's flags are definitionally LSH flags
+    over the SAME index."""
+    from ..operators.dedup import (
+        _GRAMS_CTE,
+        MERSENNE_P,
+        N_BANDS,
+        N_HASH,
+    )
+
+    return f"""
+{_GRAMS_CTE.strip()},
+gh AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h1,
+           ('0x' || substr(md5(gram), 16, 15))::BIGINT AS h2
+    FROM grams
+),
+sig AS (
+    SELECT doc_id, p.i,
+           min(((h1 % {MERSENNE_P})
+                + p.i * ((h2 % {MERSENNE_P - 1}) + 1)) % {MERSENNE_P}) AS s
+    FROM gh CROSS JOIN (SELECT unnest(range(0, {N_HASH})) AS i) p
+    GROUP BY doc_id, p.i
+),
+bands AS (
+    SELECT doc_id, CAST(i // {N_HASH // N_BANDS} AS INTEGER) AS band_id,
+           string_agg(s::VARCHAR, '-' ORDER BY i) AS bkey
+    FROM sig GROUP BY doc_id, i // {N_HASH // N_BANDS}
+)"""
+
+
+@query(
+    "stream_minhash_dedup",
+    oracle=_minhash_oracle_prefix() + """,
+own AS (SELECT band_id, bkey, min(doc_id) AS owner FROM bands GROUP BY 1, 2),
+fl AS (
+    SELECT b.doc_id,
+           max(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) AS dup
+    FROM bands b
+    JOIN own o ON o.band_id = b.band_id AND o.bkey = b.bkey
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id, coalesce(fl.dup, 0) = 1 AS is_dup
+FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
+""",
+)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate detection — the incremental twin of
+    dedup_minhash: documents replay as ascending-doc_id micro-batches,
+    each batch shingles → 64-perm minhash → 8-band LSH keys (the exact
+    machinery of the batch op), and a foreachBatch-maintained bucket
+    index flags any document whose band bucket is already owned by a
+    smaller doc_id. This is the at-ingest dedup gate of a training-data
+    pipeline: new crawl shards check against the corpus WITHOUT
+    re-scanning it, and the state is the band index (O(docs·bands) keyed
+    rows), not the corpus.
+
+    Why a full exact-hash oracle: EVERY document registers its buckets
+    (flagged duplicates too, as in any LSH index), so "flagged" ⇔ "some
+    band bucket contains a smaller doc_id" — a pure function of the
+    document SET. With ascending-id replay, every smaller id is in the
+    state (or this batch) when a document arrives, so the incremental
+    flags equal the batch predicate the oracle computes. Band keys are
+    the raw signature strings here (minhash_bands string_keys mode):
+    flags ARE the final output, so the in-engine-only xxhash64 would
+    leave an unverifiable collision gap. Snapshots are versioned by
+    batch id (the stream_foreachbatch_upsert idempotence device).
+
+    These are LSH-candidate flags (the recall stage): production chains
+    the exact-Jaccard verify behind them exactly as dedup_minhash does —
+    kept out here so the op isolates the streaming-state semantics."""
+    from ..operators.dedup import _doc_gram_sets_md5, minhash_bands
+
+    d = _materialize_doc_chunks(sf_dir)
+    base = os.path.join(
+        "/tmp/spark_graft_sdedup",
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
+    )
+    state: list[str] = []
+    state_schema = "band_id int, bkey string, owner long"
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bands = minhash_bands(
+            _doc_gram_sets_md5(batch_df), string_keys=True
+        )
+        batch_min = bands.groupBy("band_id", "bkey").agg(
+            F.min("doc_id").alias("owner")
+        )
+        if state:
+            prev = spark.read.schema(state_schema).parquet(state[-1])
+            owners = (
+                prev.unionByName(batch_min)
+                .groupBy("band_id", "bkey")
+                .agg(F.min("owner").alias("owner"))
+            )
+        else:
+            owners = batch_min
+        # materialize owners once: it feeds both the flag join and the
+        # next state version
+        sv = os.path.join(base, "state", f"v{batch_id}")
+        owners.write.mode("overwrite").parquet(sv)
+        owners = spark.read.schema(state_schema).parquet(sv)
+        flags = (
+            bands.join(owners, ["band_id", "bkey"])
+            .groupBy("doc_id")
+            .agg(
+                F.max(
+                    (F.col("owner") < F.col("doc_id")).cast("int")
+                ).alias("dup")
+            )
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(base, "flags", f"v{batch_id}")
+        )
+        state.append(sv)
+
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        docs = load(spark, sf_dir, "documents")
+        if not state:  # empty source: no batch ever fired
+            out = docs.select(
+                "doc_id", F.lit(False).alias("is_dup")
+            )
+        else:
+            fl = spark.read.schema("doc_id long, dup int").parquet(
+                os.path.join(base, "flags", "*")
+            )
+            out = docs.join(fl, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("dup") == 1, F.lit(False)).alias("is_dup"),
+            )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -92,6 +92,7 @@ _OPS = (
     "sample_mix_rebalance",
     "sample_temperature",
     "ts_motif_match",
+    "stream_minhash_dedup",
     "sample_cap_per_source",
     "agg_ngram_counts",
     "multimodal_meta",

@@ -785,3 +785,23 @@ def test_stream_kmv_matches_batch_and_is_deterministic(spark, sf_dir):
         )
     )
     assert got == rows(batch)
+
+
+def test_stream_minhash_flags_cover_batch_pairs(spark, sf_dir):
+    """Cross-op consistency: dedup_minhash's verified pairs all came from
+    a shared LSH band, so for every pair (a < b) the streaming gate must
+    flag b (flags are the RECALL stage — a superset of verified dups);
+    and every flagged doc must be a real doc_id from the corpus."""
+    from erlang_mapreduce_spark.registry import QUERIES
+    from erlang_mapreduce_spark.tables import load
+
+    flagged = {
+        r.doc_id
+        for r in QUERIES["stream_minhash_dedup"](spark, sf_dir).collect()
+        if r.is_dup
+    }
+    pairs = QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    missing = {r.doc_b for r in pairs} - flagged
+    assert not missing, f"verified dups not flagged by the stream: {missing}"
+    all_ids = {r.doc_id for r in load(spark, sf_dir, "documents").collect()}
+    assert flagged <= all_ids

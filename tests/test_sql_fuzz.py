@@ -365,7 +365,7 @@ STREAM_REPLAY_OPS = (
     "stream_custom_state", "stream_watermark_late",
     "stream_stateful_dedup", "stream_stream_join",
     "stream_file_sink", "stream_foreachbatch_upsert",
-    "stream_kmv_distinct",
+    "stream_kmv_distinct", "stream_minhash_dedup",
 )
 
 
