@@ -240,3 +240,52 @@ def _exists_v_then_p_no_c(s: str) -> bool:
 @given(st.text(alphabet="vcpse", max_size=20))
 def test_pattern_direct_purchase_semantics(s: str):
     assert bool(re.search(r"v[^c]*p", s)) == _exists_v_then_p_no_c(s)
+
+
+# ---------------------------------------------------------------------------
+# kmv_sketch_partition (relational.py) — the per-partition KMV fold is pure
+# pandas, property-testable without Spark. Mergeability contract: for ANY
+# (grp, h) stream, ANY batch boundaries, and ANY k, the fold must emit
+# exactly the k smallest DISTINCT hashes per group (NULL group included,
+# NULL hashes dropped) — independent of how rows are batched, which is the
+# property that makes the streaming twin (stream_kmv_distinct) provably
+# equal the one-shot batch sketch.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _kmv_case(draw):
+    n = draw(st.integers(min_value=0, max_value=200))
+    grps = draw(st.lists(
+        st.sampled_from(["a", "b", "c", None]), min_size=n, max_size=n))
+    hs = draw(st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+        min_size=n, max_size=n))
+    k = draw(st.integers(min_value=1, max_value=12))
+    batch = draw(st.integers(min_value=1, max_value=40))
+    return grps, hs, k, batch
+
+
+@settings(max_examples=300, deadline=None)
+@given(_kmv_case())
+def test_kmv_fold_is_batch_invariant(case):
+    import pandas as pd
+
+    from erlang_mapreduce_spark.operators.relational import (
+        kmv_sketch_partition,
+    )
+
+    grps, hs, k, batch = case
+    df = pd.DataFrame({"grp": grps, "h": pd.array(hs, dtype="Int64")})
+    batches = [df.iloc[i:i + batch] for i in range(0, max(len(df), 1), batch)]
+    (out,) = list(kmv_sketch_partition(k)(iter(batches)))
+    got = {}
+    for g, h in zip(out["grp"], out["h"]):
+        key = None if pd.isna(g) else g
+        got.setdefault(key, []).append(int(h))
+    want = {}
+    for g, h in zip(grps, hs):
+        if h is not None:
+            want.setdefault(g, set()).add(h)
+    want = {g: sorted(s)[:k] for g, s in want.items()}
+    assert {g: sorted(v) for g, v in got.items()} == want
