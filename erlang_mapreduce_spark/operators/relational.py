@@ -1071,3 +1071,81 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_KMV_NUM) / F.element_at("arr", KMV_K).cast("double"))
         .alias("est_distinct"),
     )
+
+
+@query(
+    "rollup_sketch_hierarchy",
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+r AS (
+    SELECT event_type, day, h,
+           row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+    FROM h
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS k_used,
+       CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+            ELSE {_KMV_NUM!r} / CAST(max(h) AS DOUBLE) END AS est_distinct
+FROM r WHERE rn <= {KMV_K} GROUP BY event_type, day
+""",
+)
+def rollup_sketch_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical distinct-count rollup via KMV sketch MERGE — the
+    continuous-aggregate pattern for the one aggregate plain rollups
+    cannot cascade: sums and counts roll hour→day by addition
+    (rollup_time_hypertable), but distinct users do NOT add. Here each
+    (event_type, hour) bucket keeps its k smallest distinct user hashes,
+    and the DAY level is computed ONLY from those hour sketches (union →
+    distinct → k smallest) — never from the raw events. At 100 TB this
+    is the difference between a day/month/year dashboard touching
+    O(buckets·k) sketch rows and one re-scanning the fact table per
+    granularity; the hour sketches are exactly what a pipeline persists
+    as its continuous-aggregate state.
+
+    The oracle computes the day level DIRECTLY from raw events, so the
+    hash match IS the KMV mergeability theorem (min-k of a union equals
+    min-k of the per-part min-k's — Beyer et al.), verified cross-engine
+    on every fixture and fuzz corpus rather than assumed. Same hash
+    family and estimator as agg_kmv_distinct / stream_kmv_distinct; NULL
+    user_id/ts rows are excluded on both sides (no hash, no bucket),
+    NULL event_type is a real group.
+
+    Plan shape: one exchange on (event_type, hour) for the hour
+    sketches, one sketch-row-sized exchange on (event_type, day) for the
+    merge — both partial/final pairs; nothing downstream of the first
+    window ever sees a raw event row."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    hashed = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w_hr = Window.partitionBy("event_type", "hr").orderBy("h")
+    hour_sk = (
+        hashed.withColumn("rn", F.row_number().over(w_hr))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "day", "h")
+    )
+    w_day = Window.partitionBy("event_type", "day").orderBy("h")
+    day_sk = (
+        hour_sk.distinct()  # one hash can sit in several hours of a day
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    m = F.count("*")
+    return day_sk.groupBy("event_type", "day").agg(
+        m.cast("long").alias("k_used"),
+        F.when(m < KMV_K, m.cast("double"))
+        .otherwise(F.lit(_KMV_NUM) / F.max("h").cast("double"))
+        .alias("est_distinct"),
+    )

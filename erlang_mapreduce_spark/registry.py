@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 157 registered ops, insertion
+# insertion order and stops after 50 ops. With 158 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry. After r7, no op's newest driver evidence predates r4
@@ -60,12 +60,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   1-44:  the 44 ops whose newest driver evidence is r04 (the oldest
 #          round-numbered evidence left in the registry).
 #   45:    the flagship text_bigram_freq (kept in-window every round).
-#   46-50: five of the fourteen new-in-r8 ops (zero driver evidence; all
+#   46-50: five of the fifteen new-in-r8 ops (zero driver evidence; all
 #          hash-match the oracle at sf0.01 in CORRECTNESS_local_full).
-#   51-59: the other nine r8 ops — they lead the round-9 window, followed
+#   51-60: the other ten r8 ops — they lead the round-9 window, followed
 #          by the 49 r05-evidence ops.
-# After r8: no op's newest driver evidence predates r5 except the nine
-# 51-59 newcomers, which round 9 must put in-window first.
+# After r8: no op's newest driver evidence predates r5 except the ten
+# 51-60 newcomers, which round 9 must put in-window first.
 DRIVER_PRIORITY: list[str] = [
     # --- 1-44: newest driver evidence is r04 ---
     "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
@@ -86,17 +86,17 @@ DRIVER_PRIORITY: list[str] = [
     "agg_unpivot", "scan_parquet",
     # --- 45: flagship, driver-checked every round ---
     "text_bigram_freq",
-    # --- 46-50: five of the fourteen new-in-r8 ops (zero driver evidence is
-    #     older than any round number; all fourteen hash-match the oracle at
+    # --- 46-50: five of the fifteen new-in-r8 ops (zero driver evidence is
+    #     older than any round number; all fifteen hash-match the oracle at
     #     sf0.01 in CORRECTNESS_local_full, so they are safe in-window) ---
     "agg_ngram_df_sketch", "text_novelty_sketch", "text_chunk_overlap",
     "decontaminate_bloom", "agg_kmv_distinct",
-    # --- 51-59: the other r8 ops (lead the round-9 window) ---
+    # --- 51-60: the other r8 ops (lead the round-9 window) ---
     "graph_triangle_count", "pq_codebooks", "sim_search_pq",
     "sample_temperature", "stream_kmv_distinct",
     "sql_customer_distribution", "sql_promising_customers",
-    "ts_motif_match", "stream_minhash_dedup",
-    # --- 60-...: r05 evidence (fill the round-9 window) ---
+    "ts_motif_match", "stream_minhash_dedup", "rollup_sketch_hierarchy",
+    # --- 61-...: r05 evidence (fill the round-9 window) ---
     "scan_text", "scan_csv_json", "sink_partitioned",
     "project_select", "filter_pred",
     "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",

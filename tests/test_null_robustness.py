@@ -93,6 +93,7 @@ _OPS = (
     "sample_temperature",
     "ts_motif_match",
     "stream_minhash_dedup",
+    "rollup_sketch_hierarchy",
     "sample_cap_per_source",
     "agg_ngram_counts",
     "multimodal_meta",

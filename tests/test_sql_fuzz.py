@@ -317,6 +317,7 @@ EVT_OPS = (
     "cdc_latest_by_key", "cdc_scd2", "fn_map_json", "udf_grouped",
     "udaf", "stream_tumbling", "stream_sliding", "stream_session",
     "rollup_time_hypertable", "ts_gap_fill", "ts_motif_match",
+    "rollup_sketch_hierarchy",
 )
 
 EMB_OPS = ("dedup_embedding", "sim_search", "sim_search_ann",
