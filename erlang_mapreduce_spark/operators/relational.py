@@ -1115,21 +1115,34 @@ def rollup_sketch_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id/ts rows are excluded on both sides (no hash, no bucket),
     NULL event_type is a real group.
 
-    Plan shape: one exchange on (event_type, hour) for the hour
-    sketches, one sketch-row-sized exchange on (event_type, day) for the
-    merge — both partial/final pairs; nothing downstream of the first
-    window ever sees a raw event row."""
+    Plan shape: ONE data-sized exchange — an explicit repartition on
+    (event_type, hour) that the per-bucket dedup AND the hour window
+    both reuse (hash-clustering on a subset key co-locates the full
+    dedup key, so neither adds its own shuffle; a bare .distinct() here
+    cost a second data-sized exchange on the full 4-column key) — then
+    everything downstream moves only k-bounded sketch rows: one tiny
+    (event_type, day) exchange for the merge. Window rank is sort-based
+    streaming state, never an unbounded per-group buffer (the reason
+    this shape, not a collect_set, is the 100 TB merge)."""
     e = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    hashed = e.select(
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    ).distinct()
+    hashed = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .repartition("event_type", "hr")
+        .dropDuplicates(["event_type", "hr", "h"])
+    )
     w_hr = Window.partitionBy("event_type", "hr").orderBy("h")
     hour_sk = (
         hashed.withColumn("rn", F.row_number().over(w_hr))
