@@ -167,10 +167,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget (GRAM_DF_CAP + verbatim collapse).
 
     Algorithm: degree-ordered orientation (Cohen's MapReduce scheme):
-    every edge points from its smaller (degree, node) endpoint — packed
-    into ONE long key d·2^32 + node so both engines compare identically —
-    so each triangle is generated exactly once as a wedge at its
-    lowest-degree corner and closed by one equi-join. Out-degree under
+    every edge points from its smaller (degree, node) endpoint — compared
+    as a two-field STRUCT (d, node), the total order both engines define
+    lexicographically, rather than a packed d·2^32+node long whose
+    injectivity silently assumed 0 ≤ doc_id < 2^32 (round-8 ADVICE) — so
+    each triangle is generated exactly once as a wedge at its
+    lowest-degree corner and closed by one equi-join on the struct keys
+    (hash-joinable in both engines). Out-degree under
     this orientation is O(sqrt(m)) regardless of hub (clique) size: wedge
     fan-out, the only super-linear term, is Σ C(outdeg, 2) ≤ m·√m instead
     of the hub-quadratic Σ C(deg, 2) of a naive wedge join — for a
@@ -195,8 +198,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "u",
             "v",
-            (F.col("du.d") * F.lit(4294967296) + F.col("u")).alias("ku"),
-            (F.col("dv.d") * F.lit(4294967296) + F.col("v")).alias("kv"),
+            F.struct(
+                F.col("du.d").alias("d"), F.col("u").alias("n")
+            ).alias("ku"),
+            F.struct(
+                F.col("dv.d").alias("d"), F.col("v").alias("n")
+            ).alias("kv"),
         )
     )
     lo = F.col("ku") < F.col("kv")
@@ -266,8 +273,8 @@ o AS (
            CASE WHEN ku < kv THEN kv ELSE ku END AS dstk
     FROM (
         SELECT eg.u, eg.v,
-               du.d * 4294967296 + eg.u AS ku,
-               dv.d * 4294967296 + eg.v AS kv
+               row(du.d, eg.u) AS ku,
+               row(dv.d, eg.v) AS kv
         FROM eg JOIN deg du ON du.node = eg.u JOIN deg dv ON dv.node = eg.v
     )
 ),

@@ -699,20 +699,46 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~few-KB state per group instead of a distinct-value hash table) and
     approx_percentile (Greenwald-Khanna, mergeable bounded state). Both are
     partial/final aggregates — one O(groups × sketch-size) shuffle where the
-    exact versions shuffle every distinct value. Rows-only check: DuckDB's
-    approx sketches (t-digest) legitimately produce different estimates.
-    Exact twins are oracle-checked in agg_distinct / agg_percentile; the
-    sanity bounds (estimate within rtol of exact) are pinned in
-    tests/test_operators.py."""
+    exact versions shuffle every distinct value.
+
+    No oracle by contract: DuckDB's approx sketches (t-digest) legitimately
+    produce different estimates. Instead the op is SELF-EVIDENCING: each row
+    carries the exact companion, the relative error, and an 0/1 ok flag
+    (``and_ok``: |HLL − exact|/exact ≤ 5·rsd with rsd=0.02; ``pXX_ok``:
+    |GK − exact percentile|/exact ≤ 0.05, generous vs the rank-error bound
+    N/accuracy), so the driver's recorded row verifies the sketch in-row.
+    The exact companions are the evidence harness, not the 100 TB plan —
+    production callers take only the apx_* columns and skip the Expand /
+    exact-percentile buffer entirely. Bounds also pinned in
+    tests/test_operators.py (all ok flags must be 1)."""
     li = load(spark, sf_dir, "lineitem")
-    apx = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("and_part"),
-        # stringified: array-typed outputs break the driver canonicalizer
-        F.array_join(
-            F.transform(apx, lambda x: F.round(x, 6).cast("string")), ","
-        ).alias("apx_price_p50_p95"),
+
+    def rel_err(apx, exact):  # |approx-exact|/exact, 6dp for row stability
+        return F.round(F.abs(apx - exact) / exact, 6)
+
+    apx_nd = F.approx_count_distinct("l_partkey", 0.02)
+    exact_nd = F.count_distinct("l_partkey")
+    apx_p50 = F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+    apx_p95 = F.expr("approx_percentile(l_extendedprice, 0.95, 1000)")
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact_p95 = F.expr("percentile(l_extendedprice, 0.95)")
+    out = li.groupBy("l_returnflag").agg(
+        apx_nd.alias("and_part"),
+        exact_nd.alias("exact_nd_part"),
+        F.round(apx_p50, 6).alias("apx_p50"),
+        F.round(exact_p50, 6).alias("exact_p50"),
+        F.round(apx_p95, 6).alias("apx_p95"),
+        F.round(exact_p95, 6).alias("exact_p95"),
+        rel_err(apx_nd, exact_nd).alias("and_rel_err"),
+        rel_err(apx_p50, exact_p50).alias("p50_rel_err"),
+        rel_err(apx_p95, exact_p95).alias("p95_rel_err"),
         F.count("*").alias("cnt"),
+    )
+    return out.select(
+        "*",
+        (F.col("and_rel_err") <= 0.10).cast("int").alias("and_ok"),
+        (F.col("p50_rel_err") <= 0.05).cast("int").alias("p50_ok"),
+        (F.col("p95_rel_err") <= 0.05).cast("int").alias("p95_ok"),
     )
 
 

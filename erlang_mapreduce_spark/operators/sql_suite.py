@@ -329,7 +329,12 @@ _Q22_TABLES = ("customer", "orders")
 # TPC-H derives cntrycode from substring(c_phone); the fixture has no
 # phone, so c_nationkey % 10 stands in. The scalar average goes through
 # the DECIMAL device: both engines compute the identical gate value, so
-# no customer can land on different sides of the threshold.
+# no customer can land on different sides of the threshold. The NOT
+# EXISTS is restricted to '1-URGENT' orders ("rich customers with no
+# urgent order"): every fixture customer has SOME order, so the literal
+# Q22 predicate returns 0 rows and the hash evidence would be vacuous
+# (round-8 ADVICE) — the restriction keeps the anti-join shape while the
+# fixture check exercises real rows at sf0.001 and sf0.01.
 _Q22 = f"""
 SELECT cntrycode, count(*) AS numcust,
        {dsum_sql('c_acctbal')} AS totacctbal
@@ -344,7 +349,8 @@ FROM (
           WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9)
       )
       AND NOT EXISTS (
-          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
       )
 ) promising
 GROUP BY cntrycode
@@ -355,8 +361,9 @@ GROUP BY cntrycode
 def sql_promising_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q22-shaped dormant-high-balance report via ``spark.sql``:
     a scalar subquery (global decimal-exact average) gates account
-    balances, NOT EXISTS anti-joins away customers with any order, and
-    the survivors aggregate per country code. Plan shape: the scalar agg
+    balances, NOT EXISTS anti-joins away customers with any '1-URGENT'
+    order (restricted so the fixture check is non-vacuous — see _Q22
+    comment), and the survivors aggregate per country code. Plan shape: the scalar agg
     is one tiny global aggregate broadcast into the filter; the anti
     join shuffles on custkey (or broadcasts orders' key projection when
     small); the final agg is a partial/final pair over ≤10 groups. The

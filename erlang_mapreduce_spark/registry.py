@@ -50,94 +50,189 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # insertion order and stops after 50 ops. With 158 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
-# whole registry. After r7, no op's newest driver evidence predates r4
-# (Counter over CORRECTNESS_r01..r07 newest evidence: 50×r07, 49×r05,
-# 44×r04), and tests/test_correctness.py re-proves the whole registry
+# whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-8 window (this ordering), oldest-evidence-first policy — and ops
-# with NO driver evidence (added this round) count as oldest of all:
-#   1-44:  the 44 ops whose newest driver evidence is r04 (the oldest
-#          round-numbered evidence left in the registry).
-#   45:    the flagship text_bigram_freq (kept in-window every round).
-#   46-50: five of the fifteen new-in-r8 ops (zero driver evidence; all
-#          hash-match the oracle at sf0.01 in CORRECTNESS_local_full).
-#   51-60: the other ten r8 ops — they lead the round-9 window, followed
-#          by the 49 r05-evidence ops.
-# After r8: no op's newest driver evidence predates r5 except the ten
-# 51-60 newcomers, which round 9 must put in-window first.
+# Round-9 window (this ordering), oldest-evidence-first policy:
+#   1-10:  the ten r8 ops with zero driver evidence (VERDICT_r08 item 1).
+#   11-13: agg_approx (self-evidencing rewrite this round), the flagship
+#          text_bigram_freq (kept in-window every round), sim_search_ivf
+#          (last driver attempt FAILED in r5; green locally since).
+#   14-50: 37 of the 49 ops whose newest driver evidence is r05 (the
+#          oldest evidence left after r8).
+#   51-61: the remaining 12 r05-evidence ops — they lead the round-10
+#          window, followed by the r07-evidence block.
+# After r9: every registered op has driver evidence, and none predates r5.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-44: newest driver evidence is r04 ---
-    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
-    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
-    "sql_small_qty_revenue", "analytics_transition_matrix",
-    "scan_binary_files", "analytics_rfm", "stream_python_source",
-    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
-    "sql_waiting_suppliers",
-    "text_fingerprint", "multimodal_meta", "text_lang_id",
-    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
-    "text_tfidf", "text_quality_score", "text_token_count",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_cluster_cc", "dedup_levenshtein",
-    "join_skew_salted", "join_bucketed", "join_null_safe",
-    "pipeline_dataset_export", "pipeline_corpus_clean",
-    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
-    "agg_unpivot", "scan_parquet",
-    # --- 45: flagship, driver-checked every round ---
+    # --- 1-10: the ten r8 ops with ZERO driver evidence (VERDICT_r08 item 1;
+#     all hash-match the DuckDB oracle at sf0.01 in CORRECTNESS_local_full) ---
+    "graph_triangle_count",
+    "pq_codebooks",
+    "sim_search_pq",
+    "sample_temperature",
+    "stream_kmv_distinct",
+    "sql_customer_distribution",
+    "sql_promising_customers",
+    "ts_motif_match",
+    "stream_minhash_dedup",
+    "rollup_sketch_hierarchy",
+    # --- 11-13: agg_approx (output changed this round: now self-evidencing
+#     with exact companions + error-bound columns, needs fresh driver
+#     evidence), the flagship (in-window every round), and sim_search_ivf
+#     (only op whose last driver attempt FAILED, r5 — re-verify) ---
+    "agg_approx",
     "text_bigram_freq",
-    # --- 46-50: five of the fifteen new-in-r8 ops (zero driver evidence is
-    #     older than any round number; all fifteen hash-match the oracle at
-    #     sf0.01 in CORRECTNESS_local_full, so they are safe in-window) ---
-    "agg_ngram_df_sketch", "text_novelty_sketch", "text_chunk_overlap",
-    "decontaminate_bloom", "agg_kmv_distinct",
-    # --- 51-60: the other r8 ops (lead the round-9 window) ---
-    "graph_triangle_count", "pq_codebooks", "sim_search_pq",
-    "sample_temperature", "stream_kmv_distinct",
-    "sql_customer_distribution", "sql_promising_customers",
-    "ts_motif_match", "stream_minhash_dedup", "rollup_sketch_hierarchy",
-    # --- 61-...: r05 evidence (fill the round-9 window) ---
-    "scan_text", "scan_csv_json", "sink_partitioned",
-    "project_select", "filter_pred",
-    "join_broadcast", "join_sortmerge", "join_outer", "join_semi_anti",
-    "join_theta_range", "join_asof", "join_interval",
-    "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
-    "agg_global", "agg_ratio_of_total",
-    "win_rank", "win_analytic", "win_frame",
-    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "text_tokenize", "sim_search",
-    "udf_scalar", "udf_grouped", "udaf", "udtf",
-    "fn_agg_collect", "multimodal_decode", "sim_search_ivf",
-    "sql_pricing_summary", "stream_stream_join",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "text_decontaminate", "dedup_passage", "dedup_span_rolling",
-    "sample_quality_weighted", "agg_heavy_hitters",
-    # --- 95-138: r07 evidence (the round-7 window minus flagship) ---
+    "sim_search_ivf",
+    # --- 14-50: 37 of the 49 r05-evidence ops (oldest round-numbered
+#     evidence left in the registry) ---
+    "scan_text",
+    "scan_csv_json",
+    "sink_partitioned",
+    "project_select",
+    "filter_pred",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_outer",
+    "join_semi_anti",
+    "join_theta_range",
+    "join_asof",
+    "join_interval",
+    "agg_hash_count",
+    "agg_multi",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_global",
+    "agg_ratio_of_total",
+    "win_rank",
+    "win_analytic",
+    "win_frame",
+    "sort_global",
+    "topk",
+    "set_union_intersect_except",
+    "dedup_exact",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_map_json",
+    "text_tokenize",
+    "sim_search",
+    "udf_scalar",
+    "udf_grouped",
+    "udaf",
+    "udtf",
+    "fn_agg_collect",
+    # --- 51-61: the other 12 r05-evidence ops (lead the round-10 window) ---
+    "multimodal_decode",
+    "sql_pricing_summary",
+    "stream_stream_join",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "text_decontaminate",
+    "dedup_passage",
+    "dedup_span_rolling",
+    "sample_quality_weighted",
+    "agg_heavy_hitters",
+    # --- 62-...: r07 evidence ---
     "text_repetition_score",
-    "rollup_time_hypertable", "ts_gap_fill", "win_ntile",
-    "win_range_interval", "cdc_latest_by_key", "text_normalize",
-    "scan_orc", "scan_partition_pruned", "sink_text_formatted",
-    "agg_approx", "topk_per_group", "fn_bitwise",
-    "sql_top_revenue_orders", "sql_revenue_by_nation", "stream_custom_state",
+    "rollup_time_hypertable",
+    "ts_gap_fill",
+    "win_ntile",
+    "win_range_interval",
+    "cdc_latest_by_key",
+    "text_normalize",
+    "scan_orc",
+    "scan_partition_pruned",
+    "sink_text_formatted",
+    "topk_per_group",
+    "fn_bitwise",
+    "sql_top_revenue_orders",
+    "sql_revenue_by_nation",
+    "stream_custom_state",
     "dedup_minhash",
-    "stream_watermark_late", "stream_stateful_dedup", "sim_search_ann",
-    "pipeline_seq_pack", "sample_mix_rebalance",
-    "sample_cap_per_source", "agg_ngram_counts",
+    "stream_watermark_late",
+    "stream_stateful_dedup",
+    "sim_search_ann",
+    "pipeline_seq_pack",
+    "sample_mix_rebalance",
+    "sample_cap_per_source",
+    "agg_ngram_counts",
     "text_unigram_logprob",
-    "analytics_cohort_retention", "analytics_funnel",
+    "analytics_cohort_retention",
+    "analytics_funnel",
     "dedup_cluster_keep_best",
     "stream_file_sink",
-    "analytics_sessionize", "analytics_anomaly_extremes",
-    "cdc_scd2", "join_asof_tolerance",
-    "sample_split_train_eval", "profile_columns",
-    "analytics_active_users_7d", "analytics_pareto_topk",
-    "merge_upsert", "compact_small_files", "agg_quantile_bins",
-    "graph_pagerank", "stream_foreachbatch_upsert", "text_ngram_novelty",
+    "analytics_sessionize",
+    "analytics_anomaly_extremes",
+    "cdc_scd2",
+    "join_asof_tolerance",
+    "sample_split_train_eval",
+    "profile_columns",
+    "analytics_active_users_7d",
+    "analytics_pareto_topk",
+    "merge_upsert",
+    "compact_small_files",
+    "agg_quantile_bins",
+    "graph_pagerank",
+    "stream_foreachbatch_upsert",
+    "text_ngram_novelty",
     "fn_nested",
-    # --- tail: r07 evidence (the round-7 window tail — freshest) ---
-    "scan_schema_evolution", "join_bloom_filtered", "sort_zorder_layout",
-    "snapshot_time_travel", "analytics_pattern_match",
+    "scan_schema_evolution",
+    "join_bloom_filtered",
+    "sort_zorder_layout",
+    "snapshot_time_travel",
+    "analytics_pattern_match",
+    # --- tail: r08 evidence (freshest) ---
+    "scan_python_datasource",
+    "fn_url",
+    "agg_bitmap_distinct",
+    "ivf_centroids",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_small_qty_revenue",
+    "analytics_transition_matrix",
+    "scan_binary_files",
+    "analytics_rfm",
+    "stream_python_source",
+    "dedup_cluster_downweight",
+    "dedup_containment",
+    "dq_expectations",
+    "sql_waiting_suppliers",
+    "text_fingerprint",
+    "multimodal_meta",
+    "text_lang_id",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "text_pii_scrub",
+    "text_tfidf",
+    "text_quality_score",
+    "text_token_count",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_cluster_cc",
+    "dedup_levenshtein",
+    "join_skew_salted",
+    "join_bucketed",
+    "join_null_safe",
+    "pipeline_dataset_export",
+    "pipeline_corpus_clean",
+    "agg_pivot",
+    "agg_percentile",
+    "sample_hash",
+    "sample_stratified",
+    "hist_numeric",
+    "agg_corr_stats",
+    "agg_mode",
+    "fn_conditional",
+    "agg_unpivot",
+    "scan_parquet",
+    "agg_ngram_df_sketch",
+    "text_novelty_sketch",
+    "text_chunk_overlap",
+    "decontaminate_bloom",
+    "agg_kmv_distinct",
 ]
 
 

@@ -17,6 +17,7 @@ because chunk boundaries are fixed quantiles of ts.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import time
@@ -30,6 +31,35 @@ from ..registry import query
 from ..tables import load
 
 CHUNK_ROOT = "/tmp/spark_graft_stream_chunks"
+
+
+def _chunk_ns(sf_dir: str, table: str) -> str:
+    """Namespace component for the on-disk chunk cache: leaf dir name plus
+    a short digest of (abspath, table, stat-fingerprint) — the same
+    discriminator scheme as ``dedup._shared_materialize``. Keying by
+    basename alone aliased two corpora sharing a leaf name, and a corpus
+    regenerated in place kept serving the STALE chunks behind its .done
+    sentinel (round-8 ADVICE). The stat fingerprint (size + mtime_ns, same
+    accepted limit as ``dedup._corpus_fingerprint``) makes a rewrite miss
+    the cache instead."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            sts = [os.stat(os.path.join(p, e)) for e in sorted(os.listdir(p))]
+            fp = (
+                len(sts),
+                sum(s.st_size for s in sts),
+                max((s.st_mtime_ns for s in sts), default=0),
+            )
+        else:
+            st = os.stat(p)
+            fp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        fp = None
+    disc = hashlib.md5(
+        repr((os.path.abspath(sf_dir), table, fp)).encode()
+    ).hexdigest()[:12]
+    return f"{os.path.basename(os.path.normpath(sf_dir))}-{disc}"
 
 _EVENT_SCHEMA = T.StructType(
     [
@@ -50,9 +80,7 @@ def _materialize_chunks(sf_dir: str, mode: str) -> str:
     mode='dup': chunk 4 re-sends chunk 3 verbatim (duplicate event_ids
     within the watermark → must be suppressed by stateful dedup).
     mode='plain': just the 4 in-order chunks — no late/duplicate rows."""
-    d = os.path.join(
-        CHUNK_ROOT, os.path.basename(os.path.normpath(sf_dir)), mode
-    )
+    d = os.path.join(CHUNK_ROOT, _chunk_ns(sf_dir, "events"), mode)
     sentinel = os.path.join(d, ".done")
     if os.path.exists(sentinel):
         return d
@@ -685,9 +713,7 @@ def _materialize_doc_chunks(sf_dir: str) -> str:
     order means every id smaller than a given doc has already streamed by
     the time that doc arrives — the property stream_minhash_dedup's
     batch-equivalence argument rests on."""
-    d = os.path.join(
-        CHUNK_ROOT, os.path.basename(os.path.normpath(sf_dir)), "docs"
-    )
+    d = os.path.join(CHUNK_ROOT, _chunk_ns(sf_dir, "documents"), "docs")
     sentinel = os.path.join(d, ".done")
     if os.path.exists(sentinel):
         return d

@@ -9,36 +9,18 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-8 driver window (VERDICT_r07 item 1): the 44 ops whose newest
-# driver evidence is r04 (the oldest evidence left after r7) MUST sit in
-# the first-50 window this round, plus the flagship which stays in-window
-# every round. The 5 remaining slots take the oldest r05-evidence ops.
-R04_ONLY = [
-    "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
-    "ivf_centroids", "sql_volume_shipping", "sql_market_share",
-    "sql_small_qty_revenue", "analytics_transition_matrix",
-    "scan_binary_files", "analytics_rfm", "stream_python_source",
-    "dedup_cluster_downweight", "dedup_containment", "dq_expectations",
-    "sql_waiting_suppliers",
-    "text_fingerprint", "multimodal_meta", "text_lang_id",
-    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
-    "text_tfidf", "text_quality_score", "text_token_count",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_cluster_cc", "dedup_levenshtein",
-    "join_skew_salted", "join_bucketed", "join_null_safe",
-    "pipeline_dataset_export", "pipeline_corpus_clean",
-    "agg_pivot", "agg_percentile", "sample_hash", "sample_stratified",
-    "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
-    "agg_unpivot", "scan_parquet",
+# Round-9 driver window (VERDICT_r08 item 1): the ten r8 ops with zero
+# driver evidence MUST lead the first-50 window, plus agg_approx (output
+# changed this round: self-evidencing rewrite), the flagship (in-window
+# every round), and sim_search_ivf (only op whose last driver attempt
+# FAILED, r5). The remaining slots take r05-evidence ops, oldest left.
+R8_ZERO_EVIDENCE = [
+    "graph_triangle_count", "pq_codebooks", "sim_search_pq",
+    "sample_temperature", "stream_kmv_distinct",
+    "sql_customer_distribution", "sql_promising_customers",
+    "ts_motif_match", "stream_minhash_dedup", "rollup_sketch_hierarchy",
 ]
-# New-in-r8 ops have NO driver evidence at all — older than any round
-# number — so five of the eight take the remaining window slots (all
-# eight hash-match the DuckDB oracle at sf0.01 locally); the other three
-# lead the round-9 window.
-NEW_R8_WINDOW_TAIL = [
-    "agg_ngram_df_sketch", "text_novelty_sketch", "text_chunk_overlap",
-    "decontaminate_bloom", "agg_kmv_distinct",
-]
+RECHECK_R9 = ["agg_approx", "text_bigram_freq", "sim_search_ivf"]
 
 
 def test_driver_priority_covers_registry():
@@ -51,13 +33,14 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-8 rotation goal: every op whose newest driver evidence is r04
-    sits in the checked window, plus the flagship and 5 of the 8
-    zero-evidence new-in-r8 ops that fill out the 50."""
-    first50 = set(list(QUERIES)[:50])
-    must = set(R04_ONLY) | set(NEW_R8_WINDOW_TAIL) | {"text_bigram_freq"}
-    assert len(must) == 50
-    missing = must - first50
+    """Round-9 rotation goal: the ten zero-driver-evidence r8 ops LEAD the
+    checked window (positions 1-10), agg_approx / flagship / sim_search_ivf
+    follow, and r05-evidence ops fill the rest — after r9 every registered
+    op has driver evidence and none predates r5."""
+    order = list(QUERIES)
+    assert order[:10] == R8_ZERO_EVIDENCE
+    first50 = set(order[:50])
+    missing = set(RECHECK_R9) - first50
     assert not missing, f"not in driver-checked first 50: {sorted(missing)}"
 
 

@@ -39,6 +39,36 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     assert abs(row.approx - row.exact) <= 0.01 * abs(row.exact), row
 
 
+def test_agg_approx_self_evidencing(spark, sf_dir):
+    """agg_approx is the one op the driver can never hash-check (sketches
+    are engine-specific), so every row must verify ITSELF: the in-row ok
+    flags (|approx−exact|/exact within the declared bound) must all be 1,
+    and the recomputed relative errors must match the emitted columns."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["agg_approx"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.and_ok == 1 and r.p50_ok == 1 and r.p95_ok == 1, r
+        assert abs(r.and_rel_err
+                   - abs(r.and_part - r.exact_nd_part) / r.exact_nd_part
+                   ) < 1e-6, r
+        assert abs(r.p50_rel_err
+                   - abs(r.apx_p50 - r.exact_p50) / r.exact_p50) < 1e-4, r
+        assert abs(r.p95_rel_err
+                   - abs(r.apx_p95 - r.exact_p95) / r.exact_p95) < 1e-4, r
+
+
+def test_sql_promising_customers_nonvacuous(spark, sf_dir):
+    """The Q22-shaped fixture check must exercise real rows: with the
+    literal TPC-H predicate every fixture customer has an order, so the
+    anti-join returned 0 rows and the hash evidence was vacuous (round-8
+    ADVICE). The '1-URGENT' restriction must keep it non-empty."""
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    assert QUERIES["sql_promising_customers"](spark, sf_dir).count() > 0
+
+
 def test_hash_sample_rate(spark, sf_dir):
     """The md5-nibble sample keeps ~1/16 of rows (binomial bound)."""
     from erlang_mapreduce_spark.registry import QUERIES
