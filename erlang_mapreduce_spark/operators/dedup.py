@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd  # module scope: pandas_udf type hints must resolve
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ckpt import (
@@ -1471,6 +1471,201 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dc").alias("doc_contained"),
             F.col("dh").alias("doc_container"),
             F.lit(1.0).alias("containment"),
+        )
+    )
+    return guard_result(cross.unionByName(within))
+
+
+# --- cross-document substring dedup (Lee et al. "Deduplicating Training
+# Data Makes Language Models Better" — the train-data dedup workload run
+# beside minhash in production pipelines) -----------------------------------
+
+SUBSTR_K = 8  # anchor width: a shared run must contain one aligned 8-gram
+SUBSTR_MIN_OLAP = 16  # report maximal verbatim overlaps of >= 16 tokens
+# Anchor grams with more total positioned occurrences than this are dropped
+# from the CANDIDATE index: a boilerplate 8-gram occurring o times fans the
+# occurrence-pair expansion out to C(o,2) rows. Unlike GRAM_DF_CAP (which
+# caps distinct-document frequency), the cap here is on OCCURRENCES because
+# positioned anchors repeat within documents and the quadratic cost is per
+# occurrence pair — counting occurrences also keeps the deciding aggregate
+# fixed-size (one long per gram) where a distinct-doc count would hold a
+# set. Recall floor: an overlap ALL of whose anchor grams are boilerplate
+# above the cap is invisible — at 16+ tokens of verbatim overlap that
+# requires >= 9 consecutive cap-level grams, i.e. the overlap itself is the
+# boilerplate, which exact dedup upstream collapses. Fixture headroom: max
+# anchor occurrence count at rep level is ~25 at sf0.1, so the cap is inert
+# for the oracle (pinned in tests/test_dedup.py) while bounding the 100 TB
+# expansion to C(2000,2) streamed rows per cap-level gram.
+SUBSTR_OCC_CAP = 2_000
+
+_SUBSTR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+),
+pg AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           array_to_string(
+               ws[CAST(i AS INTEGER):CAST(i + {SUBSTR_K} - 1 AS INTEGER)],
+               ' ') AS gram
+    FROM (SELECT doc_id, ws,
+                 unnest(range(1, len(ws) - {SUBSTR_K} + 2)) AS i
+          FROM toks)
+),
+anch AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+    FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, pa, pa - pb AS diag,
+           pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                   ORDER BY pa) AS grp
+    FROM anch
+),
+sp AS (
+    SELECT doc_a, doc_b, max(pa) - min(pa) + {SUBSTR_K} AS olap
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, CAST(max(olap) AS BIGINT) AS olap_tokens
+FROM sp
+WHERE olap >= {SUBSTR_MIN_OLAP}
+GROUP BY doc_a, doc_b
+"""
+
+
+@query("dedup_substring", oracle=_SUBSTR_ORACLE)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SUBSTRING dedup: for every pair of distinct documents
+    sharing a verbatim token run of >= SUBSTR_MIN_OLAP tokens, report the
+    LONGEST such overlap — the arbitrary-offset verbatim-overlap detector
+    that jaccard/minhash (whole-doc similarity) and dedup_passage /
+    dedup_span_rolling (fixed granularities) cannot express. Matches are
+    found as maximal chains of positionally-consecutive shared SUBSTR_K-
+    gram anchors: two docs share an L-token run iff they share L-K+1
+    consecutive aligned anchors, so maximal anchor runs on a (doc_a, doc_b,
+    pos_a - pos_b) diagonal ARE the maximal overlaps — the gaps-and-islands
+    identity (run id = pos - row_number over the diagonal) both engines
+    state identically, which is what buys the exact DuckDB oracle.
+
+    Never all-pairs, by the same inverted-index discipline as
+    dedup_ngram_jaccard: anchors meet only inside a gram's posting list
+    (ONE shuffle keyed by gram hash), the occurrence cap bounds each
+    list's pair fan-out (SUBSTR_OCC_CAP comment), and the expansion is
+    STREAMED via chained posexplode/slice generators — no C(o,2) array is
+    ever one row (the _rare_pair_stream shape, carrying (doc, pos) structs
+    so position survives into the chain stage). Verbatim-duplicate groups
+    are collapsed to one representative first and expanded after: a pair
+    of identical docs is a whole-text overlap (olap_tokens = token count,
+    the diagonal-0 run the oracle computes at raw-document level), and the
+    expansion emits only max-overlap — which is text-determined — so the
+    collapse is exact even for texts with internal repeats (their extra
+    off-diagonal runs are never the max). Downstream: exchanges are keyed
+    by (pair, diagonal) — skew-bounded by real overlap length, not corpus
+    size. Anchors are xxhash64 of the gram string (in-engine join key
+    only; the oracle joins raw strings — the usual 2^-64 collision
+    class)."""
+    release_transient_storage()  # free the previous invocation's blocks
+    members = _shared_members(spark, sf_dir)
+    reps = _shared_rep_docs(spark, sf_dir)
+    toks = reps.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    ).select("doc_id", "ws", F.size("ws").alias("n"))
+    pg = (
+        toks.filter(F.col("n") >= SUBSTR_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - (SUBSTR_K - 1)),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("ws", i, SUBSTR_K), " ")
+                    ),
+                )
+            ).alias("p0", "gh"),
+        )
+        # posexplode is 0-based; the oracle's positions are 1-based
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
+    )
+    # occurrence cap decided by a fixed-size count aggregate BEFORE any
+    # posting list is collected; both the semi-join and the collect hash
+    # on gh, so the gram stream's partitioning is reused
+    keep = (
+        pg.groupBy("gh")
+        .agg(F.count("*").alias("occ"))
+        .filter((F.col("occ") >= 2) & (F.col("occ") <= SUBSTR_OCC_CAP))
+        .select("gh")
+    )
+    byg = (
+        pg.join(keep, "gh")
+        .groupBy("gh")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("os")
+        )
+    )
+    anch = (
+        byg.select("os", F.posexplode("os").alias("i", "ea"))
+        .select(
+            "ea",
+            F.explode(F.expr("slice(os, i + 2, size(os))")).alias("eb"),
+        )
+        # sorted structs make ea.doc_id <= eb.doc_id; drop within-doc pairs
+        .filter(F.col("ea.doc_id") != F.col("eb.doc_id"))
+        .select(
+            F.col("ea.doc_id").alias("doc_a"),
+            F.col("eb.doc_id").alias("doc_b"),
+            F.col("ea.pos").alias("pa"),
+            F.col("eb.pos").alias("pb"),
+        )
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    spans = (
+        anch.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.max("pa") - F.min("pa") + SUBSTR_K).alias("olap"))
+    )
+    rep_pairs = (
+        spans.filter(F.col("olap") >= SUBSTR_MIN_OLAP)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("olap").cast("long").alias("olap_tokens"))
+    )
+    # member expansion (identical texts => identical positioned grams =>
+    # identical max overlap, so carrying the rep value is exact)
+    mem_a = members.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da")
+    )
+    mem_b = members.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(mem_a, "doc_a")
+        .join(mem_b, "doc_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "olap_tokens",
+        )
+    )
+    # within-group: a verbatim pair's longest overlap is the whole text
+    elig = toks.filter(F.col("n") >= SUBSTR_MIN_OLAP).select(
+        F.col("doc_id").alias("rep_id"),
+        F.col("n").cast("long").alias("olap_tokens"),
+    )
+    w1 = members.join(elig, "rep_id").select(
+        "rep_id", F.col("doc_id").alias("da"), "olap_tokens"
+    )
+    w2 = members.join(elig.select("rep_id"), "rep_id").select(
+        "rep_id", F.col("doc_id").alias("db")
+    )
+    within = (
+        w1.join(w2, "rep_id")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "olap_tokens",
         )
     )
     return guard_result(cross.unionByName(within))

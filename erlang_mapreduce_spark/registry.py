@@ -55,12 +55,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-9 window (this ordering), oldest-evidence-first policy:
 #   1-10:  the ten r8 ops with zero driver evidence (VERDICT_r08 item 1).
-#   11-13: agg_approx (self-evidencing rewrite this round), the flagship
+#   11-14: dedup_substring (NEW this round — zero driver evidence),
+#          agg_approx (self-evidencing rewrite this round), the flagship
 #          text_bigram_freq (kept in-window every round), sim_search_ivf
 #          (last driver attempt FAILED in r5; green locally since).
-#   14-50: 37 of the 49 ops whose newest driver evidence is r05 (the
+#   15-50: 36 of the 49 ops whose newest driver evidence is r05 (the
 #          oldest evidence left after r8).
-#   51-61: the remaining 12 r05-evidence ops — they lead the round-10
+#   51-63: the remaining 13 r05-evidence ops — they lead the round-10
 #          window, followed by the r07-evidence block.
 # After r9: every registered op has driver evidence, and none predates r5.
 DRIVER_PRIORITY: list[str] = [
@@ -76,7 +77,9 @@ DRIVER_PRIORITY: list[str] = [
     "ts_motif_match",
     "stream_minhash_dedup",
     "rollup_sketch_hierarchy",
-    # --- 11-13: agg_approx (output changed this round: now self-evidencing
+    # --- 11: dedup_substring (NEW this round — zero driver evidence) ---
+    "dedup_substring",
+    # --- 12-14: agg_approx (output changed this round: now self-evidencing
 #     with exact companions + error-bound columns, needs fresh driver
 #     evidence), the flagship (in-window every round), and sim_search_ivf
 #     (only op whose last driver attempt FAILED, r5 — re-verify) ---

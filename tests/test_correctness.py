@@ -20,7 +20,10 @@ R8_ZERO_EVIDENCE = [
     "sql_customer_distribution", "sql_promising_customers",
     "ts_motif_match", "stream_minhash_dedup", "rollup_sketch_hierarchy",
 ]
-RECHECK_R9 = ["agg_approx", "text_bigram_freq", "sim_search_ivf"]
+RECHECK_R9 = [
+    "dedup_substring",  # new in r9 — zero driver evidence
+    "agg_approx", "text_bigram_freq", "sim_search_ivf",
+]
 
 
 def test_driver_priority_covers_registry():

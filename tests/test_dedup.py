@@ -441,3 +441,75 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
             rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1)
         )
         assert len(rows) <= TOP_K
+
+
+def test_substring_known_overlaps(spark, tmp_path):
+    """dedup_substring on a hand-built corpus with KNOWN overlaps: a
+    20-token run shared at different offsets, a verbatim copy (whole-text
+    overlap via the rep-collapse path), a 10-token run below the 16-token
+    threshold (must be absent), and an unrelated doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erlang_mapreduce_spark.operators.dedup import dedup_substring
+
+    w = [f"w{i}" for i in range(40)]
+    shared20 = w[10:30]
+    docs = {
+        1: " ".join(w),                                        # 40 tokens
+        2: " ".join([f"x{i}" for i in range(10)] + shared20
+                    + [f"y{i}" for i in range(10)]),           # 20-run w/ 1
+        3: " ".join(w),                                        # verbatim 1
+        4: " ".join(f"z{i}" for i in range(30)),               # unrelated
+        5: " ".join([f"q{i}" for i in range(10)] + w[0:10]),   # 10-run w/ 1
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), type=pa.int64()),
+            "text": pa.array(list(docs.values())),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["t"] * 5),
+            "n_chars": pa.array([len(t) for t in docs.values()],
+                                type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b): r.olap_tokens
+        for r in dedup_substring(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): 20, (2, 3): 20, (1, 3): 40}
+
+
+def test_substring_occ_cap_inert_on_fixture(spark, sf_dir):
+    """SUBSTR_OCC_CAP must be inert for the oracle: the hottest positioned
+    anchor gram at rep level stays far below the cap, so dropping capped
+    grams (Spark side only — the oracle is capless) cannot change fixture
+    results. 10x headroom so fixture regeneration can't silently cross."""
+    from erlang_mapreduce_spark.operators.dedup import (
+        SUBSTR_K,
+        SUBSTR_OCC_CAP,
+        _verbatim_reps,
+    )
+
+    reps = _verbatim_reps(load(spark, sf_dir, "documents"))[1]
+    toks = reps.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= SUBSTR_K)
+    occ = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (SUBSTR_K - 1)),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("ws", i, SUBSTR_K), " ")
+                    ),
+                )
+            ).alias("gh")
+        )
+        .groupBy("gh")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ * 10 <= SUBSTR_OCC_CAP, occ
