@@ -469,9 +469,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT texts, not duplicate-clique sizes."""
     release_transient_storage()  # free the previous invocation's blocks
     members = _shared_members(spark, sf_dir)
-    # three consumers (pair stream + sizes + verify) AND three sibling ops
-    # (containment, cluster_cc's internal jaccard, keep_best/downweight
-    # via cc): one shared materialization per (session, corpus)
+    doc_sets = _shared_gram_sets(spark, sf_dir)
+    rep_pairs = _rep_jaccard_pairs(spark, sf_dir)
+    return guard_result(
+        _expand_rep_pairs(
+            rep_pairs, members, _nonempty_reps(doc_sets), F.lit(1.0), "jaccard"
+        )
+    )
+
+
+def _rep_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-level verified jaccard pairs (doc_a, doc_b, jaccard)
+    — the pre-expansion near-dup graph shared by dedup_ngram_jaccard
+    (which member-expands it) and dedup_cluster_cc (which runs connected
+    components on it DIRECTLY: the collapsed graph has the same component
+    structure as the expanded one, at a fraction of the edges — see
+    dedup_cluster_cc's expansion argument). Consumes the shared gram-set
+    materialization (pair stream + sizes + verify + the sibling ops all
+    reuse one build per (session, corpus))."""
     doc_sets = _shared_gram_sets(spark, sf_dir)
     inter = (
         _rare_pair_stream(doc_sets)
@@ -490,12 +505,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    rep_pairs = _verify_jaccard(prefiltered, doc_sets)
-    return guard_result(
-        _expand_rep_pairs(
-            rep_pairs, members, _nonempty_reps(doc_sets), F.lit(1.0), "jaccard"
-        )
-    )
+    return _verify_jaccard(prefiltered, doc_sets)
 
 
 N_HASH = 64
@@ -1026,20 +1036,46 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation — see `connected_components`. The oracle walks
     the same graph with a recursive CTE.
 
+    The stars iterate over the COLLAPSED rep-level pair graph, not the
+    member-expanded one (round-9; previously the rounds crunched the
+    expanded graph, whose verbatim cliques contribute C(R,2) edges each —
+    the dominant term in the 10× scaling probe). Collapse is exact for
+    components: a verbatim group is internally connected (within-group
+    edges exist exactly when the group is gram-eligible) and meets other
+    groups only through its representative's edges, so member-level
+    components are rep-level components expanded by the member map; and
+    because each rep is its group's MIN doc_id, the member-level component
+    min equals the rep-level root. Members of gram-INELIGIBLE groups
+    (empty docs) have no edges at member level and stay their own
+    singletons — the eligibility semi-join below preserves that.
+
     Per-round lineage truncation defaults to localCheckpoint (right for
     local[N]); set $SPARK_GRAFT_CHECKPOINT_DIR to a fault-tolerant path
     (HDFS/S3) on a real cluster to make every round durably checkpointed —
     see `connected_components`."""
+    release_transient_storage()  # free the previous invocation's blocks
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    members = _shared_members(spark, sf_dir)
+    doc_sets = _shared_gram_sets(spark, sf_dir)
+    rep_pairs = _rep_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = connected_components(
-        pairs, checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        rep_pairs, checkpoint_dir=os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    )
+    # expand: every member of a gram-ELIGIBLE group gets its rep's root
+    # (own rep_id when the rep is an edge-less singleton); ineligible
+    # members fall through the left joins and coalesce to themselves
+    lab = (
+        members.join(_nonempty_reps(doc_sets), "rep_id")
+        .join(labels.withColumnRenamed("node", "rep_id"), "rep_id", "left")
+        .select(
+            "doc_id", F.coalesce("root", F.col("rep_id")).alias("cl")
+        )
     )
     return guard_result(
-        docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        docs.join(lab, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("root", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cl", F.col("doc_id")).alias("cluster_id"),
         )
     )
 
