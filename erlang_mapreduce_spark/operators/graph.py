@@ -166,32 +166,63 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     its edge count is bounded by the dedup pipeline's own candidate
     budget (GRAM_DF_CAP + verbatim collapse).
 
-    Algorithm: degree-ordered orientation (Cohen's MapReduce scheme):
-    every edge points from its smaller (degree, node) endpoint — compared
-    as a two-field STRUCT (d, node), the total order both engines define
-    lexicographically, rather than a packed d·2^32+node long whose
-    injectivity silently assumed 0 ≤ doc_id < 2^32 (round-8 ADVICE) — so
-    each triangle is generated exactly once as a wedge at its
-    lowest-degree corner and closed by one equi-join on the struct keys
-    (hash-joinable in both engines). Out-degree under
-    this orientation is O(sqrt(m)) regardless of hub (clique) size: wedge
-    fan-out, the only super-linear term, is Σ C(outdeg, 2) ≤ m·√m instead
-    of the hub-quadratic Σ C(deg, 2) of a naive wedge join — for a
-    duplicate clique of R docs that is the difference between R³ and R³/6
-    emitted once, with every join a shuffle-keyed equi-join (no cartesian,
-    pinned by the blanket plan test). Docs with no qualifying edges
-    report 0 via the left join; integer counts hash exactly."""
-    from .dedup import dedup_ngram_jaccard
+    Collapse (round 9): the member-level graph is a clique BLOW-UP of the
+    representative-level jaccard graph — verbatim group members are
+    pairwise connected iff the group's gram set is nonempty, and two
+    groups' members are all-pairs connected iff their reps are — so
+    per-member triangle counts follow from rep-level structure plus group
+    sizes, with NO expanded graph anywhere:
 
-    e = dedup_ngram_jaccard(spark, sf_dir).select(
+        n_tri(d in A) = [A eligible]·C(nA−1, 2)          (all three in A)
+                      + (nA−1)·Σ_{B∈N(A)} nB             (two in A)
+                      + Σ_{B∈N(A)} C(nB, 2)              (two in one B)
+                      + Σ_{rep-triangles (A,B,C)} nB·nC  (one in each)
+
+    (groups with any rep edge are automatically eligible, so the within
+    terms of rows 2-3 never reference a missing clique). Previously the
+    wedge join ran on the member-expanded edge set, whose replica cliques
+    carry C(R,2) edges each — the dominant term in the r8 10× probe.
+
+    Wedge algorithm for the rep-triangle term: degree-ordered orientation
+    (Cohen's MapReduce scheme): every edge points from its smaller
+    (degree, node) endpoint — compared as a two-field STRUCT (d, node),
+    the total order both engines define lexicographically, rather than a
+    packed d·2^32+node long whose injectivity silently assumed
+    0 ≤ doc_id < 2^32 (round-8 ADVICE) — so each triangle is generated
+    exactly once as a wedge at its lowest-degree corner and closed by one
+    equi-join on the struct keys. Out-degree under this orientation is
+    O(sqrt(m)) regardless of hub size: wedge fan-out is Σ C(outdeg, 2) ≤
+    m·√m, never hub-quadratic, with every join a shuffle-keyed equi-join
+    (no cartesian, pinned by the blanket plan test). Docs with no
+    qualifying edges report 0 through the coalesced terms; integer counts
+    hash exactly (the oracle still computes at raw member level, so the
+    hash match IS the blow-up identity)."""
+    from ..ckpt import release_transient_storage
+    from .dedup import (
+        _nonempty_reps,
+        _rep_jaccard_pairs,
+        _shared_gram_sets,
+        _shared_members,
+    )
+
+    release_transient_storage()  # free the previous invocation's blocks
+    members = _shared_members(spark, sf_dir)
+    doc_sets = _shared_gram_sets(spark, sf_dir)
+    gsize = members.groupBy("rep_id").agg(F.count("*").alias("n"))
+    e = _rep_jaccard_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
+    nbr = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # per-rep neighbor-size sums: S1 = Σ n(B), S2 = Σ C(n(B), 2)
+    nsz = (
+        nbr.join(gsize.select(F.col("rep_id").alias("v"), "n"), "v")
+        .groupBy("u")
+        .agg(
+            F.sum("n").alias("s1"),
+            F.sum(F.expr("(n * (n - 1)) div 2")).alias("s2"),
+        )
     )
+    deg = nbr.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     ek = (
         e.join(deg.alias("du"), F.col("u") == F.col("du.node"))
         .join(deg.alias("dv"), F.col("v") == F.col("dv.node"))
@@ -231,15 +262,59 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wb.dst").alias("w"),
         )
     )
-    pn = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+    # one-in-each term: every rep triangle (A,B,C) credits each corner
+    # with the PRODUCT of the other two groups' sizes
+    tw = (
+        tri.join(gsize.select(F.col("rep_id").alias("u"),
+                              F.col("n").alias("na")), "u")
+        .join(gsize.select(F.col("rep_id").alias("v"),
+                           F.col("n").alias("nb")), "v")
+        .join(gsize.select(F.col("rep_id").alias("w"),
+                           F.col("n").alias("nc")), "w")
+    )
+    wsum = (
+        tw.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("node"),
+                             (F.col("nb") * F.col("nc")).alias("pw")),
+                    F.struct(F.col("v").alias("node"),
+                             (F.col("na") * F.col("nc")).alias("pw")),
+                    F.struct(F.col("w").alias("node"),
+                             (F.col("na") * F.col("nb")).alias("pw")),
+                )
+            ).alias("x")
+        )
+        .select("x.node", "x.pw")
         .groupBy("node")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("pw").alias("wt"))
     )
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(pn, docs.doc_id == pn.node, "left").select(
-        "doc_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles")
+    per_rep = (
+        gsize.join(
+            _nonempty_reps(doc_sets).withColumn("e1", F.lit(1)),
+            "rep_id",
+            "left",
+        )
+        .join(nsz.withColumnRenamed("u", "rep_id"), "rep_id", "left")
+        .join(wsum.withColumnRenamed("node", "rep_id"), "rep_id", "left")
+        .select(
+            "rep_id",
+            (
+                F.when(
+                    F.col("e1").isNotNull(),
+                    F.expr("((n - 1) * (n - 2)) div 2"),
+                ).otherwise(F.lit(0))
+                + F.coalesce((F.col("n") - 1) * F.col("s1"), F.lit(0))
+                + F.coalesce(F.col("s2"), F.lit(0))
+                + F.coalesce(F.col("wt"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_triangles"),
+        )
     )
+    # every document belongs to exactly one verbatim group, so the member
+    # map IS the full doc list — no separate documents scan needed
+    return members.join(per_rep, "rep_id").select("doc_id", "n_triangles")
 
 
 def _triangle_oracle() -> str:

@@ -240,9 +240,12 @@ def main() -> None:
         f"({a('sim_search_pq')})",
         "streams 4-bit codes with a constant shortlist; both re-rank a",
         "fixed candidate budget. graph_triangle_count",
-        f"({a('graph_triangle_count')}) inherits",
-        "the rep-collapsed edge set, so its wedge stream grows with the",
-        "scan, not quadratically. sample_temperature is a broadcast",
+        f"({a('graph_triangle_count')}) counts through the clique blow-up",
+        "identity over the rep-level graph (round 9): replica cliques",
+        "contribute size ARITHMETIC, not wedges, so the member-expanded",
+        "graph never exists (the r8 probe measured 5.45 s / alpha 0.28 at",
+        "10x with the wedge join still running on expanded edges).",
+        "sample_temperature is a broadcast",
         "per-language rate over one scan + narrow explode, and",
         "ts_motif_match is one user-partition frame pass with a",
         "TakeOrderedAndProject top-K — both track the scan.",
