@@ -197,8 +197,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying edges report 0 through the coalesced terms; integer counts
     hash exactly (the oracle still computes at raw member level, so the
     hash match IS the blow-up identity)."""
-    from ..ckpt import release_transient_storage
     from .dedup import (
+        _materialize,
         _nonempty_reps,
         _rep_jaccard_pairs,
         _shared_gram_sets,
@@ -209,8 +209,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _shared_members(spark, sf_dir)
     doc_sets = _shared_gram_sets(spark, sf_dir)
     gsize = members.groupBy("rep_id").agg(F.count("*").alias("n"))
-    e = _rep_jaccard_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    # the edge list is referenced by a dozen downstream branches (degree,
+    # neighbor sums, three orientation aliases, the weight joins) — each
+    # would re-expand the whole pair-stream + verify lineage without this
+    # one materialization of the (tiny, threshold-filtered) rep pairs
+    e = _materialize(
+        _rep_jaccard_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ),
+        "tri_rep_edges",
+        sf_dir,
     )
     nbr = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # per-rep neighbor-size sums: S1 = Σ n(B), S2 = Σ C(n(B), 2)
@@ -238,11 +246,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lo = F.col("ku") < F.col("kv")
-    o = ek.select(
-        F.when(lo, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lo, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lo, F.col("ku")).otherwise(F.col("kv")).alias("srck"),
-        F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("dstk"),
+    # materialized like the edge list: three aliases consume the oriented
+    # edges, and each would otherwise recompute the degree join
+    o = _materialize(
+        ek.select(
+            F.when(lo, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lo, F.col("ku")).otherwise(F.col("kv")).alias("srck"),
+            F.when(lo, F.col("kv")).otherwise(F.col("ku")).alias("dstk"),
+        ),
+        "tri_oriented",
+        sf_dir,
     )
     wa, wb, wc = o.alias("wa"), o.alias("wb"), o.alias("wc")
     tri = (
@@ -314,7 +328,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # every document belongs to exactly one verbatim group, so the member
     # map IS the full doc list — no separate documents scan needed
-    return members.join(per_rep, "rep_id").select("doc_id", "n_triangles")
+    return guard_result(
+        members.join(per_rep, "rep_id").select("doc_id", "n_triangles")
+    )
 
 
 def _triangle_oracle() -> str:

@@ -221,6 +221,29 @@ def test_agg_mode_two_hash_aggs_no_window(spark, sf_dir):
     assert count_nodes(p, "Exchange") == 2
 
 
+def test_dedup_substring_posting_list_shape(spark, sf_dir):
+    """The anchor pipeline must stay posting-list shaped: one gram-keyed
+    occurrence count + ONE partial/final posting-list collect (the
+    ObjectHashAggregate pair), exactly one (pair, diagonal) run window,
+    and a bounded exchange budget — a regression to a gram self-join or
+    a second window cannot land silently."""
+    p = plan_of(QUERIES["dedup_substring"](spark, sf_dir))
+    assert count_nodes(p, "Window") == 1
+    assert count_nodes(p, "ObjectHashAggregate") == 2, p
+    assert count_nodes(p, "Exchange") <= 7, p
+
+
+def test_triangle_count_stays_collapsed(spark, sf_dir):
+    """Blow-up refactor pin: the triangle plan computes from the
+    materialized rep-level edge list — no window pass, and exactly ONE
+    Generate (the 3-corner weight explode). A return to member-expanded
+    edges would re-introduce the pair-expansion explodes (the
+    _rare_pair_stream Generates) into this plan."""
+    p = plan_of(QUERIES["graph_triangle_count"](spark, sf_dir))
+    assert count_nodes(p, "Window") == 0
+    assert count_nodes(p, "Generate") == 1, p
+
+
 # Ops whose query function executes work eagerly: shared with
 # tools/explain_audit.py via the registry so the two lists cannot drift.
 from erlang_mapreduce_spark.registry import EAGER_OPS as _EAGER  # noqa: E402
