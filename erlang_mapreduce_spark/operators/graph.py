@@ -95,7 +95,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays 3 rounds deep — no unbounded plan growth, no checkpoint needed
     at this depth."""
     release_transient_storage()  # free the previous invocation's blocks
-    pairs = (
+    # pooled: the edge list derives from pairs twice (deg build + ed's
+    # edge side) and the ranks init re-reads deg — without this cache the
+    # lineitem scan + distinct exchange runs twice per invocation
+    pairs = pooled_persist(
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()
