@@ -289,3 +289,140 @@ def test_kmv_fold_is_batch_invariant(case):
             want.setdefault(g, set()).add(h)
     want = {g: sorted(s)[:k] for g, s in want.items()}
     assert {g: sorted(v) for g, v in got.items()} == want
+
+
+# --- round-9 identities -----------------------------------------------------
+# Both re-proved here in pure Python against brute force, independent of
+# Spark AND DuckDB: the oracle hash-check would miss a bug both engines'
+# formulations share; a third, direct implementation cannot.
+
+
+@st.composite
+def _blowup_case(draw):
+    """A rep-level similarity graph with group sizes and eligibility: k
+    verbatim groups, sizes 1-4, random rep edges; any group with an edge
+    is forced eligible (in the engine an edge implies a nonempty gram
+    set)."""
+    k = draw(st.integers(2, 6))
+    sizes = [draw(st.integers(1, 4)) for _ in range(k)]
+    elig = [draw(st.booleans()) for _ in range(k)]
+    edges = set()
+    for a in range(k):
+        for b in range(a + 1, k):
+            if draw(st.booleans()):
+                edges.add((a, b))
+                elig[a] = elig[b] = True
+    return sizes, elig, sorted(edges)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_blowup_case())
+def test_triangle_blowup_identity(case):
+    """graph_triangle_count's clique blow-up identity (operators/graph.py):
+    per-member triangle counts over the expanded graph equal
+    [elig]*C(n-1,2) + (n-1)*S1 + S2 + W computed at rep level."""
+    sizes, elig, edges = case
+    k = len(sizes)
+    # brute force on the expanded member graph
+    nodes = [(g, i) for g in range(k) for i in range(sizes[g])]
+    adj = {n: set() for n in nodes}
+
+    def connect(x, y):
+        adj[x].add(y)
+        adj[y].add(x)
+
+    for g in range(k):
+        if elig[g]:
+            for i in range(sizes[g]):
+                for j in range(i + 1, sizes[g]):
+                    connect((g, i), (g, j))
+    for a, b in edges:
+        for i in range(sizes[a]):
+            for j in range(sizes[b]):
+                connect((a, i), (b, j))
+    brute = {}
+    for n in nodes:
+        nb = sorted(adj[n])
+        brute[n] = sum(
+            1
+            for x in range(len(nb))
+            for y in range(x + 1, len(nb))
+            if nb[y] in adj[nb[x]]
+        )
+    # the formula, computed at rep level
+    nbrs = {g: set() for g in range(k)}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    tri_rep = [
+        (a, b, c)
+        for a in range(k)
+        for b in range(a + 1, k)
+        for c in range(b + 1, k)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    ]
+    for g in range(k):
+        n = sizes[g]
+        t = (
+            (elig[g] and (n - 1) * (n - 2) // 2 or 0)
+            + (n - 1) * sum(sizes[b] for b in nbrs[g])
+            + sum(sizes[b] * (sizes[b] - 1) // 2 for b in nbrs[g])
+            + sum(
+                sizes[x] * sizes[y]
+                for (a, b, c) in tri_rep
+                for (own, x, y) in ((a, b, c), (b, a, c), (c, a, b))
+                if own == g
+            )
+        )
+        for i in range(sizes[g]):
+            assert brute[(g, i)] == t, (case, g, i, brute[(g, i)], t)
+
+
+@st.composite
+def _token_pair_case(draw):
+    """Two token sequences over a tiny alphabet (forces real overlaps)."""
+    alpha = ("a", "b", "c")
+    A = draw(st.lists(st.sampled_from(alpha), min_size=0, max_size=25))
+    B = draw(st.lists(st.sampled_from(alpha), min_size=0, max_size=25))
+    return A, B
+
+
+@settings(max_examples=500, deadline=None)
+@given(_token_pair_case())
+def test_substring_anchor_run_identity(case):
+    """dedup_substring's gaps-and-islands identity (operators/dedup.py):
+    the longest common contiguous token run of length >= K between two
+    docs equals the longest maximal run of positionally-consecutive
+    shared K-gram anchors on a (pos_a - pos_b) diagonal."""
+    A, B = case
+    K = 3
+    # brute force: longest common contiguous run via DP
+    best = 0
+    dp = [[0] * (len(B) + 1) for _ in range(len(A) + 1)]
+    for i in range(1, len(A) + 1):
+        for j in range(1, len(B) + 1):
+            if A[i - 1] == B[j - 1]:
+                dp[i][j] = dp[i - 1][j - 1] + 1
+                best = max(best, dp[i][j])
+    # anchor-run construction (the operator's shape)
+    anchors = [
+        (i, j)
+        for i in range(len(A) - K + 1)
+        for j in range(len(B) - K + 1)
+        if A[i : i + K] == B[j : j + K]
+    ]
+    by_diag: dict = {}
+    for i, j in anchors:
+        by_diag.setdefault(i - j, set()).add(i)
+    runs = 0
+    for d, pos in by_diag.items():
+        for i in pos:
+            if i - 1 not in pos:  # run start
+                m = i
+                while m + 1 in pos:
+                    m += 1
+                runs = max(runs, m - i + K)
+    if best >= K:
+        assert runs == best, (A, B, runs, best)
+    else:
+        assert runs == 0, (A, B, runs, best)
