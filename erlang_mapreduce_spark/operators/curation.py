@@ -685,23 +685,37 @@ def agg_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-word char-bigram counts, mapreduce.erl:260-295: same
     count-overlapping-grams shape, word stream instead of char stream).
     Grams are generated NARROWLY per row (transform over the token array,
-    positional — NOT distinct: LM counts weight repeats), so the plan is
-    scan → explode → one partial/final hash aggregate; map-side partial
-    aggregation collapses each partition's duplicate grams before the
-    shuffle, and the singleton long tail that survives it is exactly what
-    the HAVING prunes after the final count. At 100 TB the long tail IS
-    the shuffle cost — if that hurts, front it with agg_heavy_hitters'
-    sketch as a candidate filter; the exact contract here keeps the
-    HAVING semantics oracle-checkable."""
-    toks = scan_parallel(load(spark, sf_dir, "documents")).select(
-        F.split(F.lower("text"), r"\s+").alias("ws")
+    positional — NOT distinct: LM counts weight repeats) over the
+    verbatim-REPRESENTATIVE texts only, each weighted by its duplicate
+    group's size: a corpus gram count is Σ over distinct texts of
+    (occurrences in the text × copies of the text), so summing weights
+    over the rep gram stream is exactly the raw count while the explode +
+    shuffle scale with DISTINCT text volume (round 9 — the r9 10× probe
+    measured alpha 0.44 with the stream still running over all replicas).
+    Plan: rep scan → explode → one partial/final hash aggregate summing
+    the group-size weight; map-side partial aggregation collapses each
+    partition's duplicate grams before the shuffle, and the singleton
+    long tail that survives it is exactly what the HAVING prunes after
+    the final sum. At 100 TB the long tail IS the shuffle cost — if that
+    hurts, front it with agg_heavy_hitters' sketch as a candidate filter;
+    the exact contract here keeps the HAVING semantics (on the raw-corpus
+    oracle) checkable."""
+    from ..operators.dedup import _shared_members, _shared_rep_docs
+
+    members = _shared_members(spark, sf_dir)
+    gsize = members.groupBy("rep_id").agg(F.count("*").alias("w"))
+    reps = _shared_rep_docs(spark, sf_dir).join(
+        gsize.withColumnRenamed("rep_id", "doc_id"), "doc_id"
     )
-    grams = toks.select(
-        F.explode(_word_ngrams(F.col("ws"), NGRAM_N)).alias("gram")
+    grams = reps.select(
+        "w",
+        F.explode(
+            _word_ngrams(F.split(F.lower("text"), r"\s+"), NGRAM_N)
+        ).alias("gram"),
     )
     return (
         grams.groupBy("gram")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
         .filter(F.col("cnt") >= NGRAM_MIN_COUNT)
     )
 
