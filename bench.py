@@ -67,8 +67,9 @@ HEADLINE = (
     "sim_search_ivf",
     "sim_search_pq",
     "ts_motif_match",
-    # round-9 addition
+    # round-9 additions
     "dedup_substring",
+    "dedup_substring_scrub",
 )
 
 # Timed every run and recorded in BENCH_local_detail.json, but NOT printed

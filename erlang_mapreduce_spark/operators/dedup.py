@@ -1569,19 +1569,22 @@ GROUP BY doc_a, doc_b
 """
 
 
-@query("dedup_substring", oracle=_SUBSTR_ORACLE)
-def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document SUBSTRING dedup: for every pair of distinct documents
-    sharing a verbatim token run of >= SUBSTR_MIN_OLAP tokens, report the
-    LONGEST such overlap — the arbitrary-offset verbatim-overlap detector
-    that jaccard/minhash (whole-doc similarity) and dedup_passage /
-    dedup_span_rolling (fixed granularities) cannot express. Matches are
-    found as maximal chains of positionally-consecutive shared SUBSTR_K-
-    gram anchors: two docs share an L-token run iff they share L-K+1
-    consecutive aligned anchors, so maximal anchor runs on a (doc_a, doc_b,
-    pos_a - pos_b) diagonal ARE the maximal overlaps — the gaps-and-islands
-    identity (run id = pos - row_number over the diagonal) both engines
-    state identically, which is what buys the exact DuckDB oracle.
+def _rep_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-level maximal verbatim overlap spans — the shared
+    engine under dedup_substring (pair-level longest-overlap report) and
+    dedup_substring_scrub (span removal): one row (doc_a, doc_b, sa, sb,
+    olap) per maximal shared token run of >= SUBSTR_MIN_OLAP tokens
+    between distinct representative texts, where sa/sb are the run's
+    1-based start positions in each text.
+
+    Matches are found as maximal chains of positionally-consecutive shared
+    SUBSTR_K-gram anchors: two docs share an L-token run iff they share
+    L-K+1 consecutive aligned anchors, so maximal anchor runs on a (doc_a,
+    doc_b, pos_a - pos_b) diagonal ARE the maximal overlaps — the
+    gaps-and-islands identity (run id = pos - row_number over the
+    diagonal) both engines state identically, which is what buys the
+    exact DuckDB oracles downstream (re-proved against brute force in
+    tests/test_property.py).
 
     Never all-pairs, by the same inverted-index discipline as
     dedup_ngram_jaccard: anchors meet only inside a gram's posting list
@@ -1589,19 +1592,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     list's pair fan-out (SUBSTR_OCC_CAP comment), and the expansion is
     STREAMED via chained posexplode/slice generators — no C(o,2) array is
     ever one row (the _rare_pair_stream shape, carrying (doc, pos) structs
-    so position survives into the chain stage). Verbatim-duplicate groups
-    are collapsed to one representative first and expanded after: a pair
-    of identical docs is a whole-text overlap (olap_tokens = token count,
-    the diagonal-0 run the oracle computes at raw-document level), and the
-    expansion emits only max-overlap — which is text-determined — so the
-    collapse is exact even for texts with internal repeats (their extra
-    off-diagonal runs are never the max). Downstream: exchanges are keyed
-    by (pair, diagonal) — skew-bounded by real overlap length, not corpus
-    size. Anchors are xxhash64 of the gram string (in-engine join key
-    only; the oracle joins raw strings — the usual 2^-64 collision
+    so position survives into the chain stage). Exchanges downstream are
+    keyed by (pair, diagonal) — skew-bounded by real overlap length, not
+    corpus size. Anchors are xxhash64 of the gram string (in-engine join
+    key only; the oracles join raw strings — the usual 2^-64 collision
     class)."""
-    release_transient_storage()  # free the previous invocation's blocks
-    members = _shared_members(spark, sf_dir)
     reps = _shared_rep_docs(spark, sf_dir)
     toks = reps.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
@@ -1660,10 +1655,35 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = (
         anch.withColumn("grp", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "grp")
-        .agg((F.max("pa") - F.min("pa") + SUBSTR_K).alias("olap"))
+        .agg(
+            F.min("pa").alias("sa"),
+            F.min("pb").alias("sb"),
+            (F.max("pa") - F.min("pa") + SUBSTR_K).alias("olap"),
+        )
+        .filter(F.col("olap") >= SUBSTR_MIN_OLAP)
+        .select("doc_a", "doc_b", "sa", "sb", "olap")
     )
+    return spans
+
+
+@query("dedup_substring", oracle=_SUBSTR_ORACLE)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring dedup, pair-level report: for every pair
+    of distinct documents sharing a verbatim token run >= SUBSTR_MIN_OLAP,
+    the LONGEST such overlap — `_rep_substring_spans` holds the span
+    machinery and the full design rationale; this op folds its maximal
+    spans to one row per pair and member-expands (identical texts =>
+    identical positioned grams => identical max overlap, so carrying the
+    rep value is exact even for texts with internal repeats — the extra
+    off-diagonal runs are never the max)."""
+    release_transient_storage()  # free the previous invocation's blocks
+    members = _shared_members(spark, sf_dir)
+    reps = _shared_rep_docs(spark, sf_dir)
+    toks = reps.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")
+    ).select("doc_id", F.size("ws").alias("n"))
     rep_pairs = (
-        spans.filter(F.col("olap") >= SUBSTR_MIN_OLAP)
+        _rep_substring_spans(spark, sf_dir)
         .groupBy("doc_a", "doc_b")
         .agg(F.max("olap").cast("long").alias("olap_tokens"))
     )
@@ -1705,3 +1725,164 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return guard_result(cross.unionByName(within))
+
+
+_SCRUB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    FROM documents
+),
+pg AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           array_to_string(
+               ws[CAST(i AS INTEGER):CAST(i + {SUBSTR_K} - 1 AS INTEGER)],
+               ' ') AS gram
+    FROM (SELECT doc_id, ws,
+                 unnest(range(1, len(ws) - {SUBSTR_K} + 2)) AS i
+          FROM toks)
+),
+anch AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+    FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+           pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                   ORDER BY pa) AS grp
+    FROM anch
+),
+sp AS (
+    SELECT doc_a, doc_b, min(pb) AS sb,
+           max(pa) - min(pa) + {SUBSTR_K} AS olap
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+),
+remd AS (
+    SELECT DISTINCT doc_b AS doc_id, CAST(sb + u AS INTEGER) AS pos
+    FROM sp, unnest(range(0, olap)) AS t(u)
+    WHERE olap >= {SUBSTR_MIN_OLAP}
+),
+tokpos AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, ws[CAST(i AS INTEGER)] AS tok
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+),
+kept AS (
+    SELECT t.doc_id,
+           coalesce(string_agg(CASE WHEN r.pos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.pos), '') AS clean_text,
+           count(r.pos) AS n_removed
+    FROM tokpos t
+    LEFT JOIN remd r ON r.doc_id = t.doc_id AND r.pos = t.pos
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE k.clean_text END
+           AS clean_text,
+       CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+"""
+
+
+@query("dedup_substring_scrub", oracle=_SCRUB_ORACLE)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring REMOVAL — the apply step of Lee et al.'s
+    train-data dedup: every maximal verbatim overlap >= SUBSTR_MIN_OLAP
+    tokens is deleted from the LATER document (keep-first: the smaller
+    doc_id retains its copy), emitting each doc's lowercased
+    whitespace-normalized token stream with the duplicated spans cut out
+    plus the removed-token count. NULL-text docs emit NULL; a fully-
+    duplicated doc emits ''.
+
+    Span discovery is `_rep_substring_spans` (rep-level, inverted-index,
+    gaps-and-islands — never all-pairs). Keep-first at MEMBER level
+    collapses to a per-CLASS answer, each class exact against the
+    raw-document oracle:
+
+    - a REPRESENTATIVE scrubs exactly the spans where its group is the
+      LATER (doc_b) side of a rep pair: the earlier group's rep precedes
+      every member of the later group (reps are group minima, rep_a <
+      rep_b <= member), and the rep itself is never preceded by a later
+      group's member (rep_a < rep_b, so "member of A > rep_b" can only
+      hold for NON-reps);
+    - a NON-representative member whose text is >= SUBSTR_MIN_OLAP tokens
+      scrubs EVERYTHING: its whole text is a span shared with the group's
+      earlier rep (n >= MIN_OLAP > K also implies the gram eligibility
+      the within-edges need), which subsumes every pair-span that could
+      touch it;
+    - a NON-representative member with a shorter text is untouched — a
+      qualifying span needs olap >= MIN_OLAP <= token count, so no span
+      can involve its text at all.
+
+    Token-level scrubbing therefore runs over DISTINCT texts only (rep
+    token stream, position-level anti-flag against the exploded span
+    union, one ordered re-join), and members take their class's answer
+    through the member map — the cleaned corpus is emitted per doc
+    (output-linear, this op's floor — same class as text_chunk_overlap)
+    while the token SHUFFLE scales with distinct text volume."""
+    release_transient_storage()  # free the previous invocation's blocks
+    members = _shared_members(spark, sf_dir)
+    reps = _shared_rep_docs(spark, sf_dir)
+    toks = reps.select(
+        F.col("doc_id").alias("rep_id"),
+        F.split(F.lower("text"), r"\s+").alias("ws"),
+    ).withColumn("n", F.size("ws"))
+    spans = _rep_substring_spans(spark, sf_dir)
+    # rep-level removal positions: spans where the group is the later side
+    rep_rem = (
+        spans.select(
+            F.col("doc_b").alias("rep_id"),
+            F.explode(
+                F.sequence(F.col("sb"), F.col("sb") + F.col("olap") - 1)
+            ).alias("pos"),
+        )
+        .distinct()  # overlapping spans union
+        .withColumn("rm", F.lit(1))
+    )
+    rep_toks = toks.select(
+        "rep_id", F.posexplode("ws").alias("p0", "tok")
+    ).select("rep_id", (F.col("p0") + 1).alias("pos"), "tok")
+    rep_out = (
+        rep_toks.join(rep_rem, ["rep_id", "pos"], "left")
+        .groupBy("rep_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rm").isNull(),
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda x: x.tok,
+                ),
+                " ",
+            ).alias("rep_clean"),
+            F.sum(F.coalesce("rm", F.lit(0))).cast("long").alias("rep_rm"),
+        )
+    )
+    # members take their class's answer (NULL-text groups produce no
+    # token rows, so their members fall through both joins to NULL/0,
+    # like the oracle)
+    full = toks.select(
+        "rep_id", F.array_join("ws", " ").alias("full_text"), "n"
+    )
+    is_rep = F.col("doc_id") == F.col("rep_id")
+    scrub_all = (~is_rep) & (F.col("n") >= SUBSTR_MIN_OLAP)
+    return guard_result(
+        members.join(full, "rep_id", "left")
+        .join(rep_out, "rep_id", "left")
+        .select(
+            "doc_id",
+            F.when(is_rep, F.col("rep_clean"))
+            .when(scrub_all, F.lit(""))
+            .otherwise(F.col("full_text"))
+            .alias("clean_text"),
+            F.coalesce(
+                F.when(is_rep, F.col("rep_rm")).when(scrub_all, F.col("n")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

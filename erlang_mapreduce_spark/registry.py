@@ -55,13 +55,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-9 window (this ordering), oldest-evidence-first policy:
 #   1-10:  the ten r8 ops with zero driver evidence (VERDICT_r08 item 1).
-#   11-14: dedup_substring (NEW this round — zero driver evidence),
-#          agg_approx (self-evidencing rewrite this round), the flagship
+#   11-12: dedup_substring + dedup_substring_scrub (NEW this round —
+#          zero driver evidence).
+#   13-15: agg_approx (self-evidencing rewrite this round), the flagship
 #          text_bigram_freq (kept in-window every round), sim_search_ivf
 #          (last driver attempt FAILED in r5; green locally since).
-#   15-50: 36 of the 49 ops whose newest driver evidence is r05 (the
+#   16-50: 35 of the 49 ops whose newest driver evidence is r05 (the
 #          oldest evidence left after r8).
-#   51-63: the remaining 13 r05-evidence ops — they lead the round-10
+#   51-64: the remaining 14 r05-evidence ops — they lead the round-10
 #          window, followed by the r07-evidence block.
 # After r9: every registered op has driver evidence, and none predates r5.
 DRIVER_PRIORITY: list[str] = [
@@ -77,8 +78,10 @@ DRIVER_PRIORITY: list[str] = [
     "ts_motif_match",
     "stream_minhash_dedup",
     "rollup_sketch_hierarchy",
-    # --- 11: dedup_substring (NEW this round — zero driver evidence) ---
+    # --- 11-12: dedup_substring + its scrub/apply twin (NEW this round —
+    #     zero driver evidence) ---
     "dedup_substring",
+    "dedup_substring_scrub",
     # --- 12-14: agg_approx (output changed this round: now self-evidencing
 #     with exact companions + error-bound columns, needs fresh driver
 #     evidence), the flagship (in-window every round), and sim_search_ivf

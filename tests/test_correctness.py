@@ -21,7 +21,7 @@ R8_ZERO_EVIDENCE = [
     "ts_motif_match", "stream_minhash_dedup", "rollup_sketch_hierarchy",
 ]
 RECHECK_R9 = [
-    "dedup_substring",  # new in r9 — zero driver evidence
+    "dedup_substring", "dedup_substring_scrub",  # new in r9 — zero evidence
     "agg_approx", "text_bigram_freq", "sim_search_ivf",
 ]
 

@@ -481,6 +481,52 @@ def test_substring_known_overlaps(spark, tmp_path):
     assert got == {(1, 2): 20, (2, 3): 20, (1, 3): 40}
 
 
+def test_substring_scrub_known_removals(spark, tmp_path):
+    """dedup_substring_scrub keep-first semantics on the same hand-built
+    corpus as test_substring_known_overlaps: doc 1 keeps everything (it is
+    the earliest holder of every span), doc 2 loses the 20-token run it
+    shares with doc 1, doc 3 (verbatim copy of 1) loses ALL 40 tokens,
+    docs 4/5 are untouched (no span / below threshold)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erlang_mapreduce_spark.operators.dedup import dedup_substring_scrub
+
+    w = [f"w{i}" for i in range(40)]
+    shared20 = w[10:30]
+    docs = {
+        1: " ".join(w),
+        2: " ".join([f"x{i}" for i in range(10)] + shared20
+                    + [f"y{i}" for i in range(10)]),
+        3: " ".join(w),
+        4: " ".join(f"z{i}" for i in range(30)),
+        5: " ".join([f"q{i}" for i in range(10)] + w[0:10]),
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), type=pa.int64()),
+            "text": pa.array(list(docs.values())),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["t"] * 5),
+            "n_chars": pa.array([len(t) for t in docs.values()],
+                                type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dedup_substring_scrub(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (docs[1], 0)
+    assert got[2] == (
+        " ".join([f"x{i}" for i in range(10)] + [f"y{i}" for i in range(10)]),
+        20,
+    )
+    assert got[3] == ("", 40)
+    assert got[4] == (docs[4], 0)
+    assert got[5] == (docs[5], 0)
+
+
 def test_substring_occ_cap_inert_on_fixture(spark, sf_dir):
     """SUBSTR_OCC_CAP must be inert for the oracle: the hottest positioned
     anchor gram at rep level stays far below the cap, so dropping capped

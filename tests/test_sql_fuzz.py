@@ -294,7 +294,7 @@ DOC_OPS = (
     "text_tokenize", "text_bigram_freq", "text_repetition_score",
     "text_unigram_logprob", "text_ngram_novelty", "text_decontaminate",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash",
-    "dedup_containment", "dedup_substring",
+    "dedup_containment", "dedup_substring", "dedup_substring_scrub",
     "dedup_passage", "dedup_span_rolling", "dedup_cluster_cc",
     "sample_quality_weighted", "sample_mix_rebalance",
     "sample_cap_per_source", "sample_split_train_eval",

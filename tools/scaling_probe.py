@@ -81,10 +81,13 @@ OPS = (
     "sample_temperature",
     "ts_motif_match",
     "rollup_sketch_hierarchy",
-    # round-9 addition: cross-doc substring dedup — alpha evidence that
+    # round-9 additions: cross-doc substring dedup — alpha evidence that
     # the positioned-anchor pipeline inherits the rep collapse (pair
-    # compute over DISTINCT texts) while output expansion stays bounded
+    # compute over DISTINCT texts) while output expansion stays bounded —
+    # and its scrub/apply twin, whose output is the cleaned corpus
+    # (expected output-linear, like text_chunk_overlap)
     "dedup_substring",
+    "dedup_substring_scrub",
 )
 
 
