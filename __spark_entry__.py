@@ -34,8 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per oracle-checkable operator. The single op
-    absent here (agg_approx — engine-specific sketches, error-bounded in
-    tests) gets the rows-only check."""
+    absent here (agg_approx — engine-specific sketches) gets the
+    rows-only check, and SELF-EVIDENCES: each of its rows carries exact
+    companions plus |approx−exact|/exact and 0/1 ok-flag columns, so the
+    recorded driver row verifies the sketch bound in-row."""
     # file-based scans read fixture files materialized from the sf0.01
     # parquet; make sure they exist before the oracle side runs.
     if os.path.isdir(SF001):
