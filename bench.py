@@ -157,6 +157,11 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # r9 basis change: the total sums the 30-op HEADLINE set; r8 and
+        # earlier summed 43 ops (15 now TRACKED_ONLY). n_queries marks the
+        # discontinuity IN the record so cross-round totals are compared
+        # on the per-op medians / common subset, never raw value-vs-value.
+        "n_queries": len(official),
         "queries": official,
         "methodology": METHODOLOGY,
         "sf": sf,

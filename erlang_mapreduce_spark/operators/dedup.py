@@ -101,11 +101,12 @@ def _materialize(df: DataFrame, name: str, sf_dir: str | None = None) -> DataFra
     return pooled_local_checkpoint(df)
 
 
-def _corpus_fingerprint(sf_dir: str):
-    """Cheap stat-based fingerprint of the documents table under sf_dir,
-    folded into shared-cache keys so a fixture REWRITTEN at the same path
-    (tests do this; production corpus snapshots are immutable) misses the
-    cache instead of serving stale blocks.
+def _corpus_fingerprint(sf_dir: str, table: str = "documents"):
+    """Cheap stat-based fingerprint of a table under sf_dir (default:
+    documents — the corpus every dedup op reads; streaming's chunk caches
+    pass their own table), folded into shared-cache keys so a fixture
+    REWRITTEN at the same path (tests do this; production corpus snapshots
+    are immutable) misses the cache instead of serving stale blocks.
 
     Known limit (accepted, documented): the fingerprint is size+mtime_ns —
     a rewrite that preserves BOTH (e.g. an archiver restoring mtimes over
@@ -115,7 +116,7 @@ def _corpus_fingerprint(sf_dir: str):
     pipeline that mutates corpora in place should version paths instead
     (the immutable-snapshot convention every lakehouse format assumes).
     tests/test_ckpt_guard.py pins the size+mtime case."""
-    p = os.path.join(sf_dir, "documents.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(p):
             sts = [os.stat(os.path.join(p, e)) for e in sorted(os.listdir(p))]

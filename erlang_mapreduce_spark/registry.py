@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 158 registered ops, insertion
+# insertion order and stops after 50 ops. With 160 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry; tests/test_correctness.py re-proves the whole registry
@@ -60,14 +60,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   13-15: agg_approx (self-evidencing rewrite this round), the flagship
 #          text_bigram_freq (kept in-window every round), sim_search_ivf
 #          (last driver attempt FAILED in r5; green locally since).
-#   16-50: 35 of the 49 ops whose newest driver evidence is r05 (the
-#          oldest evidence left after r8).
-#   51-64: the remaining 14 r05-evidence ops — they lead the round-10
-#          window, followed by the r07-evidence block.
+#   16-50: 35 of the 48 remaining ops whose newest driver evidence is
+#          r05 (the oldest evidence left after r8; sim_search_ivf is the
+#          49th and holds slot 15).
+#   51-63: the other 13 r05-evidence ops — they lead the round-10
+#          window, followed by the r07-evidence block at 64+.
 # After r9: every registered op has driver evidence, and none predates r5.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-10: the ten r8 ops with ZERO driver evidence (VERDICT_r08 item 1;
-#     all hash-match the DuckDB oracle at sf0.01 in CORRECTNESS_local_full) ---
+    # --- 1-10: the ten r8 ops with ZERO driver evidence (VERDICT_r08
+    #     item 1; all hash-match the DuckDB oracle at sf0.01 in
+    #     CORRECTNESS_local_full) ---
     "graph_triangle_count",
     "pq_codebooks",
     "sim_search_pq",
@@ -82,15 +84,16 @@ DRIVER_PRIORITY: list[str] = [
     #     zero driver evidence) ---
     "dedup_substring",
     "dedup_substring_scrub",
-    # --- 12-14: agg_approx (output changed this round: now self-evidencing
-#     with exact companions + error-bound columns, needs fresh driver
-#     evidence), the flagship (in-window every round), and sim_search_ivf
-#     (only op whose last driver attempt FAILED, r5 — re-verify) ---
+    # --- 13-15: agg_approx (output changed this round: now
+    #     self-evidencing with exact companions + error-bound columns,
+    #     needs fresh driver evidence), the flagship (in-window every
+    #     round), and sim_search_ivf (only op whose last driver attempt
+    #     FAILED, r5 — re-verify) ---
     "agg_approx",
     "text_bigram_freq",
     "sim_search_ivf",
-    # --- 14-50: 37 of the 49 r05-evidence ops (oldest round-numbered
-#     evidence left in the registry) ---
+    # --- 16-50: the first 35 of the 49 r05-evidence ops (oldest
+    #     round-numbered evidence left in the registry) ---
     "scan_text",
     "scan_csv_json",
     "sink_partitioned",
@@ -126,9 +129,11 @@ DRIVER_PRIORITY: list[str] = [
     "udf_scalar",
     "udf_grouped",
     "udaf",
+    # --- 51-63: the remaining 13 r05-evidence ops (udtf and
+    #     fn_agg_collect fell just outside the 50-slot window when the two
+    #     new r9 ops took slots 11-12) — they lead the round-10 window ---
     "udtf",
     "fn_agg_collect",
-    # --- 51-61: the other 12 r05-evidence ops (lead the round-10 window) ---
     "multimodal_decode",
     "sql_pricing_summary",
     "stream_stream_join",
@@ -140,7 +145,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_span_rolling",
     "sample_quality_weighted",
     "agg_heavy_hitters",
-    # --- 62-...: r07 evidence ---
+    # --- 64-...: r07 evidence ---
     "text_repetition_score",
     "rollup_time_hypertable",
     "ts_gap_fill",

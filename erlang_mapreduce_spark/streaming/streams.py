@@ -36,30 +36,38 @@ CHUNK_ROOT = "/tmp/spark_graft_stream_chunks"
 def _chunk_ns(sf_dir: str, table: str) -> str:
     """Namespace component for the on-disk chunk cache: leaf dir name plus
     a short digest of (abspath, table, stat-fingerprint) — the same
-    discriminator scheme as ``dedup._shared_materialize``. Keying by
-    basename alone aliased two corpora sharing a leaf name, and a corpus
-    regenerated in place kept serving the STALE chunks behind its .done
-    sentinel (round-8 ADVICE). The stat fingerprint (size + mtime_ns, same
-    accepted limit as ``dedup._corpus_fingerprint``) makes a rewrite miss
-    the cache instead."""
-    p = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if os.path.isdir(p):
-            sts = [os.stat(os.path.join(p, e)) for e in sorted(os.listdir(p))]
-            fp = (
-                len(sts),
-                sum(s.st_size for s in sts),
-                max((s.st_mtime_ns for s in sts), default=0),
-            )
-        else:
-            st = os.stat(p)
-            fp = (st.st_size, st.st_mtime_ns)
-    except OSError:
-        fp = None
+    discriminator scheme as ``dedup._shared_materialize``, with the
+    fingerprint DELEGATED to ``dedup._corpus_fingerprint`` so a future
+    tightening of the fingerprint (its known size+mtime limit) reaches
+    this cache too. Keying by basename alone aliased two corpora sharing
+    a leaf name, and a corpus regenerated in place kept serving the STALE
+    chunks behind its .done sentinel (round-8 ADVICE).
+
+    Superseded namespaces are PRUNED on entry: a corpus rewritten in
+    place mints a new digest every time, and without the sweep each
+    rewrite leaked a full chunk set under CHUNK_ROOT for the machine's
+    uptime. The namespace embeds the TABLE name so the sweep keys on
+    (leaf name, table) — the events and documents caches of one corpus
+    never evict each other — and a stale eviction can hit a live cache
+    only when two distinct corpora share a leaf name, which costs a
+    rebuild, never correctness."""
+    from ..operators.dedup import _corpus_fingerprint
+
+    fp = _corpus_fingerprint(sf_dir, table)
     disc = hashlib.md5(
         repr((os.path.abspath(sf_dir), table, fp)).encode()
     ).hexdigest()[:12]
-    return f"{os.path.basename(os.path.normpath(sf_dir))}-{disc}"
+    base = os.path.basename(os.path.normpath(sf_dir))
+    ns = f"{base}-{table}-{disc}"
+    try:
+        for stale in os.listdir(CHUNK_ROOT):
+            if stale.startswith(f"{base}-{table}-") and stale != ns:
+                shutil.rmtree(
+                    os.path.join(CHUNK_ROOT, stale), ignore_errors=True
+                )
+    except OSError:
+        pass
+    return ns
 
 _EVENT_SCHEMA = T.StructType(
     [

@@ -122,3 +122,61 @@ def test_shared_cache_fingerprint_miss_on_rewrite(spark, sf_dir, tmp_path):
         "mtime-bumped rewrite was served from the shared cache (stale read)"
     )
     assert n2 == n1  # same bytes -> same member map, freshly rebuilt
+
+
+def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
+    """The streaming chunk cache must (a) miss when a corpus is rewritten
+    in place — round-8 ADVICE: the basename-keyed cache replayed STALE
+    chunks behind its .done sentinel — and (b) prune the superseded
+    namespace so in-place rewrites don't leak chunk sets under CHUNK_ROOT
+    for the machine's uptime."""
+    import duckdb
+
+    from erlang_mapreduce_spark.streaming import streams
+
+    def write_docs(texts):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d AS SELECT "
+            "CAST(row_number() OVER () AS BIGINT) AS doc_id, "
+            "t AS text, 'en' AS lang, 's' AS source, "
+            "CAST(length(t) AS BIGINT) AS n_chars "
+            "FROM (SELECT unnest(?) AS t)",
+            [texts],
+        )
+        con.execute(
+            f"COPY d TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+
+    def chunk_docids(d):
+        con = duckdb.connect()
+        ids = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM '{d}/chunk_*.parquet' ORDER BY 1"
+            ).fetchall()
+        ]
+        con.close()
+        return ids
+
+    base = os.path.basename(os.path.normpath(str(tmp_path)))
+
+    write_docs([f"alpha doc {i}" for i in range(8)])
+    d1 = streams._materialize_doc_chunks(str(tmp_path))
+    assert chunk_docids(d1) == list(range(1, 9))
+
+    # rewrite IN PLACE with different content (different size => new
+    # fingerprint): the cache must rebuild, not replay the stale chunks
+    write_docs([f"beta document rewritten {i}" for i in range(12)])
+    d2 = streams._materialize_doc_chunks(str(tmp_path))
+    assert d2 != d1
+    assert chunk_docids(d2) == list(range(1, 13))
+
+    # and the superseded namespace must be gone from CHUNK_ROOT
+    stale = [
+        n
+        for n in os.listdir(streams.CHUNK_ROOT)
+        if n.startswith(f"{base}-documents-")
+    ]
+    assert stale == [os.path.basename(os.path.dirname(d2))], stale

@@ -37,14 +37,36 @@ def test_driver_priority_covers_registry():
 
 def test_rotation_targets_in_first_50():
     """Round-9 rotation goal: the ten zero-driver-evidence r8 ops LEAD the
-    checked window (positions 1-10), agg_approx / flagship / sim_search_ivf
-    follow, and r05-evidence ops fill the rest — after r9 every registered
-    op has driver evidence and none predates r5."""
+    checked window (positions 1-10), the two new r9 ops + agg_approx /
+    flagship / sim_search_ivf take 11-15, and 35 r05-evidence ops fill the
+    window EXACTLY — every slot accounted for, so a list edit cannot
+    silently push a priority op past position 50 (the round-9 review
+    caught the section comments drifting exactly this way)."""
     order = list(QUERIES)
     assert order[:10] == R8_ZERO_EVIDENCE
-    first50 = set(order[:50])
-    missing = set(RECHECK_R9) - first50
-    assert not missing, f"not in driver-checked first 50: {sorted(missing)}"
+    assert order[10:15] == RECHECK_R9
+    first50 = order[:50]
+    # slots 16-50 must all be r05-evidence ops: no zero-evidence or
+    # priority op may be displaced below the driver's cutoff
+    R05_EVIDENCE = {
+        "scan_text", "scan_csv_json", "sink_partitioned", "project_select",
+        "filter_pred", "join_broadcast", "join_sortmerge", "join_outer",
+        "join_semi_anti", "join_theta_range", "join_asof", "join_interval",
+        "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
+        "agg_global", "agg_ratio_of_total", "win_rank", "win_analytic",
+        "win_frame", "sort_global", "topk", "set_union_intersect_except",
+        "dedup_exact", "fn_string", "fn_date", "fn_math", "fn_array",
+        "fn_map_json", "text_tokenize", "sim_search", "udf_scalar",
+        "udf_grouped", "udaf", "udtf", "fn_agg_collect",
+        "multimodal_decode", "sql_pricing_summary", "stream_stream_join",
+        "stream_tumbling", "stream_sliding", "stream_session",
+        "text_decontaminate", "dedup_passage", "dedup_span_rolling",
+        "sample_quality_weighted", "agg_heavy_hitters",
+    }
+    tail = set(first50[15:])
+    assert len(first50) == 50 and tail <= R05_EVIDENCE, (
+        sorted(tail - R05_EVIDENCE)
+    )
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
