@@ -210,11 +210,21 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The .collect() pulls only distinct SET BIT positions — bounded by
     BLOOM_M = 4096 ints at any corpus size (the same bounded-accounting
-    class as the IVF training sample)."""
-    from .dedup import _doc_gram_sets_md5
+    class as the IVF training sample).
 
-    docs = scan_parallel(load(spark, sf_dir, "documents"))
-    sets = _doc_gram_sets_md5(docs, n=DECON_N)
+    Gram hashing runs over verbatim REPRESENTATIVES only (round 9 — the
+    md5 per gram per doc was the probe pass's whole cost, alpha ~0.4 on
+    the replica probe): identical texts have identical gram sets, so the
+    eval bitset ORs the sets of every group with >= 1 eval-side member
+    (doc_id < EVAL_MAX_DOC — groups may straddle the split) and the
+    per-rep flag count expands to the group's train-side members
+    exactly."""
+    from .dedup import _doc_gram_sets_md5, _shared_members, _shared_rep_docs
+
+    members = _shared_members(spark, sf_dir)
+    sets = _doc_gram_sets_md5(
+        _shared_rep_docs(spark, sf_dir), n=DECON_N
+    ).withColumnRenamed("doc_id", "rep_id")
     gr = F.explode(F.arrays_zip("ghs", "gh2s")).alias("g")
     a = F.col("g.ghs") % F.lit(_BLOOM_P)
     b = (F.col("g.gh2s") % F.lit(_BLOOM_P - 1)) + F.lit(1)
@@ -222,9 +232,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
         lambda k: (a + k.cast("bigint") * b) % _BLOOM_P % BLOOM_M,
     )
+    eval_reps = (
+        members.filter(F.col("doc_id") < EVAL_MAX_DOC)
+        .select("rep_id")
+        .distinct()
+    )
     ev_bits = sorted(
         r.bit
-        for r in sets.filter(F.col("doc_id") < EVAL_MAX_DOC)
+        for r in sets.join(eval_reps, "rep_id")
         .select(gr)
         .select(F.explode(karr).alias("bit"))
         .distinct()
@@ -243,8 +258,6 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         word = F.element_at(warr, F.shiftright(bit, 6).cast("int") + 1)
         return F.bit_get(word, bit % 64) == 1
 
-    train = sets.filter(F.col("doc_id") >= EVAL_MAX_DOC)
-
     def _probe(g: Column) -> Column:
         pa = g["ghs"] % F.lit(_BLOOM_P)
         pb = (g["gh2s"] % F.lit(_BLOOM_P - 1)) + F.lit(1)
@@ -254,10 +267,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ok
 
     n_flagged = F.size(F.filter(F.arrays_zip("ghs", "gh2s"), _probe))
-    return train.select(
-        "doc_id",
+    rep_flag = sets.select(
+        "rep_id",
         n_flagged.cast("long").alias("n_flagged_grams"),
         (n_flagged > 0).alias("contaminated_bloom"),
+    )
+    train_members = members.filter(F.col("doc_id") >= EVAL_MAX_DOC)
+    return train_members.join(rep_flag, "rep_id").select(
+        "doc_id", "n_flagged_grams", "contaminated_bloom"
     )
 
 
