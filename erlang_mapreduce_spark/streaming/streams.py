@@ -253,9 +253,14 @@ batches AS (
     SELECT user_id, value, 5 AS b FROM ev WHERE q = 4
 ),
 per AS (
+    -- coalesce: the engine side is a running ACCUMULATOR starting at 0
+    -- that skips NULL values, so a (user, batch) whose values are all
+    -- NULL contributes 0 — plain SQL SUM would yield NULL there and the
+    -- cumulative window would emit NULL for all-NULL-so-far users
     SELECT user_id, b,
            count(*) AS c,
-           sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS micros
+           coalesce(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)),
+                    0) AS micros
     FROM batches GROUP BY 1, 2
 )
 SELECT user_id,
@@ -290,7 +295,11 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH sides (never each engine's round(): numpy rounds half-to-even,
     DuckDB half-away-from-zero — a half-tie value would silently diverge
     by one micro), and NULL values are skipped like the float sum the
-    rewrite replaced (n_events still counts their rows)."""
+    rewrite replaced (n_events still counts their rows). The accumulator
+    STARTS AT ZERO: a user whose values so far are all NULL reports
+    sum_value 0.0, not NULL — the oracle coalesces its per-batch sum to
+    match (found by corpus fuzz: plain SQL SUM is NULL over an all-NULL
+    group)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

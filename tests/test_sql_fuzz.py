@@ -228,6 +228,19 @@ def _gen_corpus_dir(base: str, seed: int) -> str:
             texts.append("")  # empty doc
         elif r < 0.18:
             texts.append(str(rng.choice(_VOCAB)))  # single word, no gram
+        elif r < 0.26 and texts:
+            # PARTIAL overlap: splice a contiguous token window from an
+            # earlier doc between fresh tokens — exercises the substring
+            # ops' non-verbatim chaining path (anchor runs at arbitrary
+            # offsets), which verbatim duplicates alone never reach
+            src = texts[rng.integers(0, len(texts))].split()
+            take = min(len(src), int(rng.integers(8, 25)))
+            off = int(rng.integers(0, max(1, len(src) - take + 1)))
+            texts.append(" ".join(
+                list(rng.choice(_VOCAB, int(rng.integers(0, 6))))
+                + src[off:off + take]
+                + list(rng.choice(_VOCAB, int(rng.integers(0, 6))))
+            ))
         else:
             k = int(rng.integers(3, 40))
             texts.append(" ".join(rng.choice(_VOCAB, k)))
