@@ -193,10 +193,11 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out corpus itself is large: the probe structure is a FIXED
     BLOOM_M-bit bitset (512 bytes here) regardless of eval size, built
     with one tiny aggregate, OR-mergeable across eval shards, and
-    embedded as a 64-long literal array so the train-side membership
-    test is a PURE NARROW projection — zero joins, zero shuffles, the
-    whole corpus is scanned once at parquet speed (the exact op's
-    broadcast semi-join + per-doc groupBy both disappear).
+    embedded as a 64-long literal array so the MEMBERSHIP TEST itself is
+    a pure narrow projection over the rep gram sets — no probe-side join
+    against the eval set, no per-doc groupBy (both of which the exact op
+    needs). The op's remaining joins are the rep-collapse bookkeeping
+    (eval-group semi-join, member expansion), not probe work.
 
     Bloom guarantee, pinned locally against text_decontaminate: no
     false NEGATIVES — every truly contaminated doc is flagged
@@ -216,15 +217,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 per gram per doc was the probe pass's whole cost, alpha ~0.4 on
     the replica probe): identical texts have identical gram sets, so the
     eval bitset ORs the sets of every group with >= 1 eval-side member
-    (doc_id < EVAL_MAX_DOC — groups may straddle the split) and the
-    per-rep flag count expands to the group's train-side members
-    exactly."""
+    (doc_id < EVAL_MAX_DOC — groups may straddle the split; the semi-join
+    runs BEFORE gram hashing so the bitset pass hashes only eval groups)
+    and the per-rep flag count expands to the group's train-side members
+    through one members-side equi-join — the price of the collapse is
+    that join plus the shared _verbatim_reps build; the train probe
+    itself remains a narrow projection over the rep gram sets."""
     from .dedup import _doc_gram_sets_md5, _shared_members, _shared_rep_docs
 
     members = _shared_members(spark, sf_dir)
-    sets = _doc_gram_sets_md5(
-        _shared_rep_docs(spark, sf_dir), n=DECON_N
-    ).withColumnRenamed("doc_id", "rep_id")
+    rep_docs = _shared_rep_docs(spark, sf_dir)
     gr = F.explode(F.arrays_zip("ghs", "gh2s")).alias("g")
     a = F.col("g.ghs") % F.lit(_BLOOM_P)
     b = (F.col("g.gh2s") % F.lit(_BLOOM_P - 1)) + F.lit(1)
@@ -234,12 +236,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_reps = (
         members.filter(F.col("doc_id") < EVAL_MAX_DOC)
-        .select("rep_id")
+        .select(F.col("rep_id").alias("doc_id"))
         .distinct()
     )
     ev_bits = sorted(
         r.bit
-        for r in sets.join(eval_reps, "rep_id")
+        for r in _doc_gram_sets_md5(
+            rep_docs.join(eval_reps, "doc_id", "semi"), n=DECON_N
+        )
         .select(gr)
         .select(F.explode(karr).alias("bit"))
         .distinct()
@@ -267,8 +271,8 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ok
 
     n_flagged = F.size(F.filter(F.arrays_zip("ghs", "gh2s"), _probe))
-    rep_flag = sets.select(
-        "rep_id",
+    rep_flag = _doc_gram_sets_md5(rep_docs, n=DECON_N).select(
+        F.col("doc_id").alias("rep_id"),
         n_flagged.cast("long").alias("n_flagged_grams"),
         (n_flagged > 0).alias("contaminated_bloom"),
     )

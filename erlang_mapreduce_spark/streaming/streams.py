@@ -34,8 +34,8 @@ CHUNK_ROOT = "/tmp/spark_graft_stream_chunks"
 
 
 def _chunk_ns(sf_dir: str, table: str) -> str:
-    """Namespace component for the on-disk chunk cache: leaf dir name plus
-    a short digest of (abspath, table, stat-fingerprint) — the same
+    """Namespace (two nested path components) for the on-disk chunk cache:
+    ``<leaf>-<md5(abspath, table)> / <md5(stat-fingerprint)>`` — the same
     discriminator scheme as ``dedup._shared_materialize``, with the
     fingerprint DELEGATED to ``dedup._corpus_fingerprint`` so a future
     tightening of the fingerprint (its known size+mtime limit) reaches
@@ -43,31 +43,32 @@ def _chunk_ns(sf_dir: str, table: str) -> str:
     a leaf name, and a corpus regenerated in place kept serving the STALE
     chunks behind its .done sentinel (round-8 ADVICE).
 
-    Superseded namespaces are PRUNED on entry: a corpus rewritten in
-    place mints a new digest every time, and without the sweep each
-    rewrite leaked a full chunk set under CHUNK_ROOT for the machine's
-    uptime. The namespace embeds the TABLE name so the sweep keys on
-    (leaf name, table) — the events and documents caches of one corpus
-    never evict each other — and a stale eviction can hit a live cache
-    only when two distinct corpora share a leaf name, which costs a
-    rebuild, never correctness."""
+    Superseded fingerprint dirs are PRUNED on entry: a corpus rewritten
+    in place mints a new fingerprint every time, and without the sweep
+    each rewrite leaked a full chunk set under CHUNK_ROOT for the
+    machine's uptime. The sweep runs INSIDE the (abspath, table) group
+    dir — distinct corpus paths occupy distinct groups whatever their
+    leaf names (the digest, not the human-readable leaf prefix, is the
+    key), so one corpus can never evict another's live cache; the only
+    deletable state is an older fingerprint of the SAME path, which a
+    concurrent reader could be replaying only if the corpus was rewritten
+    mid-run — already undefined for that reader."""
     from ..operators.dedup import _corpus_fingerprint
 
     fp = _corpus_fingerprint(sf_dir, table)
-    disc = hashlib.md5(
-        repr((os.path.abspath(sf_dir), table, fp)).encode()
+    gdisc = hashlib.md5(
+        repr((os.path.abspath(sf_dir), table)).encode()
     ).hexdigest()[:12]
-    base = os.path.basename(os.path.normpath(sf_dir))
-    ns = f"{base}-{table}-{disc}"
+    group = f"{os.path.basename(os.path.normpath(sf_dir))}-{gdisc}"
+    fdisc = hashlib.md5(repr(fp).encode()).hexdigest()[:12]
+    gdir = os.path.join(CHUNK_ROOT, group)
     try:
-        for stale in os.listdir(CHUNK_ROOT):
-            if stale.startswith(f"{base}-{table}-") and stale != ns:
-                shutil.rmtree(
-                    os.path.join(CHUNK_ROOT, stale), ignore_errors=True
-                )
+        for stale in os.listdir(gdir):
+            if stale != fdisc:
+                shutil.rmtree(os.path.join(gdir, stale), ignore_errors=True)
     except OSError:
         pass
-    return ns
+    return os.path.join(group, fdisc)
 
 _EVENT_SCHEMA = T.StructType(
     [

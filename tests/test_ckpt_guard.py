@@ -128,8 +128,9 @@ def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
     """The streaming chunk cache must (a) miss when a corpus is rewritten
     in place — round-8 ADVICE: the basename-keyed cache replayed STALE
     chunks behind its .done sentinel — and (b) prune the superseded
-    namespace so in-place rewrites don't leak chunk sets under CHUNK_ROOT
-    for the machine's uptime."""
+    fingerprint dir inside the corpus's (abspath, table) group so
+    in-place rewrites don't leak chunk sets under CHUNK_ROOT for the
+    machine's uptime (and never touch other corpora's groups)."""
     import duckdb
 
     from erlang_mapreduce_spark.streaming import streams
@@ -160,8 +161,6 @@ def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
         con.close()
         return ids
 
-    base = os.path.basename(os.path.normpath(str(tmp_path)))
-
     write_docs([f"alpha doc {i}" for i in range(8)])
     d1 = streams._materialize_doc_chunks(str(tmp_path))
     assert chunk_docids(d1) == list(range(1, 9))
@@ -173,10 +172,9 @@ def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
     assert d2 != d1
     assert chunk_docids(d2) == list(range(1, 13))
 
-    # and the superseded namespace must be gone from CHUNK_ROOT
-    stale = [
-        n
-        for n in os.listdir(streams.CHUNK_ROOT)
-        if n.startswith(f"{base}-documents-")
-    ]
-    assert stale == [os.path.basename(os.path.dirname(d2))], stale
+    # d1/d2 share the (abspath, table) group dir; the superseded
+    # fingerprint dir must be pruned, leaving only the live one
+    group_dir = os.path.dirname(os.path.dirname(d2))
+    assert group_dir == os.path.dirname(os.path.dirname(d1))
+    live = os.path.basename(os.path.dirname(d2))
+    assert os.listdir(group_dir) == [live]

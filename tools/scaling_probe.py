@@ -231,8 +231,11 @@ def main() -> None:
         "rows after map-side partial merge), not data-sized — the scan is",
         "the only data-proportional stage, which is the whole point of a",
         "mergeable sketch at 100 TB. decontaminate_bloom",
-        f"({a('decontaminate_bloom')}) is one",
-        "narrow broadcast-bitset probe pass — pure scan growth.",
+        f"({a('decontaminate_bloom')}) probes the",
+        "broadcast bitset over verbatim-REP gram sets (round 9): the",
+        "membership test is a narrow projection, the md5 hashing scales",
+        "with distinct texts, and the member-expansion join carries the",
+        "per-rep flags back to train docs.",
         f"text_chunk_overlap's {a('text_chunk_overlap')} is the one op",
         "whose OUTPUT grows",
         "linearly (every replica emits its own chunks; nothing to",
