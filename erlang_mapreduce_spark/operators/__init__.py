@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analysis,
+    bpe,
     curation,
     dedup,
     events_analytics,

@@ -24,6 +24,7 @@ from ..registry import query
 from ..session import scoped_conf
 from ..tables import load
 from .analysis import _EMAIL_RE, _LONGNUM_RE
+from .bpe import ORACLE_DOC_TOKENS_CTES, doc_token_counts
 
 _FP_SQL = (
     "md5(array_to_string(list_sort(list_distinct("
@@ -243,11 +244,12 @@ SEQ_BUDGET = 512  # tokens per packed training sequence
 @query(
     "pipeline_seq_pack",
     oracle=f"""
-WITH toks AS (
+WITH RECURSIVE {ORACLE_DOC_TOKENS_CTES},
+toks AS (
     SELECT doc_id,
            {_SHARD_SQL.format(col="doc_id")} AS shard,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-    FROM documents
+           n_tokens
+    FROM doc_tokens
 ),
 cum AS (
     SELECT shard, doc_id, n_tokens,
@@ -271,6 +273,12 @@ def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-and-chunk); each document belongs to the sequence its first
     token lands in. Returns per-sequence accounting (docs, tokens).
 
+    The token budget is REAL BPE output (bpe.doc_token_counts — merge
+    table applied per distinct word, hash-checked cross-engine), not the
+    whitespace estimate rounds ≤9 packed on: a production pipeline packs
+    on the model tokenizer's counts, and whitespace undercounts code/
+    punctuation-heavy docs by 2-4×, which silently overfills sequences.
+
     Scale shape: packing is per-SHARD (the same md5-nibble shard as
     pipeline_dataset_export), so the running token sum is a window
     partitioned by shard ordered by doc_id — parallel across shards, one
@@ -280,10 +288,10 @@ def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 shard + doc_id order) makes the packing reproducible across
     runs, engines, and partitionings — rand()-based packing is not."""
     d = load(spark, sf_dir, "documents")
-    t = d.select(
+    t = doc_token_counts(d).select(
         "doc_id",
         _shard_col(F.col("doc_id")).alias("shard"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        "n_tokens",
     )
     w = (
         Window.partitionBy("shard")
