@@ -154,13 +154,15 @@ def main() -> None:
     official = {k: timings[k] for k in HEADLINE}
     total = round(sum(official.values()), 3)
     compact = {
-        "metric": "headline_queries_total_wall",
+        # r11 rename (was headline_queries_total_wall): the r9 basis change
+        # shrank the summed set from 43 to 30 ops while keeping the key, so
+        # raw cross-round value-vs-value reads showed a spurious ~30%
+        # improvement. The op count now lives IN the key — any consumer
+        # comparing against a pre-r9 total fails loudly on the key mismatch
+        # instead of silently comparing different baskets.
+        "metric": "headline30_total_wall",
         "value": total,
         "unit": "sec",
-        # r9 basis change: the total sums the 30-op HEADLINE set; r8 and
-        # earlier summed 43 ops (15 now TRACKED_ONLY). n_queries marks the
-        # discontinuity IN the record so cross-round totals are compared
-        # on the per-op medians / common subset, never raw value-vs-value.
         "n_queries": len(official),
         "queries": official,
         "methodology": METHODOLOGY,

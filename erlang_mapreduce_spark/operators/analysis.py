@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, scan_parallel
+from . import bpe
 
 _STOPWORDS = ("the", "a", "is", "and", "of", "to")
 _SW_ARR = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -93,29 +94,32 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-
-
 @query(
     "text_token_count",
     oracle=f"""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
-       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_ish_tokens
+       len(regexp_extract_all(lower(text), '{bpe.PRETOK_RE}')) AS pretok_count
 FROM documents
 """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish regex segmentation
-    (letters / digits / punctuation runs) — the budget estimator for
-    training-token accounting."""
+    """Token counting: whitespace tokens + the REAL tokenizer's
+    pre-token count (bpe.PRETOK_RE — letter/digit runs capped at
+    PRETOK_MAX chars, single other chars). ``pretok_count`` is a cheap
+    single-scan UPPER BOUND on the BPE token count (merges only shrink a
+    pre-token, never split it); the exact budget is
+    ``text_bpe_tokenize``'s n_tokens / ``bpe.doc_token_counts``, which is
+    what ``pipeline_seq_pack`` packs on. Named pretok_count (r11, was
+    bpe_ish_tokens) so no consumer mistakes the estimate for the
+    budget."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)).alias(
-            "bpe_ish_tokens"
-        ),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(bpe.PRETOK_RE), 0)
+        ).alias("pretok_count"),
     )
 
 

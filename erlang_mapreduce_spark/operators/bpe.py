@@ -47,11 +47,21 @@ from pyspark.sql import types as T
 from ..registry import query
 from ..tables import load
 
-# Pre-tokenizer: identical classes to analysis._BPE_RE (letter runs /
-# digit runs / single non-alnum chars) — lowercased, ASCII word chars, so
+# Pre-tokenizer (shared: analysis.text_token_count counts these same
+# segments as pretok_count): letter runs / digit runs / single non-alnum
+# chars — lowercased, ASCII word chars, so
 # multi-char pre-tokens are pure [a-z]+ or [0-9]+ and char indexing is
-# unicode-safe in both engines.
-PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# unicode-safe in both engines. Runs longer than PRETOK_MAX chars split
+# into PRETOK_MAX-sized chunks (greedy leftmost bounded repetition —
+# identical chunking in Java regex and DuckDB RE2): the DuckDB oracle's
+# recursive CTE accumulates O(len^2) state per distinct word, so an
+# unbounded run (a pathological fuzz doc with one long unbroken
+# letter/digit run) must be impossible BY CONSTRUCTION in both engines,
+# not just absent from today's fixtures. GPT-2's pre-tokenizer makes the
+# same move for the same reason (long runs are pathological, not
+# linguistic).
+PRETOK_MAX = 24
+PRETOK_RE = f"[a-z]{{1,{PRETOK_MAX}}}|[0-9]{{1,{PRETOK_MAX}}}|[^a-z0-9\\s]"
 
 # Base vocabulary: ids are positions in this fixed list. Characters
 # outside it (unicode letters, exotic symbols) tokenize as themselves
@@ -301,11 +311,17 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pins order). Together the columns hash-pin the full tokenization;
     emitting every id per doc would only bloat the comparison payload.
 
-    Plan: one corpus scan → explode → distinct-word encode (Arrow UDF on
-    the vocabulary, NOT the corpus) → fan-out equi-join → per-doc agg →
-    left join back to keep wordless docs. Shuffles: the distinct, the
-    fan-out join (broadcast under AQE while the vocab map is small), and
-    the doc agg — all keyed, no driver collect, no cartesian."""
+    Plan: TWO column-pruned scans of the text column — the vocabulary
+    branch (explode → distinct → Arrow-UDF encode, per DISTINCT word, NOT
+    per occurrence) and the fan-out branch (posexplode → equi-join on
+    word) — plus a doc_id-only scan to rejoin wordless docs. The corpus
+    is deliberately rescanned rather than materialized: the exploded
+    frame is corpus-sized, so persisting/checkpointing it at 100 TB costs
+    more than a second columnar parquet scan + regex pass, and both
+    branches prune to exactly the columns they read (pinned in
+    tests/test_plans.py). Shuffles: the distinct, the fan-out join
+    (broadcast under AQE while the vocab map is small), and the doc agg —
+    all keyed, no driver collect, no cartesian."""
     docs = load(spark, sf_dir, "documents")
     dw = doc_word_rows(docs)
     joined = dw.join(word_ids(dw), "word")

@@ -150,11 +150,18 @@ def _shared_materialize(spark, sf_dir: str, name: str, builder) -> DataFrame:
     private pool key. Local mode delegates to the LRU-bounded
     ``ckpt.shared_local_checkpoint``; durable mode snapshots to one
     namespaced parquet path per key and reuses the read-back handle."""
+    fp = _corpus_fingerprint(sf_dir)
+    if fp is None:
+        # Missing/unreadable corpus: UNCACHEABLE, not a cache key. Folding
+        # None into the key would collapse every error state onto one
+        # entry — and a table that appears (or becomes readable) later
+        # would share the error state's namespace (round-9 ADVICE).
+        return builder()
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
         name,
-        _corpus_fingerprint(sf_dir),
+        fp,
     )
     ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckpt_dir:
@@ -1526,10 +1533,16 @@ SUBSTR_MIN_OLAP = 16  # report maximal verbatim overlaps of >= 16 tokens
 # positioned anchors repeat within documents and the quadratic cost is per
 # occurrence pair — counting occurrences also keeps the deciding aggregate
 # fixed-size (one long per gram) where a distinct-doc count would hold a
-# set. Recall floor: an overlap ALL of whose anchor grams are boilerplate
-# above the cap is invisible — at 16+ tokens of verbatim overlap that
-# requires >= 9 consecutive cap-level grams, i.e. the overlap itself is the
-# boilerplate, which exact dedup upstream collapses. Fixture headroom: max
+# set. Recall floor (the honest one): EACH capped anchor splits the
+# diagonal run at its position — a single boilerplate 8-gram mid-overlap
+# shortens the reported run(s), and the pair vanishes entirely (and
+# dedup_substring_scrub under-removes) when every residual piece falls
+# below SUBSTR_MIN_OLAP. Full invisibility does NOT require all anchors
+# capped; it requires only that no gap between capped anchors spans
+# SUBSTR_MIN_OLAP tokens. Accepted: cap-level grams are boilerplate by
+# definition, and overlaps woven through boilerplate every <16 tokens are
+# the quote-of-a-quote class this op deliberately leaves to the upstream
+# passage/exact ops. Fixture headroom: max
 # anchor occurrence count at rep level is ~25 at sf0.1, so the cap is inert
 # for the oracle (pinned in tests/test_dedup.py) while bounding the 100 TB
 # expansion to C(2000,2) streamed rows per cap-level gram.

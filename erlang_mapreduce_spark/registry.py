@@ -53,47 +53,92 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-9 window (this ordering), oldest-evidence-first policy:
-#   1-10:  the ten r8 ops with zero driver evidence (VERDICT_r08 item 1).
-#   11-12: dedup_substring + dedup_substring_scrub (NEW this round —
-#          zero driver evidence).
-#   13-15: agg_approx (self-evidencing rewrite this round), the flagship
-#          text_bigram_freq (kept in-window every round), sim_search_ivf
-#          (last driver attempt FAILED in r5; green locally since).
-#   16-50: 35 of the 48 remaining ops whose newest driver evidence is
-#          r05 (the oldest evidence left after r8; sim_search_ivf is the
-#          49th and holds slot 15).
-#   51-63: the other 13 r05-evidence ops — they lead the round-10
-#          window, followed by the r07-evidence block at 64+.
-# After r9: every registered op has driver evidence, and none predates r5.
+# Round-11 window (this ordering), oldest-evidence-first policy:
+#   1:     text_bpe_tokenize (NEW in r10, ZERO driver evidence —
+#          VERDICT_r10 item 1).
+#   2:     pipeline_seq_pack (output CHANGED in r10 — now packs on real
+#          BPE token counts; its r7 evidence certifies the old
+#          whitespace implementation).
+#   3-15:  the 13 ops whose newest driver evidence is r05 (they led the
+#          planned round-10 window, but the r10 rotation never shipped —
+#          VERDICT_r10 item 2).
+#   16:    text_bigram_freq (the flagship, in-window every round).
+#   17-50: the first 34 of the 48 r07-evidence ops (pipeline_seq_pack
+#          already holds slot 2).
+# After r11: no op's evidence predates r7.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-10: the ten r8 ops with ZERO driver evidence (VERDICT_r08
-    #     item 1; all hash-match the DuckDB oracle at sf0.01 in
-    #     CORRECTNESS_local_full) ---
-    "graph_triangle_count",
-    "pq_codebooks",
-    "sim_search_pq",
-    "sample_temperature",
-    "stream_kmv_distinct",
-    "sql_customer_distribution",
-    "sql_promising_customers",
-    "ts_motif_match",
-    "stream_minhash_dedup",
-    "rollup_sketch_hierarchy",
-    # --- 11-12: dedup_substring + its scrub/apply twin (NEW this round —
-    #     zero driver evidence) ---
-    "dedup_substring",
-    "dedup_substring_scrub",
-    # --- 13-15: agg_approx (output changed this round: now
-    #     self-evidencing with exact companions + error-bound columns,
-    #     needs fresh driver evidence), the flagship (in-window every
-    #     round), and sim_search_ivf (only op whose last driver attempt
-    #     FAILED, r5 — re-verify) ---
-    "agg_approx",
+    # --- 1-2: zero-evidence / output-changed ops ---
+    "text_bpe_tokenize",
+    "pipeline_seq_pack",
+    # --- 3-15: the 13 r05-evidence ops (oldest evidence in the registry;
+    #     missed the r9 window and the r10 rotation never happened) ---
+    "udtf",
+    "fn_agg_collect",
+    "multimodal_decode",
+    "sql_pricing_summary",
+    "stream_stream_join",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "text_decontaminate",
+    "dedup_passage",
+    "dedup_span_rolling",
+    "sample_quality_weighted",
+    "agg_heavy_hitters",
+    # --- 16: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    "sim_search_ivf",
-    # --- 16-50: the first 35 of the 49 r05-evidence ops (oldest
-    #     round-numbered evidence left in the registry) ---
+    # --- 17-50: the first 34 of the r07-evidence block ---
+    "text_repetition_score",
+    "rollup_time_hypertable",
+    "ts_gap_fill",
+    "win_ntile",
+    "win_range_interval",
+    "cdc_latest_by_key",
+    "text_normalize",
+    "scan_orc",
+    "scan_partition_pruned",
+    "sink_text_formatted",
+    "topk_per_group",
+    "fn_bitwise",
+    "sql_top_revenue_orders",
+    "sql_revenue_by_nation",
+    "stream_custom_state",
+    "dedup_minhash",
+    "stream_watermark_late",
+    "stream_stateful_dedup",
+    "sim_search_ann",
+    "sample_mix_rebalance",
+    "sample_cap_per_source",
+    "agg_ngram_counts",
+    "text_unigram_logprob",
+    "analytics_cohort_retention",
+    "analytics_funnel",
+    "dedup_cluster_keep_best",
+    "stream_file_sink",
+    "analytics_sessionize",
+    "analytics_anomaly_extremes",
+    "cdc_scd2",
+    "join_asof_tolerance",
+    "sample_split_train_eval",
+    "profile_columns",
+    "analytics_active_users_7d",
+    # --- 51-...: the remaining 13 r07-evidence ops (lead the round-12
+    #     window) ---
+    "analytics_pareto_topk",
+    "merge_upsert",
+    "compact_small_files",
+    "agg_quantile_bins",
+    "graph_pagerank",
+    "stream_foreachbatch_upsert",
+    "text_ngram_novelty",
+    "fn_nested",
+    "scan_schema_evolution",
+    "join_bloom_filtered",
+    "sort_zorder_layout",
+    "snapshot_time_travel",
+    "analytics_pattern_match",
+    # --- r05-block ops refreshed by the r9 window (r09/r10 evidence:
+    #     r10 re-ran the identical window) ---
     "scan_text",
     "scan_csv_json",
     "sink_partitioned",
@@ -129,72 +174,7 @@ DRIVER_PRIORITY: list[str] = [
     "udf_scalar",
     "udf_grouped",
     "udaf",
-    # --- 51-63: the remaining 13 r05-evidence ops (udtf and
-    #     fn_agg_collect fell just outside the 50-slot window when the two
-    #     new r9 ops took slots 11-12) — they lead the round-10 window ---
-    "udtf",
-    "fn_agg_collect",
-    "multimodal_decode",
-    "sql_pricing_summary",
-    "stream_stream_join",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "text_decontaminate",
-    "dedup_passage",
-    "dedup_span_rolling",
-    "sample_quality_weighted",
-    "agg_heavy_hitters",
-    # --- 64-...: r07 evidence ---
-    "text_repetition_score",
-    "rollup_time_hypertable",
-    "ts_gap_fill",
-    "win_ntile",
-    "win_range_interval",
-    "cdc_latest_by_key",
-    "text_normalize",
-    "scan_orc",
-    "scan_partition_pruned",
-    "sink_text_formatted",
-    "topk_per_group",
-    "fn_bitwise",
-    "sql_top_revenue_orders",
-    "sql_revenue_by_nation",
-    "stream_custom_state",
-    "dedup_minhash",
-    "stream_watermark_late",
-    "stream_stateful_dedup",
-    "sim_search_ann",
-    "pipeline_seq_pack",
-    "sample_mix_rebalance",
-    "sample_cap_per_source",
-    "agg_ngram_counts",
-    "text_unigram_logprob",
-    "analytics_cohort_retention",
-    "analytics_funnel",
-    "dedup_cluster_keep_best",
-    "stream_file_sink",
-    "analytics_sessionize",
-    "analytics_anomaly_extremes",
-    "cdc_scd2",
-    "join_asof_tolerance",
-    "sample_split_train_eval",
-    "profile_columns",
-    "analytics_active_users_7d",
-    "analytics_pareto_topk",
-    "merge_upsert",
-    "compact_small_files",
-    "agg_quantile_bins",
-    "graph_pagerank",
-    "stream_foreachbatch_upsert",
-    "text_ngram_novelty",
-    "fn_nested",
-    "scan_schema_evolution",
-    "join_bloom_filtered",
-    "sort_zorder_layout",
-    "snapshot_time_travel",
-    "analytics_pattern_match",
-    # --- tail: r08 evidence (freshest) ---
+    # --- r08 evidence ---
     "scan_python_datasource",
     "fn_url",
     "agg_bitmap_distinct",
@@ -244,6 +224,21 @@ DRIVER_PRIORITY: list[str] = [
     "text_chunk_overlap",
     "decontaminate_bloom",
     "agg_kmv_distinct",
+    # --- tail: r10 evidence (freshest — these led the r9/r10 window) ---
+    "graph_triangle_count",
+    "pq_codebooks",
+    "sim_search_pq",
+    "sample_temperature",
+    "stream_kmv_distinct",
+    "sql_customer_distribution",
+    "sql_promising_customers",
+    "ts_motif_match",
+    "stream_minhash_dedup",
+    "rollup_sketch_hierarchy",
+    "dedup_substring",
+    "dedup_substring_scrub",
+    "agg_approx",
+    "sim_search_ivf",
 ]
 
 

@@ -21,6 +21,7 @@ import hashlib
 import os
 import shutil
 import time
+import uuid
 
 import duckdb
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,10 @@ from ..registry import query
 from ..tables import load
 
 CHUNK_ROOT = "/tmp/spark_graft_stream_chunks"
+# Grace window before a superseded fingerprint's chunk dir is reclaimed:
+# long enough for an in-flight replay (chunks replay in seconds) to drain,
+# short enough that a rewritten-corpus leak is bounded to one window.
+_PRUNE_GRACE_S = 600.0
 
 
 def _chunk_ns(sf_dir: str, table: str) -> str:
@@ -52,7 +57,12 @@ def _chunk_ns(sf_dir: str, table: str) -> str:
     key), so one corpus can never evict another's live cache; the only
     deletable state is an older fingerprint of the SAME path, which a
     concurrent reader could be replaying only if the corpus was rewritten
-    mid-run — already undefined for that reader."""
+    mid-run — already undefined for that reader. The sweep is AGE-GATED
+    (only dirs untouched for _PRUNE_GRACE_S go): an rmtree racing a
+    concurrent reader mid-replay turned stale-but-readable data into
+    FileNotFound mid-query (round-9 ADVICE); a grace window lets an
+    in-flight replay of the superseded fingerprint drain first while
+    still reclaiming the space on the next entry after the window."""
     from ..operators.dedup import _corpus_fingerprint
 
     fp = _corpus_fingerprint(sf_dir, table)
@@ -60,12 +70,25 @@ def _chunk_ns(sf_dir: str, table: str) -> str:
         repr((os.path.abspath(sf_dir), table)).encode()
     ).hexdigest()[:12]
     group = f"{os.path.basename(os.path.normpath(sf_dir))}-{gdisc}"
+    if fp is None:
+        # missing/unreadable table: UNCACHEABLE — a per-call namespace,
+        # never pruned-into, never sentinel-reused, so every error state
+        # stays distinct and a table that appears later cannot inherit a
+        # None-keyed chunk set (round-9 ADVICE). The build under it either
+        # fails loudly on the absent parquet or serves this call only.
+        return os.path.join(group, f"uncached-{uuid.uuid4().hex[:12]}")
     fdisc = hashlib.md5(repr(fp).encode()).hexdigest()[:12]
     gdir = os.path.join(CHUNK_ROOT, group)
+    now = time.time()
     try:
         for stale in os.listdir(gdir):
-            if stale != fdisc:
-                shutil.rmtree(os.path.join(gdir, stale), ignore_errors=True)
+            p = os.path.join(gdir, stale)
+            try:
+                idle = now - os.stat(p).st_mtime
+            except OSError:
+                continue
+            if stale != fdisc and idle > _PRUNE_GRACE_S:
+                shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
     return os.path.join(group, fdisc)

@@ -42,6 +42,7 @@ _OPS = (
     "text_pii_scrub",
     "text_quality_score",
     "text_token_count",
+    "text_bpe_tokenize",  # PRETOK_MAX chunks the kilobyte runs in doc 3
     "text_lang_id",
     "text_tfidf",
     "text_unigram_logprob",

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 import pytest
 
@@ -127,10 +128,12 @@ def test_shared_cache_fingerprint_miss_on_rewrite(spark, sf_dir, tmp_path):
 def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
     """The streaming chunk cache must (a) miss when a corpus is rewritten
     in place — round-8 ADVICE: the basename-keyed cache replayed STALE
-    chunks behind its .done sentinel — and (b) prune the superseded
-    fingerprint dir inside the corpus's (abspath, table) group so
-    in-place rewrites don't leak chunk sets under CHUNK_ROOT for the
-    machine's uptime (and never touch other corpora's groups)."""
+    chunks behind its .done sentinel — (b) LEAVE the superseded
+    fingerprint dir alone while it is younger than the prune grace window
+    (round-9 ADVICE: an immediate rmtree raced concurrent readers
+    mid-replay into FileNotFound), and (c) prune it once idle past the
+    window so in-place rewrites don't leak chunk sets under CHUNK_ROOT
+    for the machine's uptime (and never touch other corpora's groups)."""
     import duckdb
 
     from erlang_mapreduce_spark.streaming import streams
@@ -172,9 +175,19 @@ def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
     assert d2 != d1
     assert chunk_docids(d2) == list(range(1, 13))
 
-    # d1/d2 share the (abspath, table) group dir; the superseded
-    # fingerprint dir must be pruned, leaving only the live one
+    # d1/d2 share the (abspath, table) group dir; within the grace window
+    # the superseded fingerprint dir must SURVIVE (a concurrent session
+    # may still be replaying it), so both are present now
     group_dir = os.path.dirname(os.path.dirname(d2))
     assert group_dir == os.path.dirname(os.path.dirname(d1))
     live = os.path.basename(os.path.dirname(d2))
+    stale = os.path.basename(os.path.dirname(d1))
+    assert sorted(os.listdir(group_dir)) == sorted({live, stale})
+
+    # back-date the superseded dir past the grace window: the next cache
+    # entry must reclaim it, leaving only the live fingerprint
+    old = time.time() - streams._PRUNE_GRACE_S - 60
+    os.utime(os.path.dirname(d1), (old, old))
+    d3 = streams._materialize_doc_chunks(str(tmp_path))
+    assert d3 == d2
     assert os.listdir(group_dir) == [live]

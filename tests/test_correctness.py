@@ -9,20 +9,19 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-9 driver window (VERDICT_r08 item 1): the ten r8 ops with zero
-# driver evidence MUST lead the first-50 window, plus agg_approx (output
-# changed this round: self-evidencing rewrite), the flagship (in-window
-# every round), and sim_search_ivf (only op whose last driver attempt
-# FAILED, r5). The remaining slots take r05-evidence ops, oldest left.
-R8_ZERO_EVIDENCE = [
-    "graph_triangle_count", "pq_codebooks", "sim_search_pq",
-    "sample_temperature", "stream_kmv_distinct",
-    "sql_customer_distribution", "sql_promising_customers",
-    "ts_motif_match", "stream_minhash_dedup", "rollup_sketch_hierarchy",
-]
-RECHECK_R9 = [
-    "dedup_substring", "dedup_substring_scrub",  # new in r9 — zero evidence
-    "agg_approx", "text_bigram_freq", "sim_search_ivf",
+# Round-11 driver window (VERDICT_r10 items 1+2): text_bpe_tokenize (new
+# in r10, zero driver evidence) and pipeline_seq_pack (output changed in
+# r10 — packs on real BPE counts now; its r7 evidence certifies the old
+# whitespace impl) MUST lead, then the 13 r05-evidence ops the skipped
+# r10 rotation left stale, then the flagship (in-window every round).
+# The remaining slots take r07-evidence ops, oldest left.
+R11_PRIORITY = [
+    "text_bpe_tokenize", "pipeline_seq_pack",
+    "udtf", "fn_agg_collect", "multimodal_decode", "sql_pricing_summary",
+    "stream_stream_join", "stream_tumbling", "stream_sliding",
+    "stream_session", "text_decontaminate", "dedup_passage",
+    "dedup_span_rolling", "sample_quality_weighted", "agg_heavy_hitters",
+    "text_bigram_freq",
 ]
 
 
@@ -36,36 +35,41 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-9 rotation goal: the ten zero-driver-evidence r8 ops LEAD the
-    checked window (positions 1-10), the two new r9 ops + agg_approx /
-    flagship / sim_search_ivf take 11-15, and 35 r05-evidence ops fill the
-    window EXACTLY — every slot accounted for, so a list edit cannot
-    silently push a priority op past position 50 (the round-9 review
-    caught the section comments drifting exactly this way)."""
+    """Round-11 rotation goal: the zero-evidence / output-changed ops and
+    the 13 stale r05-evidence ops LEAD the checked window, the flagship
+    holds slot 16, and r07-evidence ops fill the rest EXACTLY — every
+    slot accounted for, so a list edit cannot silently push a priority op
+    past position 50 (the round-9 review caught the section comments
+    drifting exactly this way)."""
     order = list(QUERIES)
-    assert order[:10] == R8_ZERO_EVIDENCE
-    assert order[10:15] == RECHECK_R9
+    assert order[: len(R11_PRIORITY)] == R11_PRIORITY
     first50 = order[:50]
-    # slots 16-50 must all be r05-evidence ops: no zero-evidence or
-    # priority op may be displaced below the driver's cutoff
-    R05_EVIDENCE = {
-        "scan_text", "scan_csv_json", "sink_partitioned", "project_select",
-        "filter_pred", "join_broadcast", "join_sortmerge", "join_outer",
-        "join_semi_anti", "join_theta_range", "join_asof", "join_interval",
-        "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
-        "agg_global", "agg_ratio_of_total", "win_rank", "win_analytic",
-        "win_frame", "sort_global", "topk", "set_union_intersect_except",
-        "dedup_exact", "fn_string", "fn_date", "fn_math", "fn_array",
-        "fn_map_json", "text_tokenize", "sim_search", "udf_scalar",
-        "udf_grouped", "udaf", "udtf", "fn_agg_collect",
-        "multimodal_decode", "sql_pricing_summary", "stream_stream_join",
-        "stream_tumbling", "stream_sliding", "stream_session",
-        "text_decontaminate", "dedup_passage", "dedup_span_rolling",
-        "sample_quality_weighted", "agg_heavy_hitters",
+    # the remaining window slots must all be r07-evidence ops: no
+    # zero-evidence or priority op may be displaced below the cutoff
+    R07_EVIDENCE = {
+        "text_repetition_score", "rollup_time_hypertable", "ts_gap_fill",
+        "win_ntile", "win_range_interval", "cdc_latest_by_key",
+        "text_normalize", "scan_orc", "scan_partition_pruned",
+        "sink_text_formatted", "topk_per_group", "fn_bitwise",
+        "sql_top_revenue_orders", "sql_revenue_by_nation",
+        "stream_custom_state", "dedup_minhash", "stream_watermark_late",
+        "stream_stateful_dedup", "sim_search_ann", "sample_mix_rebalance",
+        "sample_cap_per_source", "agg_ngram_counts",
+        "text_unigram_logprob", "analytics_cohort_retention",
+        "analytics_funnel", "dedup_cluster_keep_best", "stream_file_sink",
+        "analytics_sessionize", "analytics_anomaly_extremes", "cdc_scd2",
+        "join_asof_tolerance", "sample_split_train_eval",
+        "profile_columns", "analytics_active_users_7d",
+        "analytics_pareto_topk", "merge_upsert", "compact_small_files",
+        "agg_quantile_bins", "graph_pagerank",
+        "stream_foreachbatch_upsert", "text_ngram_novelty", "fn_nested",
+        "scan_schema_evolution", "join_bloom_filtered",
+        "sort_zorder_layout", "snapshot_time_travel",
+        "analytics_pattern_match",
     }
-    tail = set(first50[15:])
-    assert len(first50) == 50 and tail <= R05_EVIDENCE, (
-        sorted(tail - R05_EVIDENCE)
+    tail = set(first50[len(R11_PRIORITY):])
+    assert len(first50) == 50 and tail <= R07_EVIDENCE, (
+        sorted(tail - R07_EVIDENCE)
     )
 
 

@@ -165,12 +165,15 @@ def test_seq_pack_accounting(spark, sf_dir):
     )
     from erlang_mapreduce_spark.tables import load
 
+    from erlang_mapreduce_spark.operators import bpe
+
     out = pipeline_seq_pack(spark, sf_dir).collect()
     total_out = sum(r.tokens for r in out)
+    # r10: packing budgets are REAL BPE token counts (bpe.doc_token_counts),
+    # not the old whitespace estimate — conserve against the same source.
     total_in = (
-        load(spark, sf_dir, "documents")
-        .select(F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"))
-        .agg(F.sum("n"))
+        bpe.doc_token_counts(load(spark, sf_dir, "documents"))
+        .agg(F.sum("n_tokens"))
         .collect()[0][0]
     )
     assert total_out == total_in

@@ -213,6 +213,32 @@ def test_text_normalize_is_narrow(spark, sf_dir):
     assert "Python" not in p
 
 
+def test_bpe_encodes_vocabulary_not_corpus(spark, sf_dir):
+    """text_bpe_tokenize's scale contract: every documents scan prunes to
+    exactly the columns its branch reads (text for the vocabulary pass,
+    doc_id+text for the fan-out pass, doc_id for the wordless rejoin); the
+    single Python stage (ArrowEvalPython) sits ABOVE the distinct-word
+    aggregate — the merge loop runs per vocabulary entry, never per word
+    occurrence — and the vocab map reaches the fan-out join broadcast."""
+    p = plan_of(QUERIES["text_bpe_tokenize"](spark, sf_dir))
+    schemas = sorted(
+        l.split("struct<")[1].rstrip(">").strip()
+        for l in p.splitlines() if "ReadSchema" in l
+    )
+    assert schemas == [
+        "doc_id:bigint", "doc_id:bigint,text:string", "text:string"
+    ], schemas
+    assert count_nodes(p, "ArrowEvalPython") == 1
+    # the Arrow encode consumes the DISTINCT output: its direct child
+    # (node id - 1 in the formatted dump) is the final HashAggregate of
+    # the distinct's partial/final pair
+    import re
+
+    n = int(re.search(r"ArrowEvalPython \((\d+)\)", p).group(1))
+    assert f"HashAggregate ({n - 1})" in p, p
+    assert "BroadcastExchange" in p
+
+
 def test_agg_mode_two_hash_aggs_no_window(spark, sf_dir):
     """Mode = count-per-pair agg then max(struct) agg — never a sorted
     window over the full table."""
