@@ -70,6 +70,10 @@ HEADLINE = (
     # round-9 additions
     "dedup_substring",
     "dedup_substring_scrub",
+    # round-11 additions (the real-BPE tokenizer family)
+    "text_bpe_tokenize",
+    "bpe_train",
+    "text_bpe_tokenize_trained",
 )
 
 # Timed every run and recorded in BENCH_local_detail.json, but NOT printed
@@ -158,9 +162,9 @@ def main() -> None:
         # shrank the summed set from 43 to 30 ops while keeping the key, so
         # raw cross-round value-vs-value reads showed a spurious ~30%
         # improvement. The op count now lives IN the key — any consumer
-        # comparing against a pre-r9 total fails loudly on the key mismatch
-        # instead of silently comparing different baskets.
-        "metric": "headline30_total_wall",
+        # comparing totals across a basket change fails loudly on the key
+        # mismatch instead of silently comparing different baskets.
+        "metric": f"headline{len(official)}_total_wall",
         "value": total,
         "unit": "sec",
         "n_queries": len(official),

@@ -127,35 +127,61 @@ VOCAB_ID: dict[str, int] = _validate()
 _MERGE_RANK: dict[tuple[str, str], int] = {p: r for r, p in enumerate(MERGES)}
 
 
-def encode(word: str) -> list[int]:
-    """BPE-encode one pre-token → token ids (repeated leftmost-best-rank
-    merge; see module docstring for the equivalence argument)."""
+def encode_with(
+    word: str,
+    rank: dict[tuple[str, str], int],
+    vocab: dict[str, int],
+) -> list[int]:
+    """BPE-encode one pre-token under an arbitrary well-formed merge
+    table → token ids (repeated leftmost-best-rank merge; see module
+    docstring for the equivalence argument — it holds for ANY table whose
+    merge components are base chars or earlier products, which both the
+    shipped table (asserted at import) and `train_merges` output (by
+    construction: a pair involving a later product has count 0 when the
+    earlier merge is learned) satisfy)."""
     toks = list(word)
     while len(toks) > 1:
         best_rank = best_i = -1
         for i in range(len(toks) - 1):
-            r = _MERGE_RANK.get((toks[i], toks[i + 1]), -1)
+            r = rank.get((toks[i], toks[i + 1]), -1)
             if r >= 0 and (best_rank < 0 or r < best_rank):
                 best_rank, best_i = r, i
         if best_rank < 0:
             break
         toks[best_i : best_i + 2] = [toks[best_i] + toks[best_i + 1]]
-    return [VOCAB_ID.get(t, -1) for t in toks]
+    return [vocab.get(t, -1) for t in toks]
 
 
-@F.pandas_udf(T.ArrayType(T.IntegerType()))
-def _bpe_ids_udf(words: pd.Series) -> pd.Series:
-    # Arrow-batched; input is the DISTINCT word table, so the per-word
-    # memo only helps across batch boundaries — kept because it is free.
-    memo: dict[str, list[int]] = {}
+def encode(word: str) -> list[int]:
+    """`encode_with` under the shipped demo table."""
+    return encode_with(word, _MERGE_RANK, VOCAB_ID)
 
-    def enc(w: str) -> list[int]:
-        ids = memo.get(w)
-        if ids is None:
-            ids = memo[w] = encode(w)
-        return ids
 
-    return words.apply(enc)
+def _make_ids_udf(
+    rank: dict[tuple[str, str], int], vocab: dict[str, int]
+):
+    """Arrow-batched word → token-ids UDF over the given merge table.
+    The closure ships the table to executors (bounded: the shipped demo
+    table or a BPE_TRAIN_MERGES-row trained one, never data-sized)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def ids_udf(words: pd.Series) -> pd.Series:
+        # input is the DISTINCT word table, so the per-word memo only
+        # helps across batch boundaries — kept because it is free.
+        memo: dict[str, list[int]] = {}
+
+        def enc(w: str) -> list[int]:
+            ids = memo.get(w)
+            if ids is None:
+                ids = memo[w] = encode_with(w, rank, vocab)
+            return ids
+
+        return words.apply(enc)
+
+    return ids_udf
+
+
+_bpe_ids_udf = _make_ids_udf(_MERGE_RANK, VOCAB_ID)
 
 
 def doc_word_rows(docs: DataFrame) -> DataFrame:
@@ -169,13 +195,14 @@ def doc_word_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_ids(dw: DataFrame) -> DataFrame:
+def word_ids(dw: DataFrame, ids_udf=None) -> DataFrame:
     """(word, ids) — the BPE vocabulary map, one Python encode per
-    DISTINCT word. No hint on the later join: AQE broadcasts this map
-    while it is small and falls back to shuffle when the vocabulary
-    outgrows the broadcast threshold at scale."""
+    DISTINCT word (under `ids_udf`, default = shipped table). No hint on
+    the later join: AQE broadcasts this map while it is small and falls
+    back to shuffle when the vocabulary outgrows the broadcast threshold
+    at scale."""
     return dw.select("word").distinct().select(
-        "word", _bpe_ids_udf("word").alias("ids")
+        "word", (ids_udf or _bpe_ids_udf)("word").alias("ids")
     )
 
 
@@ -208,22 +235,30 @@ _MERGES_VALUES = ", ".join(
 _VOCAB_VALUES = ", ".join(
     f"({_q(t)}, {i})" for t, i in sorted(VOCAB_ID.items(), key=lambda kv: kv[1])
 )
+_BASE_VALUES = ", ".join(f"({_q(c)}, {i})" for i, c in enumerate(BASE_CHARS))
 
-# Shared WITH-clause body: word occurrences → distinct words → recursive
-# merge application → final token list per word. Embed after
-# ``WITH RECURSIVE`` in an oracle. Each recursion step applies the
-# leftmost occurrence of the best-ranked applicable pair (ORDER BY rnk, i)
-# to each still-active word; words with no applicable merge drop out and
-# ``arg_max(toks, it)`` recovers each word's final state.
-ORACLE_WORD_CTES = f"""
-merges(a, b, rnk) AS (VALUES {_MERGES_VALUES}),
+# (doc_id, pos, word) — pre-tokenized word occurrences, the shared root
+# of every oracle in this module (tokenize, train, trained-tokenize).
+_DW_CTE = f"""
 dw AS (
     SELECT doc_id, i AS pos, words[i] AS word
     FROM (SELECT doc_id,
                  regexp_extract_all(lower(text), '{PRETOK_RE}') AS words
           FROM documents),
          unnest(range(1, len(words)+1)) AS t(i)
-),
+)"""
+
+
+def _word_ctes_after_dw(merges_body: str) -> str:
+    """distinct words → recursive merge application → final token list
+    per word, under an arbitrary ``merges(a, b, rnk)`` CTE body (the
+    fixed VALUES table, or a projection of the trained one). Each
+    recursion step applies the leftmost occurrence of the best-ranked
+    applicable pair (ORDER BY rnk, i) to each still-active word; words
+    with no applicable merge drop out and ``arg_max(toks, it)`` recovers
+    each word's final state."""
+    return f"""
+merges(a, b, rnk) AS ({merges_body}),
 uw(word) AS (SELECT DISTINCT word FROM dw),
 base AS (
     SELECT word,
@@ -254,6 +289,13 @@ bpe AS (
 wtoks AS (SELECT word, arg_max(toks, it) AS toks FROM bpe GROUP BY word)
 """
 
+
+# Fixed-table instance: word occurrences + recursive tokenization under
+# the shipped MERGES. Embed after ``WITH RECURSIVE`` in an oracle.
+ORACLE_WORD_CTES = (
+    _DW_CTE + "," + _word_ctes_after_dw(f"VALUES {_MERGES_VALUES}")
+)
+
 # (doc_id, n_tokens) twin of ``doc_token_counts`` — every document, 0 for
 # wordless. Reused by the pipeline_seq_pack oracle.
 ORACLE_DOC_TOKENS_CTES = f"""{ORACLE_WORD_CTES},
@@ -270,12 +312,10 @@ doc_tokens AS (
 
 PREVIEW_K = 24  # leading token ids echoed per doc (bounded output width)
 
-
-@query(
-    "text_bpe_tokenize",
-    oracle=f"""
-WITH RECURSIVE {ORACLE_WORD_CTES},
-vocab(tok, tid) AS (VALUES {_VOCAB_VALUES}),
+# wtoks + vocab → per-doc aggregates: shared tail of the fixed-table and
+# trained-table tokenize oracles (expects ``wtoks`` and ``vocab(tok,
+# tid)`` CTEs in scope).
+_TOKENIZE_TAIL = f"""
 wids AS (
     SELECT u.word, list(coalesce(v.tid, -1) ORDER BY u.i) AS ids
     FROM (SELECT word, i, toks[i] AS tok
@@ -301,30 +341,14 @@ SELECT d.doc_id,
        coalesce(id_checksum, 0) AS id_checksum,
        coalesce(preview_ids, '') AS preview_ids
 FROM documents d LEFT JOIN ds USING (doc_id)
-""",
-)
-def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document BPE tokenization over the fixed merge table: token
-    count, merged-token count (tokens produced by ≥1 merge, i.e. id ≥
-    N_BASE), an id checksum (Σ token ids — pins the exact id sequence
-    modulo permutation), and the first {PREVIEW_K} token ids verbatim
-    (pins order). Together the columns hash-pin the full tokenization;
-    emitting every id per doc would only bloat the comparison payload.
+"""
 
-    Plan: TWO column-pruned scans of the text column — the vocabulary
-    branch (explode → distinct → Arrow-UDF encode, per DISTINCT word, NOT
-    per occurrence) and the fan-out branch (posexplode → equi-join on
-    word) — plus a doc_id-only scan to rejoin wordless docs. The corpus
-    is deliberately rescanned rather than materialized: the exploded
-    frame is corpus-sized, so persisting/checkpointing it at 100 TB costs
-    more than a second columnar parquet scan + regex pass, and both
-    branches prune to exactly the columns they read (pinned in
-    tests/test_plans.py). Shuffles: the distinct, the fan-out join
-    (broadcast under AQE while the vocab map is small), and the doc agg —
-    all keyed, no driver collect, no cartesian."""
-    docs = load(spark, sf_dir, "documents")
+
+def _tokenize_docs(docs: DataFrame, ids_udf=None) -> DataFrame:
+    """The shared tokenize plan (see `text_bpe_tokenize` docstring) under
+    an arbitrary word → ids UDF (default = shipped table)."""
     dw = doc_word_rows(docs)
-    joined = dw.join(word_ids(dw), "word")
+    joined = dw.join(word_ids(dw, ids_udf), "word")
     ordered_ids = F.flatten(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "ids"))),
@@ -353,3 +377,301 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
         F.coalesce("preview_ids", F.lit("")).alias("preview_ids"),
     )
+
+
+@query(
+    "text_bpe_tokenize",
+    oracle=f"""
+WITH RECURSIVE {ORACLE_WORD_CTES},
+vocab(tok, tid) AS (VALUES {_VOCAB_VALUES}),
+{_TOKENIZE_TAIL}
+""",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE tokenization over the fixed merge table: token
+    count, merged-token count (tokens produced by ≥1 merge, i.e. id ≥
+    N_BASE), an id checksum (Σ token ids — pins the exact id sequence
+    modulo permutation), and the first {PREVIEW_K} token ids verbatim
+    (pins order). Together the columns hash-pin the full tokenization;
+    emitting every id per doc would only bloat the comparison payload.
+
+    Plan: TWO column-pruned scans of the text column — the vocabulary
+    branch (explode → distinct → Arrow-UDF encode, per DISTINCT word, NOT
+    per occurrence) and the fan-out branch (posexplode → equi-join on
+    word) — plus a doc_id-only scan to rejoin wordless docs. The corpus
+    is deliberately rescanned rather than materialized: the exploded
+    frame is corpus-sized, so persisting/checkpointing it at 100 TB costs
+    more than a second columnar parquet scan + regex pass, and both
+    branches prune to exactly the columns they read (pinned in
+    tests/test_plans.py). Shuffles: the distinct, the fan-out join
+    (broadcast under AQE while the vocab map is small), and the doc agg —
+    all keyed, no driver collect, no cartesian."""
+    return _tokenize_docs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING — learn the merge table from the corpus, the same
+# trained-artifact pattern as similarity.ivf_centroids / pq_codebooks:
+# a DETERMINISTIC bounded sample collects to the driver, pure-Python
+# training replays bit-identically in the DuckDB oracle (integer pair
+# counts, total-order tie-breaks), and the learned structure comes back
+# as a small DataFrame a production pipeline would persist and ship.
+
+# Rounds to learn. Each round picks argmax-count adjacent pair (ties →
+# lexicographically smallest pair — UTF-8 byte order, identical in
+# Python tuple compare, Spark UTF8String, and DuckDB VARCHAR ORDER BY)
+# and merges all its occurrences leftmost-greedy.
+BPE_TRAIN_MERGES = 12
+# Training reads the TOP-N distinct words by (count DESC, word): the
+# driver-side collect is bounded by design at any corpus size (the
+# IVF_TRAIN_CAP move, similarity.py) — at 100 TB the head of the word
+# frequency distribution carries almost all pair mass, which is why
+# production BPE trainers also train on frequency-truncated word lists.
+BPE_TRAIN_CAP = 50_000
+
+
+def _apply_pair(toks: list[str], a: str, b: str) -> list[str]:
+    """Merge all occurrences of (a, b) in one leftmost-greedy pass —
+    overlaps consume left-first: 'aaa' + (a,a) → [aa, a]."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def train_merges(
+    word_counts: list[tuple[str, int]],
+) -> list[tuple[str, str, int]]:
+    """Classic BPE training (Sennrich et al. 2016) over (word, count)
+    rows: per round, count adjacent token pairs weighted by word count
+    (all positions — overlapping occurrences each count, the standard
+    formulation), take the argmax (ties → smallest pair), merge its
+    occurrences everywhere, repeat. Returns [(lhs, rhs, pair_count)] in
+    learned order; stops early when no adjacent pairs remain. Every
+    component of merge k is a base char or an earlier product (a pair
+    involving a later product has count 0 when k is learned), so the
+    output always satisfies the well-formedness invariant
+    `encode_with`'s equivalence argument needs."""
+    seqs: list[tuple[list[str], int]] = [
+        (list(w), int(c)) for w, c in word_counts
+    ]
+    out: list[tuple[str, str, int]] = []
+    for _ in range(BPE_TRAIN_MERGES):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, c in seqs:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (a, b), pc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((a, b, pc))
+        seqs = [
+            ((_apply_pair(toks, a, b) if len(toks) > 1 else toks), c)
+            for toks, c in seqs
+        ]
+    return out
+
+
+def _trained_table(spark: SparkSession, sf_dir: str):
+    """Collect the capped training sample and train. The collect is the
+    only driver-side materialization: ≤ BPE_TRAIN_CAP (word, count) rows,
+    picked by TakeOrderedAndProject (no global sort materializes)."""
+    docs = load(spark, sf_dir, "documents")
+    rows = (
+        doc_word_rows(docs)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(BPE_TRAIN_CAP)
+        .collect()
+    )
+    return train_merges([(r.word, r.cnt) for r in rows])
+
+
+def _apply_round(src: str, pair: str, dst: str, tag: str) -> str:
+    """One unrolled merge-application round as chained CTEs: rewrite
+    every word in ``src(word, cnt, toks)`` by merging all occurrences of
+    the single pair in ``{pair}(a, b, ...)`` into ``dst``. This is the
+    window-function form of the leftmost-greedy single pass
+    (`_apply_pair`): flag matching positions against the ORIGINAL token
+    list, group consecutive matches into islands (consecutive flags only
+    arise when lhs = rhs), merge at even island offsets, drop each
+    merge's consumed right neighbor (lag()), rebuild the list in position
+    order. Equivalence to `_apply_pair` is pinned property-wise in
+    tests/test_bpe.py. All CTEs MATERIALIZED: inlining would re-expand
+    the whole upstream round chain at every reference (exponential), and
+    none of this sits inside a recursive CTE (where DuckDB 1.0 serves
+    materialized CTEs incompletely — the reason the trained tokenizer
+    unrolls rounds instead of reusing the recursive fixed-table CTE)."""
+    return f"""
+m{tag} AS MATERIALIZED (
+    SELECT word, cnt, i, toks[i] AS tok,
+           coalesce(toks[i] = (SELECT a FROM {pair})
+                    AND i < len(toks)
+                    AND toks[i+1] = (SELECT b FROM {pair}), false) AS m
+    FROM {src}, unnest(range(1, len(toks)+1)) AS t(i)
+),
+g{tag} AS MATERIALIZED (
+    SELECT *, CASE WHEN m THEN i - row_number()
+                   OVER (PARTITION BY word, m ORDER BY i) END AS isl
+    FROM m{tag}
+),
+e{tag} AS MATERIALIZED (
+    SELECT *, m AND ((i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0)
+              AS mg
+    FROM g{tag}
+),
+{dst} AS MATERIALIZED (
+    SELECT word, cnt,
+           list(CASE WHEN mg THEN tok || (SELECT b FROM {pair})
+                     ELSE tok END ORDER BY i) AS toks
+    FROM (SELECT *,
+                 coalesce(lag(mg) OVER (PARTITION BY word ORDER BY i),
+                          false) AS skip
+          FROM e{tag})
+    WHERE NOT skip
+    GROUP BY word, cnt
+)"""
+
+
+def _train_ctes() -> str:
+    """DuckDB twin of `train_merges`, BPE_TRAIN_MERGES rounds unrolled as
+    chained (non-recursive) CTEs — the ivf_centroids construction.
+    Per round k: p{k} counts adjacent pairs weighted by word count; b{k}
+    picks the argmax with a sentinel ('','', -1) union so a pair-less
+    round degrades to a no-op instead of an empty join; `_apply_round`
+    merges the picked pair everywhere. Ends at ``trained(merge_rank,
+    lhs, rhs, pair_count)`` (sentinel rounds — always a suffix —
+    filtered out). Expects ``dw`` in scope."""
+    parts = [f"""
+wc AS MATERIALIZED (
+    SELECT word, cnt FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM dw GROUP BY word
+    ) ORDER BY cnt DESC, word LIMIT {BPE_TRAIN_CAP}
+),
+w0 AS MATERIALIZED (
+    SELECT word, cnt,
+           list_transform(range(1, len(word)+1), i -> word[i]) AS toks
+    FROM wc
+)"""]
+    for k in range(BPE_TRAIN_MERGES):
+        parts.append(f"""
+p{k} AS MATERIALIZED (
+    SELECT toks[i] AS a, toks[i+1] AS b, sum(cnt) AS pc
+    FROM w{k}, unnest(range(1, len(toks))) AS t(i)
+    GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+    SELECT a, b, pc FROM (
+        SELECT a, b, pc FROM p{k}
+        UNION ALL SELECT '', '', -1
+    ) ORDER BY pc DESC, a, b LIMIT 1
+),{_apply_round(f"w{k}", f"b{k}", f"w{k + 1}", f"t{k}")}""")
+    ranks = "\n        UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(BPE_TRAIN_MERGES)
+    )
+    parts.append(f"""
+trained AS MATERIALIZED (
+    SELECT * FROM (
+        {ranks}
+    ) WHERE lhs <> ''
+)""")
+    return ",".join(parts)
+
+
+def _trained_tokenize_ctes() -> str:
+    """Tokenize ALL distinct corpus words under the trained table —
+    WITHOUT recursion: with only BPE_TRAIN_MERGES merges, applying them
+    in RANK ORDER (one all-occurrences pass each, `_apply_round`) is
+    output-identical to the engine's iterative best-rank application,
+    because any pair created by applying merge p has rank > p (the module
+    docstring's invariant, which trained tables satisfy by construction)
+    — so no pass can re-enable an earlier rank. Pinned property-wise in
+    tests/test_bpe.py. The non-recursive form matters: DuckDB 1.0 serves
+    MATERIALIZED CTEs (here: the b{{k}} best-pair rows) incompletely
+    inside a recursive CTE's recursion step, which silently dropped all
+    but the first merge when this oracle reused the fixed-table recursive
+    CTE. Ends at ``wtoks(word, toks)``; expects ``dw`` and the training
+    chain in scope."""
+    parts = [f"""
+v0 AS MATERIALIZED (
+    SELECT word, CAST(0 AS BIGINT) AS cnt,
+           list_transform(range(1, len(word)+1), i -> word[i]) AS toks
+    FROM (SELECT DISTINCT word FROM dw)
+)"""]
+    for k in range(BPE_TRAIN_MERGES):
+        parts.append(
+            _apply_round(f"v{k}", f"b{k}", f"v{k + 1}", f"v{k}")
+        )
+    parts.append(f"""
+wtoks AS (SELECT word, toks FROM v{BPE_TRAIN_MERGES})""")
+    return ",".join(parts)
+
+
+@query(
+    "bpe_train",
+    oracle=f"""
+WITH {_DW_CTE},
+{_train_ctes()}
+SELECT merge_rank, lhs, rhs, pair_count FROM trained
+""",
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table as a DataFrame — (merge_rank, lhs, rhs,
+    pair_count) in learned order. Completes the tokenizer family the way
+    ivf_centroids completes the ANN family: the index/tokenizer STRUCTURE
+    is itself a queryable, oracle-checked table, trained deterministically
+    (integer counts, total-order tie-breaks) so the DuckDB twin re-derives
+    it bit-for-bit by unrolling the same rounds in SQL. Reference analog:
+    the corpus-statistics pass of mapreduce.erl:260-295, generalized from
+    bigram counting to iterative best-pair extraction."""
+    trained = _trained_table(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r, a, b, int(pc)) for r, (a, b, pc) in enumerate(trained)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+
+
+@query(
+    "text_bpe_tokenize_trained",
+    oracle=f"""
+WITH {_DW_CTE},
+{_train_ctes()},
+{_trained_tokenize_ctes()},
+vocab(tok, tid) AS (
+    SELECT tok, min(tid) FROM (
+        SELECT * FROM (VALUES {_BASE_VALUES}) b(tok, tid)
+        UNION ALL
+        SELECT lhs || rhs, {N_BASE} + merge_rank FROM trained
+    ) GROUP BY tok
+),
+{_TOKENIZE_TAIL}
+""",
+)
+def text_bpe_tokenize_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text_bpe_tokenize` with the TRAINED merge table in place of the
+    shipped demo constants — the end-to-end production shape: learn the
+    tokenizer from the corpus (`bpe_train`), then budget the same corpus
+    with it. Same plan as text_bpe_tokenize plus the bounded training
+    collect; token ids are BASE_CHARS then merge products by rank (two
+    pairs can yield one product string — ('a','bc') and ('ab','c') —
+    so the vocab keeps the FIRST rank's id; the oracle's min(tid)
+    mirrors that)."""
+    docs = load(spark, sf_dir, "documents")
+    trained = _trained_table(spark, sf_dir)
+    rank = {(a, b): r for r, (a, b, _) in enumerate(trained)}
+    vocab = {c: i for i, c in enumerate(BASE_CHARS)}
+    for r, (a, b, _) in enumerate(trained):
+        vocab.setdefault(a + b, N_BASE + r)
+    return _tokenize_docs(docs, _make_ids_udf(rank, vocab))

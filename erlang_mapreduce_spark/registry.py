@@ -54,21 +54,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
 # Round-11 window (this ordering), oldest-evidence-first policy:
-#   1:     text_bpe_tokenize (NEW in r10, ZERO driver evidence —
-#          VERDICT_r10 item 1).
-#   2:     pipeline_seq_pack (output CHANGED in r10 — now packs on real
+#   1-3:   text_bpe_tokenize (NEW in r10, ZERO driver evidence —
+#          VERDICT_r10 item 1) + bpe_train / text_bpe_tokenize_trained
+#          (NEW in r11, zero evidence).
+#   4:     pipeline_seq_pack (output CHANGED in r10 — now packs on real
 #          BPE token counts; its r7 evidence certifies the old
 #          whitespace implementation).
-#   3-15:  the 13 ops whose newest driver evidence is r05 (they led the
+#   5-17:  the 13 ops whose newest driver evidence is r05 (they led the
 #          planned round-10 window, but the r10 rotation never shipped —
 #          VERDICT_r10 item 2).
-#   16:    text_bigram_freq (the flagship, in-window every round).
-#   17-50: the first 34 of the 48 r07-evidence ops (pipeline_seq_pack
-#          already holds slot 2).
+#   18:    text_bigram_freq (the flagship, in-window every round).
+#   19-50: the first 32 of the 48 r07-evidence ops (pipeline_seq_pack
+#          already holds slot 4).
 # After r11: no op's evidence predates r7.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-2: zero-evidence / output-changed ops ---
+    # --- 1-4: zero-evidence / output-changed ops ---
     "text_bpe_tokenize",
+    "bpe_train",
+    "text_bpe_tokenize_trained",
     "pipeline_seq_pack",
     # --- 3-15: the 13 r05-evidence ops (oldest evidence in the registry;
     #     missed the r9 window and the r10 rotation never happened) ---
@@ -85,9 +88,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_span_rolling",
     "sample_quality_weighted",
     "agg_heavy_hitters",
-    # --- 16: the flagship (in-window every round per policy) ---
+    # --- 18: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    # --- 17-50: the first 34 of the r07-evidence block ---
+    # --- 19-50: the first 32 of the r07-evidence block ---
     "text_repetition_score",
     "rollup_time_hypertable",
     "ts_gap_fill",
@@ -120,10 +123,10 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_scd2",
     "join_asof_tolerance",
     "sample_split_train_eval",
+    # --- 51-...: the remaining 15 r07-evidence ops (lead the round-12
+    #     window) ---
     "profile_columns",
     "analytics_active_users_7d",
-    # --- 51-...: the remaining 13 r07-evidence ops (lead the round-12
-    #     window) ---
     "analytics_pareto_topk",
     "merge_upsert",
     "compact_small_files",

@@ -43,6 +43,8 @@ _OPS = (
     "text_quality_score",
     "text_token_count",
     "text_bpe_tokenize",  # PRETOK_MAX chunks the kilobyte runs in doc 3
+    "bpe_train",                 # trained on the hostile vocabulary
+    "text_bpe_tokenize_trained",
     "text_lang_id",
     "text_tfidf",
     "text_unigram_logprob",

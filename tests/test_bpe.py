@@ -135,3 +135,120 @@ def test_doc_token_counts_keeps_wordless_docs(spark):
            bpe.doc_token_counts(df).collect()}
     # 'the' → [the] (1), 'cat' → [c, at] (2); NULL/empty/whitespace → 0
     assert got == {1: 3, 2: 0, 3: 0, 4: 0}
+
+
+# ---------------------------------------------------------------------------
+# Training (bpe_train) pins.
+
+
+def _windowed_apply(toks, a, b):
+    """Pure-Python mirror of the SQL `_apply_round` window construction
+    (match flags on the original list → islands of consecutive matches →
+    merge at even island offsets → drop each merge's right neighbor), so
+    hypothesis can hunt for divergence from the single-pass fold."""
+    n = len(toks)
+    m = [i + 1 < n and toks[i] == a and toks[i + 1] == b for i in range(n)]
+    mg = [False] * n
+    i = 0
+    while i < n:
+        if m[i]:
+            start = i
+            while i < n and m[i]:
+                mg[i] = (i - start) % 2 == 0
+                i += 1
+        else:
+            i += 1
+    out, skip = [], False
+    for i in range(n):
+        if skip:
+            skip = False
+            continue
+        if mg[i]:
+            out.append(a + b)
+            skip = True
+        else:
+            out.append(toks[i])
+    return out
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "aa", "ab", "ba"]),
+                  min_size=0, max_size=12),
+    a=st.sampled_from(["a", "b", "aa", "ab"]),
+    b=st.sampled_from(["a", "b", "aa", "ab"]),
+)
+def test_windowed_apply_equals_single_pass(toks, a, b):
+    assert _windowed_apply(toks, a, b) == bpe._apply_pair(list(toks), a, b)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    word=st.text(alphabet="abcd", min_size=0, max_size=16),
+    merges=_merge_tables(),
+)
+def test_rank_order_pass_equals_leftmost(word, merges):
+    """The trained-tokenize ORACLE applies merges in rank order, one
+    all-occurrences pass each (non-recursive — the DuckDB 1.0 workaround);
+    the ENGINE applies iterative leftmost-best-rank. Equal for any
+    well-formed table: a pair created by merge p has rank > p, so one
+    rank-order pass can never re-enable an earlier rank."""
+    rank = {p: r for r, p in enumerate(merges)}
+    toks = list(word)
+    for a, b in merges:
+        if len(toks) > 1:
+            toks = bpe._apply_pair(toks, a, b)
+    assert toks == _leftmost_bpe(word, rank)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    words=st.lists(
+        st.tuples(st.text(alphabet="abcde", min_size=1, max_size=8),
+                  st.integers(min_value=1, max_value=9)),
+        min_size=0, max_size=12,
+    )
+)
+def test_train_merges_output_well_formed(words):
+    """Every learned merge's components must be single input chars or
+    earlier products — the invariant `encode_with`'s equivalence argument
+    (and the oracle's rank-order pass) rests on."""
+    trained = bpe.train_merges(words)
+    assert len(trained) <= bpe.BPE_TRAIN_MERGES
+    vocab = {c for w, _ in words for c in w}
+    for a, b, pc in trained:
+        assert a in vocab and b in vocab and pc >= 1
+        vocab.add(a + b)
+
+
+def test_train_merges_known_corpus():
+    # ("abab", 2): pairs (a,b) x2, (b,a) x1 per copy; ("ab", 1): (a,b) x1
+    # round 0: (a,b) count 5 beats (b,a) count 2 -> abab=[ab,ab], ab=[ab]
+    # round 1: (ab,ab) count 2 -> [abab]; round 2: no pairs -> stop
+    assert bpe.train_merges([("abab", 2), ("ab", 1)]) == [
+        ("a", "b", 5), ("ab", "ab", 2)
+    ]
+    # count tie between (a,b) and (b,a): lexicographically smaller wins
+    assert bpe.train_merges([("ab", 1), ("ba", 1)])[0] == ("a", "b", 1)
+    assert bpe.train_merges([]) == []
+    # single-char words carry no pairs
+    assert bpe.train_merges([("a", 100), ("b", 7)]) == []
+
+
+def test_trained_table_feeds_encode():
+    """encode_with under a trained table reproduces the trainer's own
+    final segmentation of its training words (rank-order == best-rank)."""
+    corpus = [("the", 10), ("then", 4), ("lathe", 2), ("hen", 5)]
+    trained = bpe.train_merges(corpus)
+    rank = {(a, b): r for r, (a, b, _) in enumerate(trained)}
+    vocab = {c: i for i, c in enumerate(bpe.BASE_CHARS)}
+    for r, (a, b, _) in enumerate(trained):
+        vocab.setdefault(a + b, bpe.N_BASE + r)
+    inv = {v: k for k, v in vocab.items()}
+    for word, _ in corpus:
+        toks = list(word)
+        for a, b, _ in trained:
+            toks = bpe._apply_pair(toks, a, b)
+        got = [inv.get(i, "<unk>") for i in
+               bpe.encode_with(word, rank, vocab)]
+        assert got == toks, (word, got, toks)

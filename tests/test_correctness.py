@@ -16,7 +16,8 @@ from .oracle import assert_driver_hashable, driver_canon, run_compare
 # r10 rotation left stale, then the flagship (in-window every round).
 # The remaining slots take r07-evidence ops, oldest left.
 R11_PRIORITY = [
-    "text_bpe_tokenize", "pipeline_seq_pack",
+    "text_bpe_tokenize", "bpe_train", "text_bpe_tokenize_trained",
+    "pipeline_seq_pack",
     "udtf", "fn_agg_collect", "multimodal_decode", "sql_pricing_summary",
     "stream_stream_join", "stream_tumbling", "stream_sliding",
     "stream_session", "text_decontaminate", "dedup_passage",

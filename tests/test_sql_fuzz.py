@@ -306,7 +306,7 @@ DOC_OPS = (
     "text_quality_score", "text_token_count", "text_normalize",
     "text_tokenize", "text_bigram_freq", "text_repetition_score",
     "text_unigram_logprob", "text_ngram_novelty", "text_decontaminate",
-    "text_bpe_tokenize",
+    "text_bpe_tokenize", "bpe_train", "text_bpe_tokenize_trained",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash",
     "dedup_containment", "dedup_substring", "dedup_substring_scrub",
     "dedup_passage", "dedup_span_rolling", "dedup_cluster_cc",

@@ -88,6 +88,13 @@ OPS = (
     # (expected output-linear, like text_chunk_overlap)
     "dedup_substring",
     "dedup_substring_scrub",
+    # round-11 additions: the BPE family — alpha evidence that the Python
+    # encode stays vocabulary-sized (replicated docs share one vocabulary,
+    # so only the JVM-side explode/join/agg should scale) and that
+    # training cost is sample-bounded (top-cap word list, constant here)
+    "text_bpe_tokenize",
+    "bpe_train",
+    "text_bpe_tokenize_trained",
 )
 
 
@@ -269,6 +276,19 @@ def main() -> None:
         "op cannot avoid, same as chunk_overlap's). On organic data the",
         "anchor stage is linear in distinct text volume and the pair stage",
         "is bounded by SUBSTR_OCC_CAP per gram — never all-pairs.",
+        "",
+        f"Round-11: the BPE family. text_bpe_tokenize ({a('text_bpe_tokenize')})",
+        "runs its Python encode per DISTINCT word (replicas share one",
+        "vocabulary, so the Arrow stage is constant across scales) — the",
+        "data-proportional stages are the JVM-side explode, fan-out join,",
+        "and per-doc aggregate, which track the scan on this fixture.",
+        f"bpe_train ({a('bpe_train')}) is sample-bounded by construction:",
+        "the only data-sized work is the distinct-word count feeding the",
+        "top-cap TakeOrdered collect; the training rounds run driver-side",
+        "on ≤ BPE_TRAIN_CAP rows whatever the corpus size.",
+        f"text_bpe_tokenize_trained ({a('text_bpe_tokenize_trained')})",
+        "composes the two: training cost constant, tokenize cost =",
+        "text_bpe_tokenize's.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.md")
