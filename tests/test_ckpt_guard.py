@@ -191,3 +191,24 @@ def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
     d3 = streams._materialize_doc_chunks(str(tmp_path))
     assert d3 == d2
     assert os.listdir(group_dir) == [live]
+
+
+def test_none_fingerprint_is_uncacheable(tmp_path):
+    """A missing/unreadable corpus must NOT become a cache key: the
+    shared materialization falls through to the builder (no entry that a
+    later-appearing table could alias), and the streaming chunk namespace
+    is unique per call (no .done sentinel reuse across error states)."""
+    from erlang_mapreduce_spark.operators import dedup
+    from erlang_mapreduce_spark.streaming import streams
+
+    missing = str(tmp_path / "no_such_corpus")
+    sentinel = object()
+    # spark is only touched after the fingerprint gate — None proves the
+    # early return happened and nothing was cached
+    out = dedup._shared_materialize(None, missing, "x", lambda: sentinel)
+    assert out is sentinel
+
+    a = streams._chunk_ns(missing, "documents")
+    b = streams._chunk_ns(missing, "documents")
+    assert "uncached-" in a and a != b
+    assert os.path.dirname(a) == os.path.dirname(b)  # same (path) group
