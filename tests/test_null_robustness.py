@@ -76,6 +76,9 @@ _OPS = (
     "text_pii_scrub",
     "text_quality_score",
     "text_token_count",
+    "text_bpe_tokenize",
+    "bpe_train",
+    "text_bpe_tokenize_trained",
     "text_lang_id",
     "text_tfidf",
     "text_unigram_logprob",

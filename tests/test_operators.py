@@ -200,6 +200,8 @@ def test_seq_pack_accounting(spark, sf_dir):
         "dedup_ngram_jaccard",     # integer-exact candidate + verify path
         "sample_mix_rebalance",    # md5-uniform decisions, per-lang counts
         "pipeline_seq_pack",       # per-shard cumsum independent of layout
+        "text_bpe_tokenize",       # distinct-word encode across Arrow batch splits
+        "bpe_train",               # pair-count argmax independent of scan layout
         "dedup_cluster_keep_best",  # iterative CC + argmax keeper per cluster
         "analytics_funnel",        # sequenced min-ts chain across 3 aggs
         "text_unigram_logprob",    # decimal-weighted mean over corpus LM
