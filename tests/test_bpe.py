@@ -252,3 +252,42 @@ def test_trained_table_feeds_encode():
         got = [inv.get(i, "<unk>") for i in
                bpe.encode_with(word, rank, vocab)]
         assert got == toks, (word, got, toks)
+
+
+def test_sql_apply_round_matches_apply_pair():
+    """Run the ACTUAL `_apply_round` SQL fragment (not its Python mirror)
+    in DuckDB over randomized token lists and every pair from the pool —
+    including lhs == rhs overlap chains — and require the rewritten lists
+    to equal `_apply_pair`'s output word for word. This pins the oracle
+    fragment itself; the hypothesis test above pins the algorithm."""
+    import duckdb
+
+    rng = __import__("random").Random(77)
+    pool = ["a", "b", "aa", "ab", "ba"]
+    words = [
+        (f"w{i}", [rng.choice(pool) for _ in range(rng.randint(1, 10))])
+        for i in range(120)
+    ]
+
+    def lit(toks):
+        return "[" + ", ".join(f"'{t}'" for t in toks) + "]"
+
+    values = ", ".join(
+        f"('{w}', 1, {lit(toks)})" for w, toks in words
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE src (word VARCHAR, cnt BIGINT, toks VARCHAR[]);"
+        f"INSERT INTO src VALUES {values}"
+    )
+    for a in pool:
+        for b in pool:
+            sql = (
+                f"WITH pairx AS (SELECT '{a}' AS a, '{b}' AS b, 1 AS pc),"
+                f"{bpe._apply_round('src', 'pairx', 'dst', 'z')} "
+                "SELECT word, toks FROM dst"
+            )
+            got = dict(con.execute(sql).fetchall())
+            for w, toks in words:
+                want = bpe._apply_pair(list(toks), a, b)
+                assert got[w] == want, (w, toks, a, b, got[w], want)
