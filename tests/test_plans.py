@@ -239,6 +239,31 @@ def test_bpe_encodes_vocabulary_not_corpus(spark, sf_dir):
     assert "BroadcastExchange" in p
 
 
+def test_bpe_training_sample_is_take_ordered(spark, sf_dir):
+    """bpe_train's only driver-side materialization is the capped
+    training sample; its plan must be TakeOrderedAndProject (per-partition
+    top-cap merged once) — a global Sort before the limit would
+    materialize the full vocabulary ordering at 100 TB."""
+    from erlang_mapreduce_spark.operators.bpe import (
+        BPE_TRAIN_CAP,
+        doc_word_rows,
+    )
+    from erlang_mapreduce_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    sample = (
+        doc_word_rows(docs)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(BPE_TRAIN_CAP)
+    )
+    p = plan_of(sample)
+    assert count_nodes(p, "TakeOrderedAndProject") == 1
+    assert "Sort (" not in p, p
+
+
 def test_agg_mode_two_hash_aggs_no_window(spark, sf_dir):
     """Mode = count-per-pair agg then max(struct) agg — never a sorted
     window over the full table."""
