@@ -437,7 +437,11 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rounds to learn. Each round picks argmax-count adjacent pair (ties →
 # lexicographically smallest pair — UTF-8 byte order, identical in
 # Python tuple compare, Spark UTF8String, and DuckDB VARCHAR ORDER BY)
-# and merges all its occurrences leftmost-greedy.
+# and merges all its occurrences leftmost-greedy. Demo-scale
+# configuration, like IVF_K/IVF_ITERS (similarity.py): a production
+# tokenizer trains 10k+ merges, and the cost model holds — each round is
+# one pass over the ≤ BPE_TRAIN_CAP sample regardless of corpus size,
+# and the oracle's unrolled CTE chain grows linearly in rounds.
 BPE_TRAIN_MERGES = 12
 # Training reads the TOP-N distinct words by (count DESC, word): the
 # driver-side collect is bounded by design at any corpus size (the
