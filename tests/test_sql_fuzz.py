@@ -205,7 +205,11 @@ def test_relational_op_matches_oracle_on_random_db(spark, fuzz_dirs, name):
 _VOCAB = (
     "the fast key order sort table scan merge part window small hash "
     "join batch stream spark dup alpha beta gamma delta rook pawn née "
-    "tokyo zürich data row"
+    "tokyo zürich data row "
+    # longer than bpe.PRETOK_MAX: exercises the bounded-quantifier
+    # chunking (24+21 chars) in every randomized doc-op trial, not just
+    # the fixed adversarial fixture
+    "pneumonoultramicroscopicsilicovolcanoconiosis"
 ).split()
 
 
