@@ -73,7 +73,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_train",
     "text_bpe_tokenize_trained",
     "pipeline_seq_pack",
-    # --- 3-15: the 13 r05-evidence ops (oldest evidence in the registry;
+    # --- 5-17: the 13 r05-evidence ops (oldest evidence in the registry;
     #     missed the r9 window and the r10 rotation never happened) ---
     "udtf",
     "fn_agg_collect",

@@ -57,12 +57,18 @@ def _chunk_ns(sf_dir: str, table: str) -> str:
     key), so one corpus can never evict another's live cache; the only
     deletable state is an older fingerprint of the SAME path, which a
     concurrent reader could be replaying only if the corpus was rewritten
-    mid-run — already undefined for that reader. The sweep is AGE-GATED
-    (only dirs untouched for _PRUNE_GRACE_S go): an rmtree racing a
-    concurrent reader mid-replay turned stale-but-readable data into
-    FileNotFound mid-query (round-9 ADVICE); a grace window lets an
-    in-flight replay of the superseded fingerprint drain first while
-    still reclaiming the space on the next entry after the window."""
+    mid-run — already undefined for that reader. The sweep is AGE-GATED,
+    and the clock starts at SUPERSESSION, not at the dir's last write
+    (round-11 ADVICE: gating on st_mtime alone deleted any dir built more
+    than _PRUNE_GRACE_S ago the instant the corpus was rewritten — the
+    grace only protected young dirs, and the round-9 FileNotFound race
+    survived for old ones): the first sweep that sights a stale
+    fingerprint dir drops a ``.superseded`` marker in it and skips; only
+    a later sweep finding the marker older than _PRUNE_GRACE_S rmtrees.
+    Every superseded dir therefore gets one full grace window measured
+    from when it was first seen superseded, letting an in-flight replay
+    drain, while in-place rewrites still reclaim space on the next entry
+    after the window."""
     from ..operators.dedup import _corpus_fingerprint
 
     fp = _corpus_fingerprint(sf_dir, table)
@@ -82,13 +88,21 @@ def _chunk_ns(sf_dir: str, table: str) -> str:
     now = time.time()
     try:
         for stale in os.listdir(gdir):
-            p = os.path.join(gdir, stale)
-            try:
-                idle = now - os.stat(p).st_mtime
-            except OSError:
+            if stale == fdisc:
                 continue
-            if stale != fdisc and idle > _PRUNE_GRACE_S:
-                shutil.rmtree(p, ignore_errors=True)
+            p = os.path.join(gdir, stale)
+            marker = os.path.join(p, ".superseded")
+            try:
+                if now - os.stat(marker).st_mtime > _PRUNE_GRACE_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                # first sighting since supersession: start the grace
+                # clock NOW (never from the dir's build time) and skip
+                try:
+                    with open(marker, "w") as f:
+                        f.write("grace clock: see _chunk_ns docstring")
+                except OSError:
+                    pass
     except OSError:
         pass
     return os.path.join(group, fdisc)

@@ -129,11 +129,15 @@ def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
     """The streaming chunk cache must (a) miss when a corpus is rewritten
     in place — round-8 ADVICE: the basename-keyed cache replayed STALE
     chunks behind its .done sentinel — (b) LEAVE the superseded
-    fingerprint dir alone while it is younger than the prune grace window
-    (round-9 ADVICE: an immediate rmtree raced concurrent readers
-    mid-replay into FileNotFound), and (c) prune it once idle past the
-    window so in-place rewrites don't leak chunk sets under CHUNK_ROOT
-    for the machine's uptime (and never touch other corpora's groups)."""
+    fingerprint dir alone for a full grace window measured from
+    SUPERSESSION, not from its last write (round-9 ADVICE: an immediate
+    rmtree raced concurrent readers mid-replay into FileNotFound;
+    round-11 ADVICE: gating on st_mtime deleted any dir BUILT more than
+    the grace ago instantly — the first sighting must start the clock via
+    a .superseded marker, however old the dir), and (c) prune it once the
+    marker ages past the window so in-place rewrites don't leak chunk
+    sets under CHUNK_ROOT for the machine's uptime (and never touch
+    other corpora's groups)."""
     import duckdb
 
     from erlang_mapreduce_spark.streaming import streams
@@ -168,6 +172,12 @@ def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
     d1 = streams._materialize_doc_chunks(str(tmp_path))
     assert chunk_docids(d1) == list(range(1, 9))
 
+    # back-date the FIRST build far past the grace window before
+    # superseding it: under the round-11-flagged st_mtime gate this dir
+    # would be rmtree'd by the very next sweep, racing live readers
+    old = time.time() - streams._PRUNE_GRACE_S - 60
+    os.utime(os.path.dirname(d1), (old, old))
+
     # rewrite IN PLACE with different content (different size => new
     # fingerprint): the cache must rebuild, not replay the stale chunks
     write_docs([f"beta document rewritten {i}" for i in range(12)])
@@ -175,19 +185,26 @@ def test_stream_chunk_cache_rewrite_miss_and_prune(tmp_path):
     assert d2 != d1
     assert chunk_docids(d2) == list(range(1, 13))
 
-    # d1/d2 share the (abspath, table) group dir; within the grace window
-    # the superseded fingerprint dir must SURVIVE (a concurrent session
-    # may still be replaying it), so both are present now
+    # d1/d2 share the (abspath, table) group dir; the superseded
+    # fingerprint dir must SURVIVE its first sighting no matter how old
+    # its own mtime is (a concurrent session may still be replaying it) —
+    # the sweep instead starts the grace clock by dropping a marker
     group_dir = os.path.dirname(os.path.dirname(d2))
     assert group_dir == os.path.dirname(os.path.dirname(d1))
     live = os.path.basename(os.path.dirname(d2))
     stale = os.path.basename(os.path.dirname(d1))
     assert sorted(os.listdir(group_dir)) == sorted({live, stale})
+    marker = os.path.join(os.path.dirname(d1), ".superseded")
+    assert os.path.exists(marker)
 
-    # back-date the superseded dir past the grace window: the next cache
-    # entry must reclaim it, leaving only the live fingerprint
-    old = time.time() - streams._PRUNE_GRACE_S - 60
-    os.utime(os.path.dirname(d1), (old, old))
+    # a sweep INSIDE the grace window (marker is fresh) must still skip
+    d2b = streams._materialize_doc_chunks(str(tmp_path))
+    assert d2b == d2
+    assert sorted(os.listdir(group_dir)) == sorted({live, stale})
+
+    # back-date the MARKER past the grace window: the next cache entry
+    # must reclaim the dir, leaving only the live fingerprint
+    os.utime(marker, (old, old))
     d3 = streams._materialize_doc_chunks(str(tmp_path))
     assert d3 == d2
     assert os.listdir(group_dir) == [live]

@@ -38,7 +38,7 @@ def test_driver_priority_covers_registry():
 def test_rotation_targets_in_first_50():
     """Round-11 rotation goal: the zero-evidence / output-changed ops and
     the 13 stale r05-evidence ops LEAD the checked window, the flagship
-    holds slot 16, and r07-evidence ops fill the rest EXACTLY — every
+    holds slot 18, and r07-evidence ops fill the rest EXACTLY — every
     slot accounted for, so a list edit cannot silently push a priority op
     past position 50 (the round-9 review caught the section comments
     drifting exactly this way)."""
