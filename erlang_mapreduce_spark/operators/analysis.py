@@ -107,12 +107,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + the REAL tokenizer's
     pre-token count (bpe.PRETOK_RE — letter/digit runs capped at
     PRETOK_MAX chars, single other chars). ``pretok_count`` is a cheap
-    single-scan UPPER BOUND on the BPE token count (merges only shrink a
-    pre-token, never split it); the exact budget is
-    ``text_bpe_tokenize``'s n_tokens / ``bpe.doc_token_counts``, which is
-    what ``pipeline_seq_pack`` packs on. Named pretok_count (r11, was
-    bpe_ish_tokens) so no consumer mistakes the estimate for the
-    budget."""
+    single-scan UPPER BOUND on the char-level BPE token count (merges
+    only shrink a pre-token, never split it); the exact budget is
+    ``bpe.doc_token_counts`` (BYTE-level since r12 — real ids for every
+    script), which is what ``pipeline_seq_pack`` packs on. Named
+    pretok_count (r11, was bpe_ish_tokens) so no consumer mistakes the
+    estimate for the budget."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -8,7 +8,11 @@ best-ranked adjacent pair until no merge from the table applies
 ``merges.txt``). The merge TABLE here is a fixed English demo table —
 in production it is configuration, swapped for the model tokenizer's
 published merges; the ALGORITHM and the Spark plan shape are what this
-module pins.
+module pins. Two families share that machinery: the CHAR-level demo
+(readable tokens, [a-z0-9]+punct base) and the BYTE-level production
+design (`text_bpe_tokenize_bytes` / `doc_token_counts` — UTF-8 bytes as
+the base vocabulary, so every script budgets to real ids; see the
+BYTE-LEVEL section below).
 
 Equivalence note for the oracle: we apply ONE merge per step — the
 leftmost occurrence of the lowest-ranked (earliest-learned) pair present.
@@ -128,6 +132,144 @@ VOCAB_ID: dict[str, int] = _validate()
 _MERGE_RANK: dict[tuple[str, str], int] = {p: r for r, p in enumerate(MERGES)}
 
 
+# ---------------------------------------------------------------------------
+# BYTE-LEVEL BPE — the production design (GPT-2's actual base vocabulary):
+# every pre-token decomposes into its UTF-8 BYTES, so the base vocabulary
+# is the 256 byte values and NO input is ever unbudgetable — a Cyrillic or
+# CJK document tokenizes to real ids (multi-byte letters as 2-4 byte
+# tokens, compressed by learned byte merges), never to <unk>. This is the
+# budget `doc_token_counts` feeds to pipeline_seq_pack / downstream
+# mixing: the char-level family above stays as the readable demo surface
+# (and keeps its oracle history), but anything that BUDGETS text uses
+# bytes, because a budget that returns "500 unknowns" for a Russian doc
+# is semantically wrong, not approximate.
+#
+# Representation: a byte token is its 2-char uppercase hex image ("74",
+# "C3"), a merged token the concatenation of its parts ("7468" = "th").
+# Hex is the one byte encoding BOTH engines can produce verbatim —
+# Python's b"%02X", Spark never sees the tokens (the Arrow UDF works from
+# the raw word), and DuckDB's hex(encode(word)) — so the recursive-CTE
+# merge machinery below runs unchanged on byte tokens, and the oracle
+# stays exact on any input, ASCII or not.
+#
+# Pre-tokenizer: unicode letter runs / digit runs / single other chars,
+# CASE-SENSITIVE (byte-level tokenizers do not casefold — and skipping
+# lower() also sidesteps the three documented Java-vs-DuckDB casefold
+# divergences in tests/test_unicode_parity.py). Whitespace is spelled as
+# an explicit char class instead of \s because Java counts U+000B in \s
+# and RE2 does not (the same parity test pins that divergence); \p{L} is
+# the Unicode letter category in BOTH regex dialects (parity pinned in
+# test_unicode_parity.py over mixed-script fixtures).
+PRETOK_BYTES_RE = (
+    f"[\\p{{L}}]{{1,{PRETOK_MAX}}}|[0-9]{{1,{PRETOK_MAX}}}"
+    "|[^\\p{L}0-9\\t\\n\\x0B\\f\\r ]"
+)
+
+N_BYTES = 256  # byte value b has id b; merge product k gets id 256 + k
+
+
+def word_byte_tokens(word: str) -> list[str]:
+    """A word's base token list: the 2-char hex image of each UTF-8
+    byte."""
+    return [f"{b:02X}" for b in word.encode("utf-8")]
+
+
+def _ascii_hex(s: str) -> str:
+    return "".join(f"{ord(c):02X}" for c in s)
+
+
+# Scripts whose letters get dedicated byte merges in the demo table: the
+# highest-frequency lowercase letters of several 2-byte-UTF-8 scripts plus
+# common 3-byte CJK/kana. Like MERGES this is demo-scale CONFIGURATION (a
+# production table ships tens of thousands of learned byte merges); the
+# point it pins is structural — multi-byte letters of covered scripts
+# collapse to ONE real token id each, and UNcovered scripts still budget
+# honestly as per-byte tokens, never <unk>.
+_NONLATIN_CHARS = (
+    "абвгдежзийклмнопрстуфхцчшщъыьэюя"  # Cyrillic (Russian lowercase)
+    "αβγδεζηθικλμνξοπρσςτυφχψω"         # Greek lowercase
+    "ابتثجحخدذرزسشصضطظعغفقكلمنهوي"      # Arabic base letters
+    "äöüßéèêëàâçîïñíóúãõø"              # Latin-1/2 accents
+    "一二三人日月年时的是不了在有中文世界国大小上下"  # frequent CJK
+    "のにはをがとでたしてい"             # frequent hiragana
+)
+
+
+def _gen_byte_merges() -> tuple[tuple[str, str], ...]:
+    """The byte-level demo merge table: (a) the hex image of every
+    char-level merge — on pure-ASCII lowercase text byte-level
+    tokenization is then isomorphic to the char-level demo — plus (b)
+    lead+continuation merges so each _NONLATIN_CHARS letter becomes a
+    single token (for 3-byte chars: two chained merges, the second
+    consuming the first's product). Deterministic, duplicate-products
+    skipped, and every component is a base byte or an earlier product —
+    the well-formedness invariant the oracle equivalence argument needs
+    (re-asserted by _validate_bytes at import)."""
+    merges: list[tuple[str, str]] = [
+        (_ascii_hex(a), _ascii_hex(b)) for a, b in MERGES
+    ]
+    known = {f"{i:02X}" for i in range(N_BYTES)}
+    known.update(a + b for a, b in merges)
+    for ch in _NONLATIN_CHARS:
+        toks = word_byte_tokens(ch)
+        while len(toks) > 1:
+            prod = toks[0] + toks[1]
+            if prod not in known:
+                merges.append((toks[0], toks[1]))
+                known.add(prod)
+            toks = [prod] + toks[2:]
+    return tuple(merges)
+
+
+BYTE_MERGES: tuple[tuple[str, str], ...] = _gen_byte_merges()
+
+
+def _validate_bytes() -> dict[str, int]:
+    """Same well-formedness assertions as _validate, over the byte table."""
+    vocab: dict[str, int] = {f"{i:02X}": i for i in range(N_BYTES)}
+    for k, (a, b) in enumerate(BYTE_MERGES):
+        assert a in vocab and b in vocab, f"byte merge {k}: unknown component"
+        prod = a + b
+        assert prod not in vocab, f"byte merge {k}: duplicate product {prod}"
+        vocab[prod] = N_BYTES + k
+    return vocab
+
+
+BYTE_VOCAB_ID: dict[str, int] = _validate_bytes()
+_BYTE_MERGE_RANK: dict[tuple[str, str], int] = {
+    p: r for r, p in enumerate(BYTE_MERGES)
+}
+
+
+def encode_bytes(word: str) -> list[int]:
+    """Byte-level encode under the shipped byte table. TOTAL: every hex
+    pair is in the base vocabulary, so unlike char-level `encode` this
+    can never produce -1 — the property the whole family exists for."""
+    return [
+        BYTE_VOCAB_ID[t]
+        for t in _merge_tokens(word_byte_tokens(word), _BYTE_MERGE_RANK)
+    ]
+
+
+def _merge_tokens(
+    toks: list[str], rank: dict[tuple[str, str], int]
+) -> list[str]:
+    """Repeated leftmost-best-rank merge over an arbitrary token list —
+    the BPE application loop, shared by the char-level and byte-level
+    encoders (the representation of a base token — one char vs one hex
+    byte — is the callers' concern; the merge algebra is identical)."""
+    while len(toks) > 1:
+        best_rank = best_i = -1
+        for i in range(len(toks) - 1):
+            r = rank.get((toks[i], toks[i + 1]), -1)
+            if r >= 0 and (best_rank < 0 or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank < 0:
+            break
+        toks[best_i : best_i + 2] = [toks[best_i] + toks[best_i + 1]]
+    return toks
+
+
 def encode_with(
     word: str,
     rank: dict[tuple[str, str], int],
@@ -140,17 +282,7 @@ def encode_with(
     shipped table (asserted at import) and `train_merges` output (by
     construction: a pair involving a later product has count 0 when the
     earlier merge is learned) satisfy)."""
-    toks = list(word)
-    while len(toks) > 1:
-        best_rank = best_i = -1
-        for i in range(len(toks) - 1):
-            r = rank.get((toks[i], toks[i + 1]), -1)
-            if r >= 0 and (best_rank < 0 or r < best_rank):
-                best_rank, best_i = r, i
-        if best_rank < 0:
-            break
-        toks[best_i : best_i + 2] = [toks[best_i] + toks[best_i + 1]]
-    return [vocab.get(t, -1) for t in toks]
+    return [vocab.get(t, -1) for t in _merge_tokens(list(word), rank)]
 
 
 def encode(word: str) -> list[int]:
@@ -159,11 +291,15 @@ def encode(word: str) -> list[int]:
 
 
 def _make_ids_udf(
-    rank: dict[tuple[str, str], int], vocab: dict[str, int]
+    rank: dict[tuple[str, str], int],
+    vocab: dict[str, int],
+    to_tokens=list,
 ):
     """Arrow-batched word → token-ids UDF over the given merge table.
     The closure ships the table to executors (bounded: the shipped demo
-    table or a BPE_TRAIN_MERGES-row trained one, never data-sized)."""
+    table or a BPE_TRAIN_MERGES-row trained one, never data-sized).
+    ``to_tokens`` turns a word into its base token list — ``list`` for
+    char-level, ``word_byte_tokens`` for byte-level."""
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def ids_udf(words: pd.Series) -> pd.Series:
@@ -174,7 +310,10 @@ def _make_ids_udf(
         def enc(w: str) -> list[int]:
             ids = memo.get(w)
             if ids is None:
-                ids = memo[w] = encode_with(w, rank, vocab)
+                ids = memo[w] = [
+                    vocab.get(t, -1)
+                    for t in _merge_tokens(to_tokens(w), rank)
+                ]
             return ids
 
         return words.apply(enc)
@@ -183,6 +322,9 @@ def _make_ids_udf(
 
 
 _bpe_ids_udf = _make_ids_udf(_MERGE_RANK, VOCAB_ID)
+_byte_ids_udf = _make_ids_udf(
+    _BYTE_MERGE_RANK, BYTE_VOCAB_ID, to_tokens=word_byte_tokens
+)
 
 
 def doc_word_rows(docs: DataFrame) -> DataFrame:
@@ -192,6 +334,19 @@ def doc_word_rows(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.regexp_extract_all(F.lower("text"), F.lit(PRETOK_RE), 0)
+        ).alias("pos", "word"),
+    )
+
+
+def doc_word_rows_bytes(docs: DataFrame) -> DataFrame:
+    """Byte-level twin of `doc_word_rows`: unicode-aware pre-tokenizer,
+    case-preserving (no lower() — see PRETOK_BYTES_RE). Same narrow
+    posexplode shape; the byte decomposition happens later, per DISTINCT
+    word, inside the Arrow UDF."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(PRETOK_BYTES_RE), 0)
         ).alias("pos", "word"),
     )
 
@@ -209,10 +364,14 @@ def word_ids(dw: DataFrame, ids_udf=None) -> DataFrame:
 
 def doc_token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens) for EVERY document (0 for wordless/NULL texts) —
-    the training-token budget `pipeline_seq_pack` packs on."""
-    dw = doc_word_rows(docs)
+    the training-token budget `pipeline_seq_pack` packs on. BYTE-LEVEL
+    since round 12: the char-level count budgeted a non-Latin document as
+    a pile of <unk> characters (semantically wrong, not approximate), so
+    anything consuming budgets uses the byte table — every id is real on
+    any input."""
+    dw = doc_word_rows_bytes(docs)
     per_doc = (
-        dw.join(word_ids(dw), "word")
+        dw.join(word_ids(dw, _byte_ids_udf), "word")
         .groupBy("doc_id")
         .agg(F.sum(F.size("ids")).alias("n_tokens"))
     )
@@ -238,6 +397,16 @@ _VOCAB_VALUES = ", ".join(
 )
 _BASE_VALUES = ", ".join(f"({_q(c)}, {i})" for i, c in enumerate(BASE_CHARS))
 
+# byte-table twins — hex tokens are pure ASCII, so the embedded SQL stays
+# ASCII whatever scripts the table covers.
+_BYTE_MERGES_VALUES = ", ".join(
+    f"({_q(a)}, {_q(b)}, {r})" for r, (a, b) in enumerate(BYTE_MERGES)
+)
+_BYTE_VOCAB_VALUES = ", ".join(
+    f"({_q(t)}, {i})"
+    for t, i in sorted(BYTE_VOCAB_ID.items(), key=lambda kv: kv[1])
+)
+
 # (doc_id, pos, word) — pre-tokenized word occurrences, the shared root
 # of every oracle in this module (tokenize, train, trained-tokenize).
 _DW_CTE = f"""
@@ -249,11 +418,43 @@ dw AS (
          unnest(range(1, len(words)+1)) AS t(i)
 )"""
 
+# byte-level twin: unicode pre-tokenizer, case-preserving (no lower()).
+_DWB_CTE = f"""
+dw AS (
+    SELECT doc_id, i AS pos, words[i] AS word
+    FROM (SELECT doc_id,
+                 regexp_extract_all(text, '{PRETOK_BYTES_RE}') AS words
+          FROM documents),
+         unnest(range(1, len(words)+1)) AS t(i)
+)"""
 
-def _word_ctes_after_dw(merges_body: str) -> str:
+
+_CHAR_BASE_CTE = """
+base AS (
+    SELECT word,
+           list_transform(range(1, len(word)+1), i -> word[i]) AS toks,
+           0 AS it
+    FROM uw
+)"""
+
+# byte-level base: each word's UTF-8 bytes as 2-char hex tokens — DuckDB's
+# hex(encode(word)) is uppercase, matching Python's "%02X" images.
+_BYTE_BASE_CTE = """
+base AS (
+    SELECT word,
+           list_transform(range(1, len(h)//2 + 1),
+                          i -> substr(h, 2*i-1, 2)) AS toks,
+           0 AS it
+    FROM (SELECT word, hex(encode(word)) AS h FROM uw)
+)"""
+
+
+def _word_ctes_after_dw(merges_body: str, base_cte: str = _CHAR_BASE_CTE) -> str:
     """distinct words → recursive merge application → final token list
     per word, under an arbitrary ``merges(a, b, rnk)`` CTE body (the
-    fixed VALUES table, or a projection of the trained one). Each
+    fixed VALUES table, or a projection of the trained one) and an
+    arbitrary ``base(word, toks, it)`` seed (chars or hex bytes — the
+    merge recursion is representation-agnostic). Each
     recursion step applies the leftmost occurrence of the best-ranked
     applicable pair (ORDER BY rnk, i) to each still-active word; words
     with no applicable merge drop out and ``arg_max(toks, it)`` recovers
@@ -261,12 +462,7 @@ def _word_ctes_after_dw(merges_body: str) -> str:
     return f"""
 merges(a, b, rnk) AS ({merges_body}),
 uw(word) AS (SELECT DISTINCT word FROM dw),
-base AS (
-    SELECT word,
-           list_transform(range(1, len(word)+1), i -> word[i]) AS toks,
-           0 AS it
-    FROM uw
-),
+{base_cte},
 bpe AS (
     SELECT * FROM base
     UNION ALL
@@ -297,9 +493,19 @@ ORACLE_WORD_CTES = (
     _DW_CTE + "," + _word_ctes_after_dw(f"VALUES {_MERGES_VALUES}")
 )
 
+# Byte-table instance: unicode pre-tokens, hex-byte seeds, BYTE_MERGES.
+ORACLE_WORD_CTES_BYTES = (
+    _DWB_CTE
+    + ","
+    + _word_ctes_after_dw(
+        f"VALUES {_BYTE_MERGES_VALUES}", base_cte=_BYTE_BASE_CTE
+    )
+)
+
 # (doc_id, n_tokens) twin of ``doc_token_counts`` — every document, 0 for
-# wordless. Reused by the pipeline_seq_pack oracle.
-ORACLE_DOC_TOKENS_CTES = f"""{ORACLE_WORD_CTES},
+# wordless; BYTE-LEVEL, like the function (see its docstring). Reused by
+# the pipeline_seq_pack oracle.
+ORACLE_DOC_TOKENS_CTES = f"""{ORACLE_WORD_CTES_BYTES},
 dt AS (
     SELECT dw.doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
     FROM dw JOIN wtoks USING (word)
@@ -313,10 +519,12 @@ doc_tokens AS (
 
 PREVIEW_K = 24  # leading token ids echoed per doc (bounded output width)
 
-# wtoks + vocab → per-doc aggregates: shared tail of the fixed-table and
-# trained-table tokenize oracles (expects ``wtoks`` and ``vocab(tok,
-# tid)`` CTEs in scope).
-_TOKENIZE_TAIL = f"""
+# wtoks + vocab → per-doc aggregates: shared tail of the fixed-table,
+# trained-table, and byte-table tokenize oracles (expects ``wtoks`` and
+# ``vocab(tok, tid)`` CTEs in scope; ``n_base`` is the first merged-token
+# id — N_BASE for char tables, N_BYTES for byte tables).
+def _tokenize_tail(n_base: int) -> str:
+    return f"""
 wids AS (
     SELECT u.word, list(coalesce(v.tid, -1) ORDER BY u.i) AS ids
     FROM (SELECT word, i, toks[i] AS tok
@@ -327,7 +535,7 @@ wids AS (
 ds AS (
     SELECT dw.doc_id,
            CAST(sum(len(ids)) AS BIGINT) AS n_tokens,
-           CAST(sum(len(list_filter(ids, x -> x >= {N_BASE}))) AS BIGINT)
+           CAST(sum(len(list_filter(ids, x -> x >= {n_base}))) AS BIGINT)
                AS n_merged,
            CAST(sum(list_sum(ids)) AS BIGINT) AS id_checksum,
            array_to_string(
@@ -348,9 +556,19 @@ FROM documents d LEFT JOIN ds USING (doc_id)
 """
 
 
-def _tokenize_docs(docs: DataFrame, ids_udf=None) -> DataFrame:
+_TOKENIZE_TAIL = _tokenize_tail(N_BASE)
+
+
+def _tokenize_docs(
+    docs: DataFrame,
+    ids_udf=None,
+    word_rows=doc_word_rows,
+    n_base: int = N_BASE,
+) -> DataFrame:
     """The shared tokenize plan (see `text_bpe_tokenize` docstring) under
-    an arbitrary word → ids UDF (default = shipped table). The preview
+    an arbitrary word → ids UDF (default = shipped table), pre-tokenizer
+    (char-level `doc_word_rows` or byte-level `doc_word_rows_bytes`), and
+    first-merged-id boundary (N_BASE / N_BYTES). The preview
     collect is bounded BEFORE aggregation: the first PREVIEW_K token ids
     can only come from the first PREVIEW_K words (every word is ≥ 1
     token), so only rows with pos < PREVIEW_K enter the collect_list —
@@ -358,7 +576,7 @@ def _tokenize_docs(docs: DataFrame, ids_udf=None) -> DataFrame:
     book-length document would otherwise materialize its entire id
     sequence inside the ObjectHashAggregate just to be sliced to 24).
     The sums stream with no per-row state either way."""
-    dw = doc_word_rows(docs)
+    dw = word_rows(docs)
     joined = dw.join(word_ids(dw, ids_udf), "word")
     ordered_ids = F.flatten(
         F.transform(
@@ -374,7 +592,7 @@ def _tokenize_docs(docs: DataFrame, ids_udf=None) -> DataFrame:
     )
     ds = joined.groupBy("doc_id").agg(
         F.sum(F.size("ids")).alias("n_tokens"),
-        F.sum(F.size(F.filter("ids", lambda x: x >= F.lit(N_BASE)))).alias(
+        F.sum(F.size(F.filter("ids", lambda x: x >= F.lit(n_base)))).alias(
             "n_merged"
         ),
         F.sum(
@@ -424,6 +642,40 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast under AQE while the vocab map is small), and the doc agg —
     all keyed, no driver collect, no cartesian."""
     return _tokenize_docs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_bpe_tokenize_bytes",
+    oracle=f"""
+WITH RECURSIVE {ORACLE_WORD_CTES_BYTES},
+vocab(tok, tid) AS (VALUES {_BYTE_VOCAB_VALUES}),
+{_tokenize_tail(N_BYTES)}
+""",
+)
+def text_bpe_tokenize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE tokenization — the production tokenizer design
+    (GPT-2's byte-level base vocabulary): pre-tokens decompose into UTF-8
+    bytes (ids 0-255) compressed by learned byte merges (ids 256+), so
+    EVERY document in EVERY script gets a real token budget — a Cyrillic
+    or CJK doc tokenizes to genuine ids, never the char-level family's
+    <unk>/-1. Case-preserving, unicode-letter-run pre-tokenizer (see
+    PRETOK_BYTES_RE). Output mirrors `text_bpe_tokenize` (n_tokens /
+    n_merged / id_checksum / first-{PREVIEW_K} preview), pinning the full
+    tokenization cross-engine: the oracle rebuilds the identical byte
+    merges over hex-byte seeds (hex(encode(word))) in a recursive CTE.
+
+    Plan: identical to `text_bpe_tokenize` — per-DISTINCT-word Arrow UDF,
+    corpus-sized work all JVM-side, AQE-broadcast vocab join with a
+    pinned SortMergeJoin fallback (tests/test_plans.py) — byte-level only
+    changes what the UDF computes per word, not the Spark plan shape.
+    Reference analog: the per-word encode pass of mapreduce.erl:260-295,
+    generalized from bigram emission to byte-merge encoding."""
+    return _tokenize_docs(
+        load(spark, sf_dir, "documents"),
+        _byte_ids_udf,
+        word_rows=doc_word_rows_bytes,
+        n_base=N_BYTES,
+    )
 
 
 # ---------------------------------------------------------------------------

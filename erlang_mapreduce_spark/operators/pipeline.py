@@ -278,6 +278,9 @@ def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace estimate rounds ≤9 packed on: a production pipeline packs
     on the model tokenizer's counts, and whitespace undercounts code/
     punctuation-heavy docs by 2-4×, which silently overfills sequences.
+    BYTE-level since r12 (bpe.BYTE_MERGES over UTF-8 bytes): the
+    char-level budget counted a non-Latin doc as a pile of <unk> chars,
+    so multilingual packing was semantically wrong, not approximate.
 
     Scale shape: packing is per-SHARD (the same md5-nibble shard as
     pipeline_dataset_export), so the running token sum is a window

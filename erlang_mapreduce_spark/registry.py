@@ -242,6 +242,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_substring_scrub",
     "agg_approx",
     "sim_search_ivf",
+    # --- new in r12 (temporary tail slot; the r12 rotation lifts these
+    #     into the window head) ---
+    "text_bpe_tokenize_bytes",
 ]
 
 

@@ -45,6 +45,7 @@ _OPS = (
     "text_bpe_tokenize",  # PRETOK_MAX chunks the kilobyte runs in doc 3
     "bpe_train",                 # trained on the hostile vocabulary
     "text_bpe_tokenize_trained",
+    "text_bpe_tokenize_bytes",   # doc 6's mixed scripts get real ids
     "text_lang_id",
     "text_tfidf",
     "text_unigram_logprob",

@@ -209,7 +209,18 @@ _VOCAB = (
     # longer than bpe.PRETOK_MAX: exercises the bounded-quantifier
     # chunking (24+21 chars) in every randomized doc-op trial, not just
     # the fixed adversarial fixture
-    "pneumonoultramicroscopicsilicovolcanoconiosis"
+    "pneumonoultramicroscopicsilicovolcanoconiosis "
+    # past-ASCII block (round-12): real multilingual content so the
+    # byte-level BPE family's whole point — every script budgets to real
+    # ids — is fuzzed, not just fixture-pinned. Mixed case (byte ops are
+    # case-preserving), Cyrillic, Greek (lowercase only — uppercase
+    # final-sigma casefold is a documented engine divergence), CJK, kana,
+    # an emoji token, and a >PRETOK_MAX unicode letter run that only the
+    # byte pre-tokenizer chunks (char-level treats CJK as single-char
+    # pre-tokens)
+    "Привет мир κόσμος δεδομένα 世界 汉字处理 日本語テキスト données "
+    "Zürich 🙂 "
+    "поисковаяоптимизацияидлинноеслово"
 ).split()
 
 
@@ -311,6 +322,7 @@ DOC_OPS = (
     "text_tokenize", "text_bigram_freq", "text_repetition_score",
     "text_unigram_logprob", "text_ngram_novelty", "text_decontaminate",
     "text_bpe_tokenize", "bpe_train", "text_bpe_tokenize_trained",
+    "text_bpe_tokenize_bytes",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash",
     "dedup_containment", "dedup_substring", "dedup_substring_scrub",
     "dedup_passage", "dedup_span_rolling", "dedup_cluster_cc",

@@ -89,3 +89,46 @@ def test_known_divergences_still_diverge(spark, text):
         f"{text!r}: engines now AGREE — remove it from the documented "
         f"divergence list"
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level pre-tokenizer parity: PRETOK_BYTES_RE must extract IDENTICAL
+# pre-token sequences in Java regex and RE2 on every script the byte BPE
+# family budgets — including the three casefold-divergent inputs above,
+# because the byte pre-tokenizer deliberately skips lower() (byte-level
+# tokenizers are case-preserving), and its whitespace class is spelled
+# explicitly instead of \s (Java counts U+000B in \s, RE2 does not).
+
+BYTE_PRETOK_TEXTS = AGREE + DIVERGE + [
+    "Привет мир κόσμος 世界 العربية",
+    "a😀b ,。、 【brackets】",
+    "ーガ ひらがな 한국어",
+    "ᵃᵇ super ﬁ ligature ǅ title-case",
+    "𝒳 math alphanumerics 𐍈 gothic",  # astral plane (4-byte UTF-8)
+]
+
+
+def test_byte_pretokenizer_agrees_on_all_scripts(spark):
+    from erlang_mapreduce_spark.operators.bpe import PRETOK_BYTES_RE
+
+    df = spark.createDataFrame(
+        list(enumerate(BYTE_PRETOK_TEXTS)), "i long, text string"
+    )
+    got = {
+        r.i: r.w
+        for r in df.select(
+            "i",
+            F.regexp_extract_all(
+                "text", F.lit(PRETOK_BYTES_RE), 0
+            ).alias("w"),
+        ).collect()
+    }
+    for i, t in enumerate(BYTE_PRETOK_TEXTS):
+        d = duckdb.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, PRETOK_BYTES_RE]
+        ).fetchone()[0]
+        assert got[i] == d, (
+            f"{t!r}: byte pre-tokenizer diverges (spark={got[i]!r}, "
+            f"duck={d!r}) — every byte-family oracle is now unsound on "
+            f"such content"
+        )
