@@ -239,6 +239,37 @@ def test_bpe_encodes_vocabulary_not_corpus(spark, sf_dir):
     assert "BroadcastExchange" in p
 
 
+def test_bpe_vocab_join_smj_fallback(spark, sf_dir):
+    """word_ids promises AQE broadcasts the vocab map while small and
+    falls back to a shuffle join when the vocabulary outgrows the
+    threshold at 100 TB — pin the UNTESTED fallback branch: with
+    broadcasting disabled the fan-out join plans as SortMergeJoin (no
+    BroadcastHashJoin anywhere) and the output stays row-identical to
+    the broadcast branch."""
+    q = QUERIES["text_bpe_tokenize_bytes"]
+    want = {r["doc_id"]: (r["n_tokens"], r["id_checksum"]) for r in
+            q(spark, sf_dir).collect()}
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        for k in saved:
+            conf.set(k, "-1")
+        df = q(spark, sf_dir)
+        p = final_plan_of(df)  # runtime plan — AQE must NOT re-broadcast
+        assert count_nodes(p, "SortMergeJoin") >= 1, p
+        assert "BroadcastHashJoin" not in p, p
+        got = {r["doc_id"]: (r["n_tokens"], r["id_checksum"]) for r in
+               df.collect()}
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v) if v is not None else conf.unset(k)
+    assert got == want
+
+
 def test_bpe_training_sample_is_take_ordered(spark, sf_dir):
     """bpe_train's only driver-side materialization is the capped
     training sample; its plan must be TakeOrderedAndProject (per-partition
