@@ -289,6 +289,108 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q21_TABLES, _Q21)
 
 
+_Q18_TABLES = ("customer", "orders", "lineitem")
+
+# TPC-H Q18 shape: the HAVING-over-aggregated-subquery semi join — the
+# order set is filtered by an aggregate computed in a SUBQUERY over the
+# same fact table (orders whose total quantity exceeds a threshold), then
+# re-joined and re-aggregated for the report. Both engines decorrelate
+# the IN to a semi join against the grouped subquery; the quantity sums
+# stay DECIMAL through the HAVING comparison so no order can land on
+# different sides of the threshold. Threshold 150 keeps ~20% of orders
+# at both fixture SFs (non-vacuous, discriminating). The top-100 carries
+# a total order (totalprice DESC, unique orderkey) so the LIMIT is
+# deterministic cross-engine AND plans as TakeOrderedAndProject.
+_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       o_totalprice,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(29,6))) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+         o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("sql_large_volume_customers", oracle=_Q18)
+def sql_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-customer report via ``spark.sql``:
+    orders whose line quantities sum past a threshold (a grouped HAVING
+    subquery semi-joined back against its own fact table) re-join
+    customer + lineitem for the per-order quantity report, top-100 by
+    total price. Plan shape at 100 TB: the HAVING subquery and the outer
+    aggregate both shuffle lineitem on l_orderkey — one partitioning,
+    reused; the semi join is keyed on the same column; the LIMIT is a
+    TakeOrderedAndProject, never a global sort. The same text runs on
+    DuckDB."""
+    return _sql(spark, sf_dir, _Q18_TABLES, _Q18)
+
+
+_Q20_TABLES = ("supplier", "nation", "lineitem", "part")
+
+# TPC-H Q20 shape: the nested semi-join chain — suppliers IN (a grouped
+# subquery over lineitem that itself filters parts IN (a filtered part
+# subquery)), gated by a correlated scalar subquery keyed on the SAME
+# (partkey, suppkey) pair as Q20's partsupp correlation. The fixture has
+# no partsupp table, so "availqty vs half of shipped" becomes "recent
+# (1999+) shipped quantity vs half of the pair's all-time shipments" —
+# identical correlation + comparison shape. Quantity sums stay DECIMAL
+# through both comparisons (2*x > y is integer-scaled, exact); threshold
+# 80 keeps 9/10 suppliers at sf0.001 and 22/100 at sf0.01 — the
+# predicate keeps AND drops rows at both fixture scales.
+_Q20 = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT sp.l_suppkey
+    FROM (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(29,6))) AS recent_qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'PROMO')
+          AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    ) sp
+    WHERE sp.recent_qty > 80
+      AND 2 * sp.recent_qty > (
+          SELECT SUM(CAST(l_quantity AS DECIMAL(29,6)))
+          FROM lineitem l2
+          WHERE l2.l_partkey = sp.l_partkey
+            AND l2.l_suppkey = sp.l_suppkey
+      )
+)
+"""
+
+
+@query("sql_promo_part_suppliers", oracle=_Q20)
+def sql_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped potential-part-promotion query via ``spark.sql``:
+    suppliers whose recent PROMO-part shipments are both substantial
+    (> 80) and dominant (more than half the pair's all-time volume) — a
+    semi join whose subquery nests ANOTHER semi join (parts) and a
+    (partkey, suppkey)-correlated scalar aggregate, Q20's exact
+    decorrelation stress. Plan shape at 100 TB: the part filter
+    broadcasts into the lineitem scan; the correlated scalar
+    decorrelates to a grouped aggregate joined on the pair key, and
+    since the recent-window aggregate groups on the SAME
+    (suppkey, partkey) pair, both lineitem aggregates share one
+    partitioning; the final supplier semi join broadcasts (the
+    qualifying-supplier set is tiny relative to facts). The same text
+    runs on DuckDB."""
+    return _sql(spark, sf_dir, _Q20_TABLES, _Q20)
+
+
 _Q13_TABLES = ("customer", "orders")
 
 # TPC-H Q13 shape: the one suite query whose aggregation feeds off a LEFT

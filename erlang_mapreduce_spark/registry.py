@@ -245,6 +245,8 @@ DRIVER_PRIORITY: list[str] = [
     # --- new in r12 (temporary tail slot; the r12 rotation lifts these
     #     into the window head) ---
     "text_bpe_tokenize_bytes",
+    "sql_large_volume_customers",
+    "sql_promo_part_suppliers",
 ]
 
 

@@ -131,6 +131,21 @@ def test_sql_suite_physical_strategies(spark, sf_dir):
     n17 = nodes_of(QUERIES["sql_small_qty_revenue"](spark, sf_dir))
     assert not any("NestedLoop" in n or "Cartesian" in n for n in n17)
     assert any("HashAggregate" in n for n in n17)
+    # Q18 shape: the HAVING subquery decorrelates to a keyed semi join
+    # (broadcast at fixture stats), and the top-100 is a
+    # TakeOrderedAndProject — a global Sort of the aggregate output
+    # would materialize every qualifying order at 100 TB
+    n18 = nodes_of(QUERIES["sql_large_volume_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in n18
+    assert "Sort" not in n18
+    assert not any("NestedLoop" in n or "Cartesian" in n for n in n18)
+    assert n18.count("HashAggregate") >= 4  # two partial/final pairs
+    # Q20 shape: the nested semi-join chain and the correlated scalar
+    # both decorrelate to keyed joins — no nested loop anywhere; the two
+    # pair-grained lineitem aggregates are partial/final pairs
+    n20 = nodes_of(QUERIES["sql_promo_part_suppliers"](spark, sf_dir))
+    assert not any("NestedLoop" in n or "Cartesian" in n for n in n20)
+    assert n20.count("HashAggregate") >= 4
 
 
 def test_rollup_single_scan_single_expand(spark, sf_dir):

@@ -36,6 +36,8 @@ SQL_OPS = (
     "sql_waiting_suppliers",
     "sql_customer_distribution",
     "sql_promising_customers",
+    "sql_large_volume_customers",
+    "sql_promo_part_suppliers",
 )
 
 _SRC = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
