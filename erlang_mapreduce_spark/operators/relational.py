@@ -743,6 +743,44 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_exact",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_nd_part,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_approx_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable companion of ``agg_approx``: the SAME group
+    keys and the exact aggregates its in-row bound flags compare against
+    (exact distinct parts, exact interpolated p50/p95) — but none of the
+    engine-specific sketch estimates, so DuckDB twins it exactly and the
+    driver records a full value-hash row for this half of the surface
+    (the sketches themselves stay self-evidencing in ``agg_approx``,
+    rows-only by design). Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the lower+(upper−lower)·frac interpolation;
+    both sides round to 6 dp per the registry's transcendental
+    convention. The evidence harness, not the 100 TB plan — production
+    callers use the sketch columns precisely to avoid the exact
+    distinct/percentile shuffle this op pays."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_nd_part"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+            "exact_p50"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias(
+            "exact_p95"
+        ),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
     "topk_per_group",
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn

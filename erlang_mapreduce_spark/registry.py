@@ -247,6 +247,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_bpe_tokenize_bytes",
     "sql_large_volume_customers",
     "sql_promo_part_suppliers",
+    "agg_approx_exact",
+    "stream_token_budget",
 ]
 
 
@@ -281,6 +283,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "scan_binary_files",
         "stream_python_source",
         "dedup_cluster_downweight",
+        "stream_token_budget",
     }
 )
 

@@ -180,7 +180,7 @@ RELATIONAL_OPS = (
     "agg_hash_count", "agg_multi", "agg_distinct", "agg_grouping_sets",
     "agg_global", "agg_ratio_of_total", "agg_pivot", "agg_percentile",
     "agg_mode", "agg_unpivot", "agg_corr_stats", "agg_quantile_bins",
-    "agg_kmv_distinct",
+    "agg_kmv_distinct", "agg_approx_exact",
     "win_rank", "win_frame", "win_ntile",
     "sort_global", "topk", "topk_per_group",
     "set_union_intersect_except", "dedup_exact", "dedup_levenshtein",
@@ -398,7 +398,7 @@ STREAM_REPLAY_OPS = (
     "stream_custom_state", "stream_watermark_late",
     "stream_stateful_dedup", "stream_stream_join",
     "stream_file_sink", "stream_foreachbatch_upsert",
-    "stream_kmv_distinct", "stream_minhash_dedup",
+    "stream_kmv_distinct", "stream_minhash_dedup", "stream_token_budget",
 )
 
 
