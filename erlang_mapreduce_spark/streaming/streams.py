@@ -947,6 +947,98 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+from ..operators.bpe import ORACLE_DOC_TOKENS_CTES  # noqa: E402 — one CTE chain
+
+
+@query(
+    "stream_token_budget",
+    oracle=f"""
+WITH RECURSIVE {ORACLE_DOC_TOKENS_CTES},
+src AS (SELECT doc_id, source FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM doc_tokens JOIN src USING (doc_id)
+GROUP BY source
+""",
+)
+def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time TOKEN BUDGET accounting — per-source running BPE token
+    totals maintained across micro-batches via foreachBatch, so the
+    mixing weights `sample_temperature` / `sample_mix_rebalance` consume
+    are available AS data lands, not after a full-corpus re-scan. Each
+    batch runs the SAME byte-level tokenizer as the batch path
+    (bpe.doc_token_counts — real ids for every script), folds to
+    (source, n_docs, total_tokens), and merges with the previous
+    snapshot by summed union into a NEW versioned snapshot keyed by
+    batch id (the stream_foreachbatch_upsert idempotence device).
+
+    Why this op carries a FULL exact-hash oracle like stream_kmv_distinct:
+    per-doc token counts are a deterministic pure function of each doc's
+    text, and per-source SUMs are mergeable — any in-order replay of a
+    disjoint chunking telescopes to the one-shot batch aggregate, which
+    is exactly what the oracle computes (the byte-BPE recursive-CTE chain
+    grouped by source). At 100 TB the snapshot is O(sources) rows — the
+    accounting table rides along with ingest for free; the heavy work
+    (the per-DISTINCT-word Arrow encode) is per-batch and
+    vocabulary-sized, identical to the batch plan shape."""
+    from ..operators.bpe import doc_token_counts
+
+    d = _materialize_doc_chunks(sf_dir)
+    base = os.path.join(
+        "/tmp/spark_graft_tokbudget",
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
+    )
+    snap_schema = "source string, n_docs long, total_tokens long"
+    cur: list[str] = []
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            doc_token_counts(batch_df)
+            .join(batch_df.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+            )
+        )
+        if cur:
+            prev = spark.read.schema(snap_schema).parquet(cur[-1])
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("total_tokens").alias("total_tokens"),
+                )
+            )
+        v = os.path.join(base, f"v{batch_id}")
+        delta.write.mode("overwrite").parquet(v)
+        cur.append(v)
+
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        if not cur:  # empty source: no batch ever fired
+            return spark.createDataFrame([], snap_schema)
+        snap = spark.read.schema(snap_schema).parquet(cur[-1])
+        return spark.createDataFrame(snap.collect(), snap.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --- custom PYTHON streaming source (pyspark.sql.datasource stream API) ---
 
 _PYSTREAM_BATCHES = 4
