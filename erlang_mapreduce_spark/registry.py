@@ -47,84 +47,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 160 registered ops, insertion
+# insertion order and stops after 50 ops. With 168 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-11 window (this ordering), oldest-evidence-first policy:
-#   1-3:   text_bpe_tokenize (NEW in r10, ZERO driver evidence —
-#          VERDICT_r10 item 1) + bpe_train / text_bpe_tokenize_trained
-#          (NEW in r11, zero evidence).
-#   4:     pipeline_seq_pack (output CHANGED in r10 — now packs on real
-#          BPE token counts; its r7 evidence certifies the old
-#          whitespace implementation).
-#   5-17:  the 13 ops whose newest driver evidence is r05 (they led the
-#          planned round-10 window, but the r10 rotation never shipped —
-#          VERDICT_r10 item 2).
-#   18:    text_bigram_freq (the flagship, in-window every round).
-#   19-50: the first 32 of the 48 r07-evidence ops (pipeline_seq_pack
-#          already holds slot 4).
-# After r11: no op's evidence predates r7.
+# Round-12 window (this ordering), oldest-evidence-first policy:
+#   1-5:   the five ops NEW in r12, zero driver evidence
+#          (text_bpe_tokenize_bytes, the Q18/Q20 SQL pair,
+#          agg_approx_exact, stream_token_budget).
+#   6:     pipeline_seq_pack (output CHANGED in r12 — packs on BYTE-level
+#          budgets now; its r11 evidence certifies char-level counts).
+#   7:     text_token_count (output changed in r11 — pretok_count rename
+#          + PRETOK_MAX cap — but sat outside the r11 window; its r8
+#          evidence certifies the old output — r11 ADVICE item 1).
+#   8-22:  the 15 r07-evidence ops (oldest evidence left after r11).
+#   23:    text_bigram_freq (the flagship, in-window every round).
+#   24-50: the first 27 of the r08-evidence block.
+# After r12: no op's evidence predates r8.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-4: zero-evidence / output-changed ops ---
-    "text_bpe_tokenize",
-    "bpe_train",
-    "text_bpe_tokenize_trained",
+    # --- 1-5: new in r12, zero driver evidence ---
+    "text_bpe_tokenize_bytes",
+    "sql_large_volume_customers",
+    "sql_promo_part_suppliers",
+    "agg_approx_exact",
+    "stream_token_budget",
+    # --- 6-7: output-changed ops whose evidence certifies old output ---
     "pipeline_seq_pack",
-    # --- 5-17: the 13 r05-evidence ops (oldest evidence in the registry;
-    #     missed the r9 window and the r10 rotation never happened) ---
-    "udtf",
-    "fn_agg_collect",
-    "multimodal_decode",
-    "sql_pricing_summary",
-    "stream_stream_join",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "text_decontaminate",
-    "dedup_passage",
-    "dedup_span_rolling",
-    "sample_quality_weighted",
-    "agg_heavy_hitters",
-    # --- 18: the flagship (in-window every round per policy) ---
-    "text_bigram_freq",
-    # --- 19-50: the first 32 of the r07-evidence block ---
-    "text_repetition_score",
-    "rollup_time_hypertable",
-    "ts_gap_fill",
-    "win_ntile",
-    "win_range_interval",
-    "cdc_latest_by_key",
-    "text_normalize",
-    "scan_orc",
-    "scan_partition_pruned",
-    "sink_text_formatted",
-    "topk_per_group",
-    "fn_bitwise",
-    "sql_top_revenue_orders",
-    "sql_revenue_by_nation",
-    "stream_custom_state",
-    "dedup_minhash",
-    "stream_watermark_late",
-    "stream_stateful_dedup",
-    "sim_search_ann",
-    "sample_mix_rebalance",
-    "sample_cap_per_source",
-    "agg_ngram_counts",
-    "text_unigram_logprob",
-    "analytics_cohort_retention",
-    "analytics_funnel",
-    "dedup_cluster_keep_best",
-    "stream_file_sink",
-    "analytics_sessionize",
-    "analytics_anomaly_extremes",
-    "cdc_scd2",
-    "join_asof_tolerance",
-    "sample_split_train_eval",
-    # --- 51-...: the remaining 15 r07-evidence ops (lead the round-12
-    #     window) ---
+    "text_token_count",
+    # --- 8-22: the 15 r07-evidence ops ---
     "profile_columns",
     "analytics_active_users_7d",
     "analytics_pareto_topk",
@@ -140,8 +92,59 @@ DRIVER_PRIORITY: list[str] = [
     "sort_zorder_layout",
     "snapshot_time_travel",
     "analytics_pattern_match",
-    # --- r05-block ops refreshed by the r9 window (r09/r10 evidence:
-    #     r10 re-ran the identical window) ---
+    # --- 23: the flagship (in-window every round per policy) ---
+    "text_bigram_freq",
+    # --- 24-50: the first 27 of the r08-evidence block ---
+    "scan_python_datasource",
+    "fn_url",
+    "agg_bitmap_distinct",
+    "ivf_centroids",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_small_qty_revenue",
+    "analytics_transition_matrix",
+    "scan_binary_files",
+    "analytics_rfm",
+    "stream_python_source",
+    "dedup_cluster_downweight",
+    "dedup_containment",
+    "dq_expectations",
+    "sql_waiting_suppliers",
+    "text_fingerprint",
+    "multimodal_meta",
+    "text_lang_id",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "text_pii_scrub",
+    "text_tfidf",
+    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_cluster_cc",
+    # --- 51+: r08-evidence remainder (lead the round-13 window) ---
+    "dedup_levenshtein",
+    "join_skew_salted",
+    "join_bucketed",
+    "join_null_safe",
+    "pipeline_dataset_export",
+    "pipeline_corpus_clean",
+    "agg_pivot",
+    "agg_percentile",
+    "sample_hash",
+    "sample_stratified",
+    "hist_numeric",
+    "agg_corr_stats",
+    "agg_mode",
+    "fn_conditional",
+    "agg_unpivot",
+    "scan_parquet",
+    "agg_ngram_df_sketch",
+    "text_novelty_sketch",
+    "text_chunk_overlap",
+    "decontaminate_bloom",
+    "agg_kmv_distinct",
+    # --- r09/r10 evidence ---
     "scan_text",
     "scan_csv_json",
     "sink_partitioned",
@@ -177,57 +180,6 @@ DRIVER_PRIORITY: list[str] = [
     "udf_scalar",
     "udf_grouped",
     "udaf",
-    # --- r08 evidence ---
-    "scan_python_datasource",
-    "fn_url",
-    "agg_bitmap_distinct",
-    "ivf_centroids",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "sql_small_qty_revenue",
-    "analytics_transition_matrix",
-    "scan_binary_files",
-    "analytics_rfm",
-    "stream_python_source",
-    "dedup_cluster_downweight",
-    "dedup_containment",
-    "dq_expectations",
-    "sql_waiting_suppliers",
-    "text_fingerprint",
-    "multimodal_meta",
-    "text_lang_id",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "text_pii_scrub",
-    "text_tfidf",
-    "text_quality_score",
-    "text_token_count",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_cluster_cc",
-    "dedup_levenshtein",
-    "join_skew_salted",
-    "join_bucketed",
-    "join_null_safe",
-    "pipeline_dataset_export",
-    "pipeline_corpus_clean",
-    "agg_pivot",
-    "agg_percentile",
-    "sample_hash",
-    "sample_stratified",
-    "hist_numeric",
-    "agg_corr_stats",
-    "agg_mode",
-    "fn_conditional",
-    "agg_unpivot",
-    "scan_parquet",
-    "agg_ngram_df_sketch",
-    "text_novelty_sketch",
-    "text_chunk_overlap",
-    "decontaminate_bloom",
-    "agg_kmv_distinct",
-    # --- tail: r10 evidence (freshest — these led the r9/r10 window) ---
     "graph_triangle_count",
     "pq_codebooks",
     "sim_search_pq",
@@ -242,13 +194,55 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_substring_scrub",
     "agg_approx",
     "sim_search_ivf",
-    # --- new in r12 (temporary tail slot; the r12 rotation lifts these
-    #     into the window head) ---
-    "text_bpe_tokenize_bytes",
-    "sql_large_volume_customers",
-    "sql_promo_part_suppliers",
-    "agg_approx_exact",
-    "stream_token_budget",
+    # --- r11 evidence (freshest — these led the r11 window) ---
+    "text_bpe_tokenize",
+    "bpe_train",
+    "text_bpe_tokenize_trained",
+    "udtf",
+    "fn_agg_collect",
+    "multimodal_decode",
+    "sql_pricing_summary",
+    "stream_stream_join",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "text_decontaminate",
+    "dedup_passage",
+    "dedup_span_rolling",
+    "sample_quality_weighted",
+    "agg_heavy_hitters",
+    "text_repetition_score",
+    "rollup_time_hypertable",
+    "ts_gap_fill",
+    "win_ntile",
+    "win_range_interval",
+    "cdc_latest_by_key",
+    "text_normalize",
+    "scan_orc",
+    "scan_partition_pruned",
+    "sink_text_formatted",
+    "topk_per_group",
+    "fn_bitwise",
+    "sql_top_revenue_orders",
+    "sql_revenue_by_nation",
+    "stream_custom_state",
+    "dedup_minhash",
+    "stream_watermark_late",
+    "stream_stateful_dedup",
+    "sim_search_ann",
+    "sample_mix_rebalance",
+    "sample_cap_per_source",
+    "agg_ngram_counts",
+    "text_unigram_logprob",
+    "analytics_cohort_retention",
+    "analytics_funnel",
+    "dedup_cluster_keep_best",
+    "stream_file_sink",
+    "analytics_sessionize",
+    "analytics_anomaly_extremes",
+    "cdc_scd2",
+    "join_asof_tolerance",
+    "sample_split_train_eval",
 ]
 
 

@@ -9,19 +9,23 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-11 driver window (VERDICT_r10 items 1+2): text_bpe_tokenize (new
-# in r10, zero driver evidence) and pipeline_seq_pack (output changed in
-# r10 — packs on real BPE counts now; its r7 evidence certifies the old
-# whitespace impl) MUST lead, then the 13 r05-evidence ops the skipped
-# r10 rotation left stale, then the flagship (in-window every round).
-# The remaining slots take r07-evidence ops, oldest left.
-R11_PRIORITY = [
-    "text_bpe_tokenize", "bpe_train", "text_bpe_tokenize_trained",
-    "pipeline_seq_pack",
-    "udtf", "fn_agg_collect", "multimodal_decode", "sql_pricing_summary",
-    "stream_stream_join", "stream_tumbling", "stream_sliding",
-    "stream_session", "text_decontaminate", "dedup_passage",
-    "dedup_span_rolling", "sample_quality_weighted", "agg_heavy_hitters",
+# Round-12 driver window (VERDICT_r11 items 1/2/6/7/8 + ADVICE item 1):
+# the five r12-new zero-evidence ops MUST lead, then the two
+# output-changed ops whose existing evidence certifies the OLD output
+# (pipeline_seq_pack: byte-level budgets since r12; text_token_count:
+# pretok_count rename in r11, missed the r11 window), then the 15
+# r07-evidence ops (oldest left), then the flagship (in-window every
+# round). The remaining slots take r08-evidence ops.
+R12_PRIORITY = [
+    "text_bpe_tokenize_bytes", "sql_large_volume_customers",
+    "sql_promo_part_suppliers", "agg_approx_exact", "stream_token_budget",
+    "pipeline_seq_pack", "text_token_count",
+    "profile_columns", "analytics_active_users_7d",
+    "analytics_pareto_topk", "merge_upsert", "compact_small_files",
+    "agg_quantile_bins", "graph_pagerank", "stream_foreachbatch_upsert",
+    "text_ngram_novelty", "fn_nested", "scan_schema_evolution",
+    "join_bloom_filtered", "sort_zorder_layout", "snapshot_time_travel",
+    "analytics_pattern_match",
     "text_bigram_freq",
 ]
 
@@ -36,41 +40,39 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-11 rotation goal: the zero-evidence / output-changed ops and
-    the 13 stale r05-evidence ops LEAD the checked window, the flagship
-    holds slot 18, and r07-evidence ops fill the rest EXACTLY — every
-    slot accounted for, so a list edit cannot silently push a priority op
+    """Round-12 rotation goal: the zero-evidence / output-changed ops and
+    the 15 r07-evidence ops LEAD the checked window, the flagship holds
+    slot 23, and r08-evidence ops fill the rest EXACTLY — every slot
+    accounted for, so a list edit cannot silently push a priority op
     past position 50 (the round-9 review caught the section comments
     drifting exactly this way)."""
     order = list(QUERIES)
-    assert order[: len(R11_PRIORITY)] == R11_PRIORITY
+    assert order[: len(R12_PRIORITY)] == R12_PRIORITY
     first50 = order[:50]
-    # the remaining window slots must all be r07-evidence ops: no
+    # the remaining window slots must all be r08-evidence ops: no
     # zero-evidence or priority op may be displaced below the cutoff
-    R07_EVIDENCE = {
-        "text_repetition_score", "rollup_time_hypertable", "ts_gap_fill",
-        "win_ntile", "win_range_interval", "cdc_latest_by_key",
-        "text_normalize", "scan_orc", "scan_partition_pruned",
-        "sink_text_formatted", "topk_per_group", "fn_bitwise",
-        "sql_top_revenue_orders", "sql_revenue_by_nation",
-        "stream_custom_state", "dedup_minhash", "stream_watermark_late",
-        "stream_stateful_dedup", "sim_search_ann", "sample_mix_rebalance",
-        "sample_cap_per_source", "agg_ngram_counts",
-        "text_unigram_logprob", "analytics_cohort_retention",
-        "analytics_funnel", "dedup_cluster_keep_best", "stream_file_sink",
-        "analytics_sessionize", "analytics_anomaly_extremes", "cdc_scd2",
-        "join_asof_tolerance", "sample_split_train_eval",
-        "profile_columns", "analytics_active_users_7d",
-        "analytics_pareto_topk", "merge_upsert", "compact_small_files",
-        "agg_quantile_bins", "graph_pagerank",
-        "stream_foreachbatch_upsert", "text_ngram_novelty", "fn_nested",
-        "scan_schema_evolution", "join_bloom_filtered",
-        "sort_zorder_layout", "snapshot_time_travel",
-        "analytics_pattern_match",
+    R08_EVIDENCE = {
+        "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
+        "ivf_centroids", "sql_volume_shipping", "sql_market_share",
+        "sql_small_qty_revenue", "analytics_transition_matrix",
+        "scan_binary_files", "analytics_rfm", "stream_python_source",
+        "dedup_cluster_downweight", "dedup_containment",
+        "dq_expectations", "sql_waiting_suppliers", "text_fingerprint",
+        "multimodal_meta", "text_lang_id", "multimodal_frame_sample",
+        "multimodal_resize", "text_pii_scrub", "text_tfidf",
+        "text_quality_score", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_embedding", "dedup_cluster_cc", "dedup_levenshtein",
+        "join_skew_salted", "join_bucketed", "join_null_safe",
+        "pipeline_dataset_export", "pipeline_corpus_clean", "agg_pivot",
+        "agg_percentile", "sample_hash", "sample_stratified",
+        "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
+        "agg_unpivot", "scan_parquet", "agg_ngram_df_sketch",
+        "text_novelty_sketch", "text_chunk_overlap",
+        "decontaminate_bloom", "agg_kmv_distinct",
     }
-    tail = set(first50[len(R11_PRIORITY):])
-    assert len(first50) == 50 and tail <= R07_EVIDENCE, (
-        sorted(tail - R07_EVIDENCE)
+    tail = set(first50[len(R12_PRIORITY):])
+    assert len(first50) == 50 and tail <= R08_EVIDENCE, (
+        sorted(tail - R08_EVIDENCE)
     )
 
 
