@@ -74,6 +74,10 @@ HEADLINE = (
     "text_bpe_tokenize",
     "bpe_train",
     "text_bpe_tokenize_trained",
+    # round-12 additions: the byte-level production tokenizer and the
+    # ingest-time budget accounting built on it
+    "text_bpe_tokenize_bytes",
+    "stream_token_budget",
 )
 
 # Timed every run and recorded in BENCH_local_detail.json, but NOT printed
@@ -99,6 +103,17 @@ TRACKED_ONLY = (
     "analytics_cohort_retention",
     "analytics_funnel",
     "analytics_active_users_7d",
+    # round-12 additions: TPC-H Q18/Q20 shapes (sql_market_share already
+    # represents the SQL pillar in the official line) and the exact
+    # companion of agg_approx (an evidence harness, not a 100 TB plan)
+    "sql_large_volume_customers",
+    "sql_promo_part_suppliers",
+    "agg_approx_exact",
+    # byte-level training twins: sample-bounded like bpe_train, and the
+    # trained-bytes tokenize plan is text_bpe_tokenize_bytes's (already
+    # in the official line) plus the bounded collect
+    "bpe_train_bytes",
+    "text_bpe_tokenize_trained_bytes",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can

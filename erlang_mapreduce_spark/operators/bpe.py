@@ -721,6 +721,7 @@ def _apply_pair(toks: list[str], a: str, b: str) -> list[str]:
 
 def train_merges(
     word_counts: list[tuple[str, int]],
+    to_tokens=list,
 ) -> list[tuple[str, str, int]]:
     """Classic BPE training (Sennrich et al. 2016) over (word, count)
     rows: per round, count adjacent token pairs weighted by word count
@@ -728,12 +729,16 @@ def train_merges(
     formulation), take the argmax (ties → smallest pair), merge its
     occurrences everywhere, repeat. Returns [(lhs, rhs, pair_count)] in
     learned order; stops early when no adjacent pairs remain. Every
-    component of merge k is a base char or an earlier product (a pair
+    component of merge k is a base token or an earlier product (a pair
     involving a later product has count 0 when k is learned), so the
     output always satisfies the well-formedness invariant
-    `encode_with`'s equivalence argument needs."""
+    `encode_with`'s equivalence argument needs. ``to_tokens`` seeds each
+    word — ``list`` (chars) or ``word_byte_tokens`` (hex bytes); the
+    round algebra is representation-agnostic, and tie-breaks stay
+    consistent because hex images are ASCII ([0-9A-F]), ordered the same
+    by Python tuple compare, UTF8String, and DuckDB VARCHAR."""
     seqs: list[tuple[list[str], int]] = [
-        (list(w), int(c)) for w, c in word_counts
+        (to_tokens(w), int(c)) for w, c in word_counts
     ]
     out: list[tuple[str, str, int]] = []
     for _ in range(BPE_TRAIN_MERGES):
@@ -764,10 +769,12 @@ def train_merges(
 _TRAINED_CACHE: dict = {}
 
 
-def _trained_table(spark: SparkSession, sf_dir: str):
+def _trained_table(spark: SparkSession, sf_dir: str, byte_level: bool = False):
     """Collect the capped training sample and train. The collect is the
     only driver-side materialization: ≤ BPE_TRAIN_CAP (word, count) rows,
-    picked by TakeOrderedAndProject (no global sort materializes)."""
+    picked by TakeOrderedAndProject (no global sort materializes).
+    ``byte_level`` trains over the byte family's pre-tokens and hex-byte
+    seeds instead of lowercased char seeds."""
     from .dedup import _corpus_fingerprint
 
     fp = _corpus_fingerprint(sf_dir)
@@ -777,20 +784,25 @@ def _trained_table(spark: SparkSession, sf_dir: str):
             spark.sparkContext.applicationId,
             os.path.abspath(sf_dir),
             fp,
+            byte_level,
         )
         hit = _TRAINED_CACHE.get(key)
         if hit is not None:
             return hit
     docs = load(spark, sf_dir, "documents")
+    word_rows = doc_word_rows_bytes if byte_level else doc_word_rows
     rows = (
-        doc_word_rows(docs)
+        word_rows(docs)
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), "word")
         .limit(BPE_TRAIN_CAP)
         .collect()
     )
-    trained = train_merges([(r.word, r.cnt) for r in rows])
+    trained = train_merges(
+        [(r.word, r.cnt) for r in rows],
+        to_tokens=word_byte_tokens if byte_level else list,
+    )
     if key is not None:
         _TRAINED_CACHE[key] = trained
     return trained
@@ -842,7 +854,17 @@ e{tag} AS MATERIALIZED (
 )"""
 
 
-def _train_ctes() -> str:
+# char vs byte seed expressions for the training / trained-tokenize
+# unrolls: chars index the word directly; bytes split hex(encode(word))
+# into 2-char images (DuckDB hex is uppercase, matching Python "%02X").
+_CHAR_SEED = "list_transform(range(1, len(word)+1), i -> word[i])"
+_BYTE_SEED = (
+    "list_transform(range(1, len(hex(encode(word)))//2 + 1), "
+    "i -> substr(hex(encode(word)), 2*i-1, 2))"
+)
+
+
+def _train_ctes(byte_level: bool = False) -> str:
     """DuckDB twin of `train_merges`, BPE_TRAIN_MERGES rounds unrolled as
     chained (non-recursive) CTEs — the ivf_centroids construction.
     Per round k: p{k} counts adjacent pairs weighted by word count; b{k}
@@ -850,7 +872,9 @@ def _train_ctes() -> str:
     round degrades to a no-op instead of an empty join; `_apply_round`
     merges the picked pair everywhere. Ends at ``trained(merge_rank,
     lhs, rhs, pair_count)`` (sentinel rounds — always a suffix —
-    filtered out). Expects ``dw`` in scope."""
+    filtered out). Expects ``dw`` in scope (the char or byte
+    pre-tokenizer's, matching ``byte_level``)."""
+    seed = _BYTE_SEED if byte_level else _CHAR_SEED
     parts = [f"""
 wc AS MATERIALIZED (
     SELECT word, cnt FROM (
@@ -860,7 +884,7 @@ wc AS MATERIALIZED (
 ),
 w0 AS MATERIALIZED (
     SELECT word, cnt,
-           list_transform(range(1, len(word)+1), i -> word[i]) AS toks
+           {seed} AS toks
     FROM wc
 )"""]
     for k in range(BPE_TRAIN_MERGES):
@@ -890,7 +914,7 @@ trained AS MATERIALIZED (
     return ",".join(parts)
 
 
-def _trained_tokenize_ctes() -> str:
+def _trained_tokenize_ctes(byte_level: bool = False) -> str:
     """Tokenize ALL distinct corpus words under the trained table —
     WITHOUT recursion: with only BPE_TRAIN_MERGES merges, applying them
     in RANK ORDER (one all-occurrences pass each, `_apply_round`) is
@@ -904,10 +928,11 @@ def _trained_tokenize_ctes() -> str:
     but the first merge when this oracle reused the fixed-table recursive
     CTE. Ends at ``wtoks(word, toks)``; expects ``dw`` and the training
     chain in scope."""
+    seed = _BYTE_SEED if byte_level else _CHAR_SEED
     parts = [f"""
 v0 AS MATERIALIZED (
     SELECT word, CAST(0 AS BIGINT) AS cnt,
-           list_transform(range(1, len(word)+1), i -> word[i]) AS toks
+           {seed} AS toks
     FROM (SELECT DISTINCT word FROM dw)
 )"""]
     for k in range(BPE_TRAIN_MERGES):
@@ -975,3 +1000,71 @@ def text_bpe_tokenize_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r, (a, b, _) in enumerate(trained):
         vocab.setdefault(a + b, N_BASE + r)
     return _tokenize_docs(docs, _make_ids_udf(rank, vocab))
+
+
+_BYTE_BASE_VALUES = ", ".join(f"('{i:02X}', {i})" for i in range(N_BYTES))
+
+
+@query(
+    "bpe_train_bytes",
+    oracle=f"""
+WITH {_DWB_CTE},
+{_train_ctes(byte_level=True)}
+SELECT merge_rank, lhs, rhs, pair_count FROM trained
+""",
+)
+def bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bpe_train` over the BYTE family: learn byte merges from the
+    corpus (hex-byte seeds, case-preserving unicode pre-tokens), the
+    production training shape — GPT-2's merges.txt IS a learned byte
+    merge table. Same bounded-sample plan (TakeOrderedAndProject top-cap
+    collect, pure-Python rounds) and the same unrolled-CTE oracle, with
+    byte seeds; hex images are ASCII so the argmax tie-break order is
+    identical in Python, Spark, and DuckDB. Output (merge_rank, lhs,
+    rhs, pair_count) — lhs/rhs are hex-byte-image tokens."""
+    trained = _trained_table(spark, sf_dir, byte_level=True)
+    return spark.createDataFrame(
+        [(r, a, b, int(pc)) for r, (a, b, pc) in enumerate(trained)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+
+
+@query(
+    "text_bpe_tokenize_trained_bytes",
+    oracle=f"""
+WITH {_DWB_CTE},
+{_train_ctes(byte_level=True)},
+{_trained_tokenize_ctes(byte_level=True)},
+vocab(tok, tid) AS (
+    SELECT tok, min(tid) FROM (
+        SELECT * FROM (VALUES {_BYTE_BASE_VALUES}) b(tok, tid)
+        UNION ALL
+        SELECT lhs || rhs, {N_BYTES} + merge_rank FROM trained
+    ) GROUP BY tok
+),
+{_tokenize_tail(N_BYTES)}
+""",
+)
+def text_bpe_tokenize_trained_bytes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL production tokenizer path: learn BYTE merges from the
+    corpus (`bpe_train_bytes`), then budget the same corpus with them —
+    train-then-tokenize where both halves are byte-level, so every
+    script gets real ids from a corpus-fitted table. Plan = the
+    text_bpe_tokenize_bytes tokenize plan + the bounded training
+    collect; ids are the 256 byte values then merge products by rank
+    (first rank wins on duplicate product strings, mirrored by the
+    oracle's min(tid))."""
+    docs = load(spark, sf_dir, "documents")
+    trained = _trained_table(spark, sf_dir, byte_level=True)
+    rank = {(a, b): r for r, (a, b, _) in enumerate(trained)}
+    vocab = {f"{i:02X}": i for i in range(N_BYTES)}
+    for r, (a, b, _) in enumerate(trained):
+        vocab.setdefault(a + b, N_BYTES + r)
+    return _tokenize_docs(
+        docs,
+        _make_ids_udf(rank, vocab, to_tokens=word_byte_tokens),
+        word_rows=doc_word_rows_bytes,
+        n_base=N_BYTES,
+    )

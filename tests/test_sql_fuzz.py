@@ -324,7 +324,8 @@ DOC_OPS = (
     "text_tokenize", "text_bigram_freq", "text_repetition_score",
     "text_unigram_logprob", "text_ngram_novelty", "text_decontaminate",
     "text_bpe_tokenize", "bpe_train", "text_bpe_tokenize_trained",
-    "text_bpe_tokenize_bytes",
+    "text_bpe_tokenize_bytes", "bpe_train_bytes",
+    "text_bpe_tokenize_trained_bytes",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash",
     "dedup_containment", "dedup_substring", "dedup_substring_scrub",
     "dedup_passage", "dedup_span_rolling", "dedup_cluster_cc",
