@@ -108,6 +108,8 @@ TRACKED_ONLY = (
     # companion of agg_approx (an evidence harness, not a 100 TB plan)
     "sql_large_volume_customers",
     "sql_promo_part_suppliers",
+    "sql_priority_pipeline",
+    "sql_discounted_revenue",
     "agg_approx_exact",
     # byte-level training twins: sample-bounded like bpe_train, and the
     # trained-bytes tokenize plan is text_bpe_tokenize_bytes's (already

@@ -289,6 +289,76 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q21_TABLES, _Q21)
 
 
+_Q4_TABLES = ("orders", "lineitem")
+
+# TPC-H Q4 shape: a date-windowed scan gated by a bare EXISTS against the
+# fact table — the minimal correlated-existential query, decorrelated to
+# one left-semi join. TPC-H's predicate (l_commitdate < l_receiptdate)
+# uses columns the fixture lacks; l_returnflag = 'R' stands in, same
+# substitution as Q21. The date window + the semi join each keep AND
+# drop rows at both fixture SFs (229→168-ish and per-priority splits).
+_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_priority_pipeline", oracle=_Q4)
+def sql_priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority checking via ``spark.sql``: count
+    per priority the orders in a one-year window having at least one
+    returned line — the bare-EXISTS shape, decorrelated to a left-semi
+    join on l_orderkey. Plan at 100 TB: the date filter pushes into the
+    orders scan, the semi join shuffles both sides on the order key (or
+    broadcasts the filtered orders side when the window is selective),
+    and the 5-group aggregate is a partial/final pair with O(5) shuffle
+    rows. Counts only — no float surface. The same text runs on
+    DuckDB."""
+    return _sql(spark, sf_dir, _Q4_TABLES, _Q4)
+
+
+_Q19_TABLES = ("lineitem", "part")
+
+# TPC-H Q19 shape: the disjunction-of-conjunctions predicate (three
+# (brand, size-range, quantity-range) clauses OR'd together) — the
+# pushdown stress: Catalyst must extract the clause-common bounds and
+# push a residual disjunct to EACH scan (quantity bounds to lineitem,
+# brand/size to part) rather than filtering only above the join.
+# Grouped by brand so the hash pins each clause's contribution.
+_Q19 = f"""
+SELECT p_brand,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+"""
+
+
+@query("sql_discounted_revenue", oracle=_Q19)
+def sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped discounted-revenue query via ``spark.sql``: an
+    OR of three conjunctive (brand, size, quantity) clauses over the
+    part⋈lineitem join, revenue per matched brand. The shape exercises
+    disjunctive predicate pushdown — Catalyst derives the per-table
+    residuals (quantity ∈ [1,30] to the lineitem scan, the brand/size
+    disjunct to the part scan) so neither table streams unfiltered rows
+    into the join; the part side broadcasts at every scale factor.
+    DECIMAL-exact revenue. The same text runs on DuckDB."""
+    return _sql(spark, sf_dir, _Q19_TABLES, _Q19)
+
+
 _Q18_TABLES = ("customer", "orders", "lineitem")
 
 # TPC-H Q18 shape: the HAVING-over-aggregated-subquery semi join — the

@@ -146,6 +146,20 @@ def test_sql_suite_physical_strategies(spark, sf_dir):
     n20 = nodes_of(QUERIES["sql_promo_part_suppliers"](spark, sf_dir))
     assert not any("NestedLoop" in n or "Cartesian" in n for n in n20)
     assert n20.count("HashAggregate") >= 4
+    # Q4 shape: the bare EXISTS decorrelates to ONE keyed (semi) join
+    # plus the 5-group partial/final pair — nothing else
+    n4 = nodes_of(QUERIES["sql_priority_pipeline"](spark, sf_dir))
+    assert not any("NestedLoop" in n or "Cartesian" in n for n in n4)
+    assert sum("Join" in n for n in n4) == 1
+    assert n4.count("HashAggregate") == 2
+    # Q19 shape: the disjunction-of-conjunctions predicate pushes a
+    # per-table residual into EACH parquet scan — the quantity bounds
+    # reach lineitem and the brand disjunct reaches part, so neither
+    # side streams unfiltered rows into the join
+    p19 = plan_of(QUERIES["sql_discounted_revenue"](spark, sf_dir))
+    pushed = [l for l in p19.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
+    assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
 
 
 def test_rollup_single_scan_single_expand(spark, sf_dir):

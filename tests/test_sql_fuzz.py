@@ -38,6 +38,8 @@ SQL_OPS = (
     "sql_promising_customers",
     "sql_large_volume_customers",
     "sql_promo_part_suppliers",
+    "sql_priority_pipeline",
+    "sql_discounted_revenue",
 )
 
 _SRC = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
