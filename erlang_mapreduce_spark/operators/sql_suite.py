@@ -359,6 +359,54 @@ def sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q19_TABLES, _Q19)
 
 
+_Q15_TABLES = ("supplier", "lineitem")
+
+# TPC-H Q15 shape: a derived revenue view gated by its own GLOBAL max —
+# the row-vs-global-aggregate shape (Q17 compares against a PER-GROUP
+# average; this is the global corner). Q15's textbook scalar-subquery
+# form makes Spark replan the whole view under the subquery — TWO full
+# lineitem aggregates (measured); the window form computes the view ONCE
+# and takes max() OVER () on the supplier-grain rows (O(suppliers),
+# one tiny extra exchange) — the Spark-first formulation, and DuckDB
+# runs the identical text. The revenue sums are DECIMAL-exact cast to
+# double, so the equality gate compares bit-identical values in both
+# engines — exact float equality is safe exactly because both sides
+# come from the same exact computation.
+_Q15 = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY l_suppkey
+),
+gated AS (
+    SELECT supplier_no, total_revenue,
+           max(total_revenue) OVER () AS best_revenue
+    FROM revenue
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN gated ON s_suppkey = supplier_no
+WHERE total_revenue = best_revenue
+"""
+
+
+@query("sql_top_supplier", oracle=_Q15)
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top-supplier query via ``spark.sql``: the
+    windowed revenue view gated by its own global max. Written in the
+    window form (max() OVER () on the aggregated view) instead of Q15's
+    scalar subquery, which Spark physically replans as a SECOND full
+    lineitem aggregate — see the _Q15 comment; the semantics are
+    identical and the oracle runs the same text. Plan at 100 TB: ONE
+    lineitem aggregate shuffled on l_suppkey, a single-partition window
+    over O(suppliers) rows, broadcast supplier join; the ship-date
+    filter pushes into the scan (pinned in tests/test_plans.py)."""
+    return _sql(spark, sf_dir, _Q15_TABLES, _Q15)
+
+
 _Q18_TABLES = ("customer", "orders", "lineitem")
 
 # TPC-H Q18 shape: the HAVING-over-aggregated-subquery semi join — the

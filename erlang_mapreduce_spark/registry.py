@@ -54,18 +54,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
 # Round-12 window (this ordering), oldest-evidence-first policy:
-#   1-9:   the nine ops NEW in r12, zero driver evidence
-#          (text_bpe_tokenize_bytes, the Q18/Q20/Q4/Q19 SQL quartet,
+#   1-10:  the ten ops NEW in r12, zero driver evidence
+#          (text_bpe_tokenize_bytes, the Q18/Q20/Q4/Q19/Q15 SQL set,
 #          agg_approx_exact, stream_token_budget, bpe_train_bytes,
 #          text_bpe_tokenize_trained_bytes).
-#   10:    pipeline_seq_pack (output CHANGED in r12 — packs on BYTE-level
+#   11:    pipeline_seq_pack (output CHANGED in r12 — packs on BYTE-level
 #          budgets now; its r11 evidence certifies char-level counts).
-#   11:    text_token_count (output changed in r11 — pretok_count rename
+#   12:    text_token_count (output changed in r11 — pretok_count rename
 #          + PRETOK_MAX cap — but sat outside the r11 window; its r8
 #          evidence certifies the old output — r11 ADVICE item 1).
-#   12-26: the 15 r07-evidence ops (oldest evidence left after r11).
-#   27:    text_bigram_freq (the flagship, in-window every round).
-#   28-50: the first 23 of the r08-evidence block.
+#   13-27: the 15 r07-evidence ops (oldest evidence left after r11).
+#   28:    text_bigram_freq (the flagship, in-window every round).
+#   29-50: the first 22 of the r08-evidence block.
 # After r12: no op's evidence predates r8.
 DRIVER_PRIORITY: list[str] = [
     # --- 1-7: new in r12, zero driver evidence ---
@@ -78,10 +78,11 @@ DRIVER_PRIORITY: list[str] = [
     "text_bpe_tokenize_trained_bytes",
     "sql_priority_pipeline",
     "sql_discounted_revenue",
-    # --- 10-11: output-changed ops whose evidence certifies old output ---
+    "sql_top_supplier",
+    # --- 11-12: output-changed ops whose evidence certifies old output ---
     "pipeline_seq_pack",
     "text_token_count",
-    # --- 12-26: the 15 r07-evidence ops ---
+    # --- 13-27: the 15 r07-evidence ops ---
     "profile_columns",
     "analytics_active_users_7d",
     "analytics_pareto_topk",
@@ -97,9 +98,9 @@ DRIVER_PRIORITY: list[str] = [
     "sort_zorder_layout",
     "snapshot_time_travel",
     "analytics_pattern_match",
-    # --- 27: the flagship (in-window every round per policy) ---
+    # --- 28: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    # --- 28-50: the first 23 of the r08-evidence block ---
+    # --- 29-50: the first 22 of the r08-evidence block ---
     "scan_python_datasource",
     "fn_url",
     "agg_bitmap_distinct",
@@ -122,8 +123,8 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_resize",
     "text_pii_scrub",
     "text_tfidf",
-    "text_quality_score",
     # --- 51+: r08-evidence remainder (lead the round-13 window) ---
+    "text_quality_score",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",

@@ -160,6 +160,13 @@ def test_sql_suite_physical_strategies(spark, sf_dir):
     pushed = [l for l in p19.splitlines() if "PushedFilters" in l]
     assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
     assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
+    # Q15 shape (window form): ONE lineitem aggregate pair + ONE global
+    # window — the scalar-subquery form would show a SECOND aggregate
+    # chain under its own AdaptiveSparkPlan (Spark replans the view)
+    n15 = nodes_of(QUERIES["sql_top_supplier"](spark, sf_dir))
+    assert n15.count("HashAggregate") == 2
+    assert n15.count("Window") == 1
+    assert n15.count("AdaptiveSparkPlan") == 1  # no subquery replan
 
 
 def test_rollup_single_scan_single_expand(spark, sf_dir):

@@ -40,6 +40,7 @@ SQL_OPS = (
     "sql_promo_part_suppliers",
     "sql_priority_pipeline",
     "sql_discounted_revenue",
+    "sql_top_supplier",
 )
 
 _SRC = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
