@@ -46,6 +46,8 @@ _OPS = (
     "bpe_train",                 # trained on the hostile vocabulary
     "text_bpe_tokenize_trained",
     "text_bpe_tokenize_bytes",   # doc 6's mixed scripts get real ids
+    "bpe_train_bytes",           # byte merges learned FROM hostile text
+    "text_bpe_tokenize_trained_bytes",
     "text_lang_id",
     "text_tfidf",
     "text_unigram_logprob",
