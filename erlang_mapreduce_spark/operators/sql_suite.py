@@ -478,13 +478,13 @@ JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (
     SELECT sp.l_suppkey
     FROM (
-        SELECT l_suppkey, l_partkey,
+        SELECT l_partkey, l_suppkey,
                SUM(CAST(l_quantity AS DECIMAL(29,6))) AS recent_qty
         FROM lineitem
         WHERE l_partkey IN (SELECT p_partkey FROM part
                             WHERE p_type = 'PROMO')
           AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
-        GROUP BY l_suppkey, l_partkey
+        GROUP BY l_partkey, l_suppkey
     ) sp
     WHERE sp.recent_qty > 80
       AND 2 * sp.recent_qty > (

@@ -146,6 +146,17 @@ def test_sql_suite_physical_strategies(spark, sf_dir):
     n20 = nodes_of(QUERIES["sql_promo_part_suppliers"](spark, sf_dir))
     assert not any("NestedLoop" in n or "Cartesian" in n for n in n20)
     assert n20.count("HashAggregate") >= 4
+    # both pair-grained lineitem exchanges must hash the SAME key order
+    # (partkey, suppkey) so the pair join co-partitions at scale —
+    # HashPartitioning(a,b) and HashPartitioning(b,a) are NOT compatible
+    p20 = plan_of(QUERIES["sql_promo_part_suppliers"](spark, sf_dir))
+    import re as _re
+    pair_keys = _re.findall(
+        r"hashpartitioning\((l_\w+)#\d+L?, (l_\w+)#\d+L?", p20
+    )
+    assert pair_keys and all(
+        k == ("l_partkey", "l_suppkey") for k in pair_keys
+    ), pair_keys
     # Q4 shape: the bare EXISTS decorrelates to ONE keyed (semi) join
     # plus the 5-group partial/final pair — nothing else
     n4 = nodes_of(QUERIES["sql_priority_pipeline"](spark, sf_dir))
