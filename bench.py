@@ -111,6 +111,7 @@ TRACKED_ONLY = (
     "sql_priority_pipeline",
     "sql_discounted_revenue",
     "sql_top_supplier",
+    "sink_python_datasource",
     "agg_approx_exact",
     # byte-level training twins: sample-bounded like bpe_train, and the
     # trained-bytes tokenize plan is text_bpe_tokenize_bytes's (already

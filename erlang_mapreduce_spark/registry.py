@@ -54,18 +54,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
 # Round-12 window (this ordering), oldest-evidence-first policy:
-#   1-10:  the ten ops NEW in r12, zero driver evidence
+#   1-11:  the eleven ops NEW in r12, zero driver evidence
 #          (text_bpe_tokenize_bytes, the Q18/Q20/Q4/Q19/Q15 SQL set,
 #          agg_approx_exact, stream_token_budget, bpe_train_bytes,
-#          text_bpe_tokenize_trained_bytes).
-#   11:    pipeline_seq_pack (output CHANGED in r12 — packs on BYTE-level
+#          text_bpe_tokenize_trained_bytes, sink_python_datasource).
+#   12:    pipeline_seq_pack (output CHANGED in r12 — packs on BYTE-level
 #          budgets now; its r11 evidence certifies char-level counts).
-#   12:    text_token_count (output changed in r11 — pretok_count rename
+#   13:    text_token_count (output changed in r11 — pretok_count rename
 #          + PRETOK_MAX cap — but sat outside the r11 window; its r8
 #          evidence certifies the old output — r11 ADVICE item 1).
-#   13-27: the 15 r07-evidence ops (oldest evidence left after r11).
-#   28:    text_bigram_freq (the flagship, in-window every round).
-#   29-50: the first 22 of the r08-evidence block.
+#   14-28: the 15 r07-evidence ops (oldest evidence left after r11).
+#   29:    text_bigram_freq (the flagship, in-window every round).
+#   30-50: the first 21 of the r08-evidence block.
 # After r12: no op's evidence predates r8.
 DRIVER_PRIORITY: list[str] = [
     # --- 1-7: new in r12, zero driver evidence ---
@@ -79,10 +79,11 @@ DRIVER_PRIORITY: list[str] = [
     "sql_priority_pipeline",
     "sql_discounted_revenue",
     "sql_top_supplier",
-    # --- 11-12: output-changed ops whose evidence certifies old output ---
+    "sink_python_datasource",
+    # --- 12-13: output-changed ops whose evidence certifies old output ---
     "pipeline_seq_pack",
     "text_token_count",
-    # --- 13-27: the 15 r07-evidence ops ---
+    # --- 14-28: the 15 r07-evidence ops ---
     "profile_columns",
     "analytics_active_users_7d",
     "analytics_pareto_topk",
@@ -98,9 +99,9 @@ DRIVER_PRIORITY: list[str] = [
     "sort_zorder_layout",
     "snapshot_time_travel",
     "analytics_pattern_match",
-    # --- 28: the flagship (in-window every round per policy) ---
+    # --- 29: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    # --- 29-50: the first 22 of the r08-evidence block ---
+    # --- 30-50: the first 21 of the r08-evidence block ---
     "scan_python_datasource",
     "fn_url",
     "agg_bitmap_distinct",
@@ -122,8 +123,8 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "text_pii_scrub",
-    "text_tfidf",
     # --- 51+: r08-evidence remainder (lead the round-13 window) ---
+    "text_tfidf",
     "text_quality_score",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -284,6 +285,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "stream_python_source",
         "dedup_cluster_downweight",
         "stream_token_budget",
+        "sink_python_datasource",
     }
 )
 

@@ -559,3 +559,141 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.rmdir(d_)
             except OSError:
                 pass
+
+
+def _register_pysink(spark: SparkSession) -> None:
+    """Define + register the `pysink` Python data source WRITER — the
+    write-side twin of scans._register_synth_source's reader: the
+    PySpark 4 `pyspark.sql.datasource` extension point that turns any
+    Python-reachable system (an internal API, a bespoke format, a
+    feature store) into a first-class `df.write.format(...)` target.
+    Spark calls `write(iterator)` once per input partition on the python
+    workers — each emits ONE newline-delimited-JSON shard named by
+    TaskContext ids (no cross-task coordination) and returns a commit
+    message; the driver's `commit()` writes the _SUCCESS marker with the
+    per-shard row accounting, and `abort()` is the failure path. That is
+    exactly the two-phase protocol JVM file sinks use, so write
+    parallelism scales with partition count like any file write."""
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _ShardCommit(WriterCommitMessage):
+        def __init__(self, filename: str, n_rows: int):
+            self.filename = filename
+            self.n_rows = n_rows
+
+    class _JsonShardWriter(DataSourceWriter):
+        def __init__(self, path: str, columns):
+            self.path = path
+            self.columns = columns
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            name = f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}.jsonl"
+            os.makedirs(self.path, exist_ok=True)
+            n = 0
+            with open(os.path.join(self.path, name), "w") as f:
+                for row in iterator:
+                    f.write(
+                        _json.dumps(
+                            {c: row[i] for i, c in enumerate(self.columns)},
+                            sort_keys=True,
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return _ShardCommit(name, n)
+
+        def commit(self, messages):
+            acct = {
+                m.filename: m.n_rows for m in messages if m is not None
+            }
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(_json.dumps(acct, sort_keys=True))
+
+        def abort(self, messages):
+            pass  # scratch dir is caller-owned and cleaned unconditionally
+
+    class _PySink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pysink"
+
+        def writer(self, schema, overwrite):
+            return _JsonShardWriter(
+                self.options["path"], [f.name for f in schema.fields]
+            )
+
+    spark.dataSource.register(_PySink)
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write THROUGH a custom Python data source, then prove the round
+    trip: finalized orders flow out via the `pysink` writer (one JSONL
+    shard per partition, two-phase commit — see _register_pysink), the
+    shards are read back with an explicit schema, and the returned
+    per-priority count/key-checksum report must equal the same aggregate
+    over the ORIGINAL table — which is exactly what the oracle computes,
+    so any row lost or duplicated by the writer protocol breaks the
+    hash. Integer/string columns only: JSON text round-trips them
+    exactly (doubles would need a binary format — the note every real
+    JSON connector carries). Scale: shard count = upstream partition
+    count; the python-worker serialization is the slow path vs a JVM
+    sink (scan_python_datasource's note) — this is the extension-point
+    showcase, production bulk paths land parquet."""
+    import shutil as _shutil
+
+    _register_pysink(spark)
+    base = os.path.join(
+        SINK_ROOT,
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-pysink",
+    )
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderpriority")
+            .write.format("pysink")
+            .option("path", base)
+            .mode("append")
+            .save()
+        )
+        back = (
+            spark.read.schema(
+                "o_orderkey bigint, o_orderpriority string"
+            )
+            .option("pathGlobFilter", "*.jsonl")
+            .json(base)
+        )
+        out = back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        # scratch shards are deleted on return — materialize first (the
+        # scan_binary_files device); ≤ 5 priority rows
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+        try:
+            os.rmdir(os.path.dirname(base))
+        except OSError:
+            pass

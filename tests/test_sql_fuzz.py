@@ -392,6 +392,7 @@ WRITER_OPS = (
     "compact_small_files", "multimodal_resize", "scan_binary_files",
     "pipeline_dataset_export", "join_bloom_filtered",
     "dedup_cluster_keep_best", "dedup_cluster_downweight",
+    "sink_python_datasource",
 )
 # With these, EVERY oracle-checkable op is fuzzed; the only exclusions
 # are rows-only-by-design (agg_approx — sim_search_ivf gained a full
