@@ -112,6 +112,7 @@ TRACKED_ONLY = (
     "sql_discounted_revenue",
     "sql_top_supplier",
     "sink_python_datasource",
+    "scan_python_arrow",
     "agg_approx_exact",
     # byte-level training twins: sample-bounded like bpe_train, and the
     # trained-bytes tokenize plan is text_bpe_tokenize_bytes's (already

@@ -54,18 +54,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
 # Round-12 window (this ordering), oldest-evidence-first policy:
-#   1-11:  the eleven ops NEW in r12, zero driver evidence
+#   1-12:  the twelve ops NEW in r12, zero driver evidence
 #          (text_bpe_tokenize_bytes, the Q18/Q20/Q4/Q19/Q15 SQL set,
 #          agg_approx_exact, stream_token_budget, bpe_train_bytes,
-#          text_bpe_tokenize_trained_bytes, sink_python_datasource).
-#   12:    pipeline_seq_pack (output CHANGED in r12 — packs on BYTE-level
+#          text_bpe_tokenize_trained_bytes, sink_python_datasource,
+#          scan_python_arrow).
+#   13:    pipeline_seq_pack (output CHANGED in r12 — packs on BYTE-level
 #          budgets now; its r11 evidence certifies char-level counts).
-#   13:    text_token_count (output changed in r11 — pretok_count rename
+#   14:    text_token_count (output changed in r11 — pretok_count rename
 #          + PRETOK_MAX cap — but sat outside the r11 window; its r8
 #          evidence certifies the old output — r11 ADVICE item 1).
-#   14-28: the 15 r07-evidence ops (oldest evidence left after r11).
-#   29:    text_bigram_freq (the flagship, in-window every round).
-#   30-50: the first 21 of the r08-evidence block.
+#   15-29: the 15 r07-evidence ops (oldest evidence left after r11).
+#   30:    text_bigram_freq (the flagship, in-window every round).
+#   31-50: the first 20 of the r08-evidence block.
 # After r12: no op's evidence predates r8.
 DRIVER_PRIORITY: list[str] = [
     # --- 1-7: new in r12, zero driver evidence ---
@@ -80,10 +81,11 @@ DRIVER_PRIORITY: list[str] = [
     "sql_discounted_revenue",
     "sql_top_supplier",
     "sink_python_datasource",
-    # --- 12-13: output-changed ops whose evidence certifies old output ---
+    "scan_python_arrow",
+    # --- 13-14: output-changed ops whose evidence certifies old output ---
     "pipeline_seq_pack",
     "text_token_count",
-    # --- 14-28: the 15 r07-evidence ops ---
+    # --- 15-29: the 15 r07-evidence ops ---
     "profile_columns",
     "analytics_active_users_7d",
     "analytics_pareto_topk",
@@ -99,9 +101,9 @@ DRIVER_PRIORITY: list[str] = [
     "sort_zorder_layout",
     "snapshot_time_travel",
     "analytics_pattern_match",
-    # --- 29: the flagship (in-window every round per policy) ---
+    # --- 30: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    # --- 30-50: the first 21 of the r08-evidence block ---
+    # --- 31-50: the first 20 of the r08-evidence block ---
     "scan_python_datasource",
     "fn_url",
     "agg_bitmap_distinct",
@@ -122,8 +124,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_lang_id",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "text_pii_scrub",
     # --- 51+: r08-evidence remainder (lead the round-13 window) ---
+    "text_pii_scrub",
     "text_tfidf",
     "text_quality_score",
     "dedup_ngram_jaccard",

@@ -10,7 +10,7 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
 # Round-12 driver window (VERDICT_r11 items 1/2/6/7/8 + ADVICE item 1):
-# the eleven r12-new zero-evidence ops MUST lead, then the two
+# the twelve r12-new zero-evidence ops MUST lead, then the two
 # output-changed ops whose existing evidence certifies the OLD output
 # (pipeline_seq_pack: byte-level budgets since r12; text_token_count:
 # pretok_count rename in r11, missed the r11 window), then the 15
@@ -21,7 +21,7 @@ R12_PRIORITY = [
     "sql_promo_part_suppliers", "agg_approx_exact", "stream_token_budget",
     "bpe_train_bytes", "text_bpe_tokenize_trained_bytes",
     "sql_priority_pipeline", "sql_discounted_revenue", "sql_top_supplier",
-    "sink_python_datasource",
+    "sink_python_datasource", "scan_python_arrow",
     "pipeline_seq_pack", "text_token_count",
     "profile_columns", "analytics_active_users_7d",
     "analytics_pareto_topk", "merge_upsert", "compact_small_files",
@@ -45,7 +45,7 @@ def test_driver_priority_covers_registry():
 def test_rotation_targets_in_first_50():
     """Round-12 rotation goal: the zero-evidence / output-changed ops and
     the 15 r07-evidence ops LEAD the checked window, the flagship holds
-    slot 29, and r08-evidence ops fill the rest EXACTLY — every slot
+    slot 30, and r08-evidence ops fill the rest EXACTLY — every slot
     accounted for, so a list edit cannot silently push a priority op
     past position 50 (the round-9 review caught the section comments
     drifting exactly this way)."""

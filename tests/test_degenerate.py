@@ -49,6 +49,7 @@ _NONZERO_ON_EMPTY = {
     # the Python data source generates its own rows — table inputs
     # (empty or not) don't exist for it
     "scan_python_datasource": 7,
+    "scan_python_arrow": 7,
     "stream_python_source": 7,
     "dq_expectations": 5,  # one report row per check; empty ⇒ vacuous pass
 }

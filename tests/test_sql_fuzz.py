@@ -424,7 +424,9 @@ def test_stream_replay_op_matches_oracle_on_random_events(
 # Self-generating Python sources: their output is data-independent (the
 # source synthesizes its own rows), so randomized input tables cannot
 # exercise anything the fixed run does not.
-_FUZZ_EXEMPT = frozenset({"scan_python_datasource", "stream_python_source"})
+_FUZZ_EXEMPT = frozenset(
+    {"scan_python_datasource", "scan_python_arrow", "stream_python_source"}
+)
 
 
 def test_fuzz_matrix_closure():
