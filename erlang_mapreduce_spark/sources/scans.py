@@ -570,10 +570,16 @@ def _register_pysink(spark: SparkSession) -> None:
     Spark calls `write(iterator)` once per input partition on the python
     workers — each emits ONE newline-delimited-JSON shard named by
     TaskContext ids (no cross-task coordination) and returns a commit
-    message; the driver's `commit()` writes the _SUCCESS marker with the
-    per-shard row accounting, and `abort()` is the failure path. That is
-    exactly the two-phase protocol JVM file sinks use, so write
-    parallelism scales with partition count like any file write."""
+    message; the driver's `commit()` writes the _SUCCESS manifest with
+    the per-shard row accounting, and `abort()` is the failure path.
+    That is exactly the two-phase protocol JVM file sinks use, so write
+    parallelism scales with partition count like any file write — and
+    the manifest is LOAD-BEARING: a retried or speculative task attempt
+    leaves its orphan shard on disk, but only the attempt whose commit
+    message reached `commit()` is listed, so readers that select by
+    manifest (``read_committed_shards``) count every row exactly once.
+    Readers that glob the directory would double-count after any retry —
+    the bug the pysink orphan test pins."""
     import json as _json
 
     from pyspark.sql.datasource import (
@@ -634,6 +640,22 @@ def _register_pysink(spark: SparkSession) -> None:
     spark.dataSource.register(_PySink)
 
 
+def read_committed_shards(spark: SparkSession, base: str, schema: str):
+    """Read back ONLY the shards the pysink _SUCCESS manifest committed —
+    exactly-once under task retries: an orphan shard from a failed or
+    speculative attempt sits in the same directory but is not listed, so
+    it contributes nothing. An explicit file list (not a glob) is the
+    same mechanism JVM committers use (the manifest IS the table)."""
+    import json as _json
+
+    with open(os.path.join(base, "_SUCCESS")) as f:
+        acct = _json.load(f)
+    files = [os.path.join(base, name) for name in sorted(acct)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 @query(
     "sink_python_datasource",
     oracle="""
@@ -649,11 +671,12 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write THROUGH a custom Python data source, then prove the round
     trip: finalized orders flow out via the `pysink` writer (one JSONL
     shard per partition, two-phase commit — see _register_pysink), the
-    shards are read back with an explicit schema, and the returned
-    per-priority count/key-checksum report must equal the same aggregate
-    over the ORIGINAL table — which is exactly what the oracle computes,
-    so any row lost or duplicated by the writer protocol breaks the
-    hash. Integer/string columns only: JSON text round-trips them
+    COMMITTED shards are read back via the _SUCCESS manifest
+    (read_committed_shards — orphan shards from retried attempts never
+    count), and the returned per-priority count/key-checksum report must
+    equal the same aggregate over the ORIGINAL table — which is exactly
+    what the oracle computes, so any row lost or duplicated by the
+    writer protocol breaks the hash. Integer/string columns only: JSON text round-trips them
     exactly (doubles would need a binary format — the note every real
     JSON connector carries). Scale: shard count = upstream partition
     count; the python-worker serialization is the slow path vs a JVM
@@ -677,12 +700,8 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("append")
             .save()
         )
-        back = (
-            spark.read.schema(
-                "o_orderkey bigint, o_orderpriority string"
-            )
-            .option("pathGlobFilter", "*.jsonl")
-            .json(base)
+        back = read_committed_shards(
+            spark, base, "o_orderkey bigint, o_orderpriority string"
         )
         out = back.groupBy("o_orderpriority").agg(
             F.count("*").alias("n_orders"),

@@ -188,3 +188,43 @@ def test_python_datasource_parallel_splits(spark, sf_dir):
         .load()
     )
     assert df.rdd.getNumPartitions() == _SYNTH_PARTS
+
+
+def test_pysink_manifest_excludes_orphan_shards(spark, tmp_path):
+    """The pysink two-phase commit's exactly-once guarantee under task
+    retries: a failed or speculative attempt leaves its shard file in
+    the directory, but only attempts whose commit message reached
+    commit() are in the _SUCCESS manifest — read_committed_shards must
+    count every committed row exactly once and the orphan's rows zero
+    times (a directory glob would double-count here)."""
+    from pyspark.sql import functions as F
+
+    from erlang_mapreduce_spark.sources.scans import (
+        _register_pysink,
+        read_committed_shards,
+    )
+
+    _register_pysink(spark)
+    base = str(tmp_path / "pysink")
+    (
+        spark.range(0, 100)
+        .select(
+            F.col("id").alias("o_orderkey"),
+            F.lit("X").alias("o_orderpriority"),
+        )
+        .write.format("pysink")
+        .option("path", base)
+        .mode("append")
+        .save()
+    )
+    # simulate the leftover shard of a retried attempt: same directory,
+    # valid JSONL, absent from the manifest
+    import os as _os
+
+    with open(_os.path.join(base, "part-0-99999.jsonl"), "w") as f:
+        f.write('{"o_orderkey": 1000000, "o_orderpriority": "X"}\n')
+    back = read_committed_shards(
+        spark, base, "o_orderkey bigint, o_orderpriority string"
+    )
+    assert back.count() == 100
+    assert back.agg(F.sum("o_orderkey")).first()[0] == sum(range(100))
