@@ -12,7 +12,9 @@ from . import (  # noqa: F401
     pipeline,
     relational,
     similarity,
+    pretrain,
     sql_suite,
     text,
+    web,
     windows,
 )

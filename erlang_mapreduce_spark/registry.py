@@ -47,84 +47,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 168 registered ops, insertion
+# insertion order and stops after 50 ops. With 177 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-12 window (this ordering), oldest-evidence-first policy:
-#   1-12:  the twelve ops NEW in r12, zero driver evidence
-#          (text_bpe_tokenize_bytes, the Q18/Q20/Q4/Q19/Q15 SQL set,
-#          agg_approx_exact, stream_token_budget, bpe_train_bytes,
-#          text_bpe_tokenize_trained_bytes, sink_python_datasource,
-#          scan_python_arrow).
-#   13:    pipeline_seq_pack (output CHANGED in r12 — packs on BYTE-level
-#          budgets now; its r11 evidence certifies char-level counts).
-#   14:    text_token_count (output changed in r11 — pretok_count rename
-#          + PRETOK_MAX cap — but sat outside the r11 window; its r8
-#          evidence certifies the old output — r11 ADVICE item 1).
-#   15-29: the 15 r07-evidence ops (oldest evidence left after r11).
-#   30:    text_bigram_freq (the flagship, in-window every round).
-#   31-50: the first 20 of the r08-evidence block.
-# After r12: no op's evidence predates r8.
+# Round-13 window (this ordering), oldest-evidence-first policy:
+#   1-2:   the two ops NEW in r13, zero driver evidence
+#          (text_html_extract, pipeline_pretrain_e2e).
+#   3-30:  the 28 r08-evidence ops left after the r12 window (the oldest
+#          evidence remaining — r12 VERDICT task 1).
+#   31:    text_bigram_freq (the flagship, in-window every round).
+#   32-50: the first 19 of the r09/r10-evidence block.
+# After r13: no op's evidence predates r9.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-7: new in r12, zero driver evidence ---
-    "text_bpe_tokenize_bytes",
-    "sql_large_volume_customers",
-    "sql_promo_part_suppliers",
-    "agg_approx_exact",
-    "stream_token_budget",
-    "bpe_train_bytes",
-    "text_bpe_tokenize_trained_bytes",
-    "sql_priority_pipeline",
-    "sql_discounted_revenue",
-    "sql_top_supplier",
-    "sink_python_datasource",
-    "scan_python_arrow",
-    # --- 13-14: output-changed ops whose evidence certifies old output ---
-    "pipeline_seq_pack",
-    "text_token_count",
-    # --- 15-29: the 15 r07-evidence ops ---
-    "profile_columns",
-    "analytics_active_users_7d",
-    "analytics_pareto_topk",
-    "merge_upsert",
-    "compact_small_files",
-    "agg_quantile_bins",
-    "graph_pagerank",
-    "stream_foreachbatch_upsert",
-    "text_ngram_novelty",
-    "fn_nested",
-    "scan_schema_evolution",
-    "join_bloom_filtered",
-    "sort_zorder_layout",
-    "snapshot_time_travel",
-    "analytics_pattern_match",
-    # --- 30: the flagship (in-window every round per policy) ---
-    "text_bigram_freq",
-    # --- 31-50: the first 20 of the r08-evidence block ---
-    "scan_python_datasource",
-    "fn_url",
-    "agg_bitmap_distinct",
-    "ivf_centroids",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "sql_small_qty_revenue",
-    "analytics_transition_matrix",
-    "scan_binary_files",
-    "analytics_rfm",
-    "stream_python_source",
-    "dedup_cluster_downweight",
-    "dedup_containment",
-    "dq_expectations",
-    "sql_waiting_suppliers",
-    "text_fingerprint",
-    "multimodal_meta",
-    "text_lang_id",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # --- 51+: r08-evidence remainder (lead the round-13 window) ---
+    # --- 1-2: new in r13, zero driver evidence ---
+    "text_html_extract",
+    "pipeline_pretrain_e2e",
+    # --- 3-30: the 28 r08-evidence ops (oldest remaining) ---
     "text_pii_scrub",
     "text_tfidf",
     "text_quality_score",
@@ -153,7 +94,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_chunk_overlap",
     "decontaminate_bloom",
     "agg_kmv_distinct",
-    # --- r09/r10 evidence ---
+    # --- 31: the flagship (in-window every round per policy) ---
+    "text_bigram_freq",
+    # --- 32-50: the first 19 of the r09/r10-evidence block ---
     "scan_text",
     "scan_csv_json",
     "sink_partitioned",
@@ -173,6 +116,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_global",
     "agg_ratio_of_total",
     "win_rank",
+    # --- 51+: r09/r10-evidence remainder (lead the round-14 window) ---
     "win_analytic",
     "win_frame",
     "sort_global",
@@ -203,7 +147,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_substring_scrub",
     "agg_approx",
     "sim_search_ivf",
-    # --- r11 evidence (freshest — these led the r11 window) ---
+    # --- r11 evidence ---
     "text_bpe_tokenize",
     "bpe_train",
     "text_bpe_tokenize_trained",
@@ -252,6 +196,56 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_scd2",
     "join_asof_tolerance",
     "sample_split_train_eval",
+    # --- r12 evidence (freshest — these led the r12 window) ---
+    "text_bpe_tokenize_bytes",
+    "sql_large_volume_customers",
+    "sql_promo_part_suppliers",
+    "agg_approx_exact",
+    "stream_token_budget",
+    "bpe_train_bytes",
+    "text_bpe_tokenize_trained_bytes",
+    "sql_priority_pipeline",
+    "sql_discounted_revenue",
+    "sql_top_supplier",
+    "sink_python_datasource",
+    "scan_python_arrow",
+    "pipeline_seq_pack",
+    "text_token_count",
+    "profile_columns",
+    "analytics_active_users_7d",
+    "analytics_pareto_topk",
+    "merge_upsert",
+    "compact_small_files",
+    "agg_quantile_bins",
+    "graph_pagerank",
+    "stream_foreachbatch_upsert",
+    "text_ngram_novelty",
+    "fn_nested",
+    "scan_schema_evolution",
+    "join_bloom_filtered",
+    "sort_zorder_layout",
+    "snapshot_time_travel",
+    "analytics_pattern_match",
+    "scan_python_datasource",
+    "fn_url",
+    "agg_bitmap_distinct",
+    "ivf_centroids",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_small_qty_revenue",
+    "analytics_transition_matrix",
+    "scan_binary_files",
+    "analytics_rfm",
+    "stream_python_source",
+    "dedup_cluster_downweight",
+    "dedup_containment",
+    "dq_expectations",
+    "sql_waiting_suppliers",
+    "text_fingerprint",
+    "multimodal_meta",
+    "text_lang_id",
+    "multimodal_frame_sample",
+    "multimodal_resize",
 ]
 
 
@@ -288,6 +282,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "dedup_cluster_downweight",
         "stream_token_budget",
         "sink_python_datasource",
+        "pipeline_pretrain_e2e",
     }
 )
 

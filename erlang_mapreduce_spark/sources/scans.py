@@ -16,6 +16,7 @@ and the DuckDB oracle read the same materialized file.
 from __future__ import annotations
 
 import os
+import time
 
 import duckdb
 from pyspark.sql import DataFrame, SparkSession
@@ -685,10 +686,14 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
 
     _register_pysink(spark)
+    # time_ns suffix: two concurrent invocations in one application on the
+    # same corpus must not share a scratch dir — the finally-rmtree of one
+    # would delete the other's committed shards mid-read (round-12 ADVICE
+    # item 4; matches stream_token_budget's pattern).
     base = os.path.join(
         SINK_ROOT,
         spark.sparkContext.applicationId,
-        f"{os.path.basename(os.path.normpath(sf_dir))}-pysink",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-pysink-{time.time_ns()}",
     )
     try:
         (

@@ -91,6 +91,17 @@ def _chunk_ns(sf_dir: str, table: str) -> str:
             if stale == fdisc:
                 continue
             p = os.path.join(gdir, stale)
+            if not os.path.isdir(p):
+                # plain-file leftover (e.g. a partially-failed rmtree): the
+                # marker protocol can never reclaim it — os.stat(marker)
+                # raises NotADirectoryError forever (round-12 ADVICE item
+                # 5). Age-gate on the file's own mtime, then unlink.
+                try:
+                    if now - os.stat(p).st_mtime > _PRUNE_GRACE_S:
+                        os.unlink(p)
+                except OSError:
+                    pass
+                continue
             marker = os.path.join(p, ".superseded")
             try:
                 if now - os.stat(marker).st_mtime > _PRUNE_GRACE_S:
@@ -991,9 +1002,14 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
     )
     snap_schema = "source string, n_docs long, total_tokens long"
-    cur: list[str] = []
+    versions: dict[int, str] = {}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # prev is derived from BATCH ID, never from "latest written": on an
+        # at-least-once replay of batch N, the previous snapshot must be the
+        # highest version < N (v{N} itself may already exist from the first
+        # attempt — reading it would double-count N and self-overwrite the
+        # parquet path being read; round-12 ADVICE item 1).
         delta = (
             doc_token_counts(batch_df)
             .join(batch_df.select("doc_id", "source"), "doc_id")
@@ -1003,8 +1019,11 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_tokens").alias("total_tokens"),
             )
         )
-        if cur:
-            prev = spark.read.schema(snap_schema).parquet(cur[-1])
+        prev_ids = [b for b in versions if b < batch_id]
+        if prev_ids:
+            prev = spark.read.schema(snap_schema).parquet(
+                versions[max(prev_ids)]
+            )
             delta = (
                 prev.unionByName(delta)
                 .groupBy("source")
@@ -1015,7 +1034,7 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         v = os.path.join(base, f"v{batch_id}")
         delta.write.mode("overwrite").parquet(v)
-        cur.append(v)
+        versions[batch_id] = v
 
     stream = (
         spark.readStream.schema(_DOC_SCHEMA)
@@ -1031,9 +1050,11 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        if not cur:  # empty source: no batch ever fired
+        if not versions:  # empty source: no batch ever fired
             return spark.createDataFrame([], snap_schema)
-        snap = spark.read.schema(snap_schema).parquet(cur[-1])
+        snap = spark.read.schema(snap_schema).parquet(
+            versions[max(versions)]
+        )
         return spark.createDataFrame(snap.collect(), snap.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -34,6 +34,15 @@ _DOCS = [
     (9, "dup doc body shared exactly", "en", "srcC"),
     (10, "", "en", "srcC"),
     (11, ".", "en", "srcC"),
+    # HTML-hostile rows (r12 VERDICT task 3): malformed tags, nested
+    # CDATA/comments, entity bombs — text_html_extract wraps each in a
+    # page, so these land INSIDE the html the extractor must survive.
+    (12, "<p>unclosed <div malformed <a href='x' dangling words keep "
+         "coming here", "en", "srcD"),
+    (13, "<![CDATA[ raw <b>bold</b> ]]> nested <!-- outer <!-- inner --> "
+         "tail --> end of cdata soup", "en", "srcD"),
+    (14, "&amp;amp; &amp;lt;script&amp;gt; " + "&amp;" * 200
+         + " entity bomb with filler words to pass the gate", "en", "srcD"),
 ]
 
 _OPS = (
@@ -58,6 +67,7 @@ _OPS = (
     "multimodal_meta",
     "multimodal_decode",
     "agg_ngram_counts",
+    "text_html_extract",  # rows 12-14 are its malformed-input suite
 )
 
 

@@ -9,26 +9,22 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-12 driver window (VERDICT_r11 items 1/2/6/7/8 + ADVICE item 1):
-# the twelve r12-new zero-evidence ops MUST lead, then the two
-# output-changed ops whose existing evidence certifies the OLD output
-# (pipeline_seq_pack: byte-level budgets since r12; text_token_count:
-# pretok_count rename in r11, missed the r11 window), then the 15
-# r07-evidence ops (oldest left), then the flagship (in-window every
-# round). The remaining slots take r08-evidence ops.
-R12_PRIORITY = [
-    "text_bpe_tokenize_bytes", "sql_large_volume_customers",
-    "sql_promo_part_suppliers", "agg_approx_exact", "stream_token_budget",
-    "bpe_train_bytes", "text_bpe_tokenize_trained_bytes",
-    "sql_priority_pipeline", "sql_discounted_revenue", "sql_top_supplier",
-    "sink_python_datasource", "scan_python_arrow",
-    "pipeline_seq_pack", "text_token_count",
-    "profile_columns", "analytics_active_users_7d",
-    "analytics_pareto_topk", "merge_upsert", "compact_small_files",
-    "agg_quantile_bins", "graph_pagerank", "stream_foreachbatch_upsert",
-    "text_ngram_novelty", "fn_nested", "scan_schema_evolution",
-    "join_bloom_filtered", "sort_zorder_layout", "snapshot_time_travel",
-    "analytics_pattern_match",
+# Round-13 driver window (VERDICT_r12 task 1): the two r13-new
+# zero-evidence ops MUST lead, then the 28 r08-evidence ops left over
+# after the r12 window (the oldest evidence remaining), then the
+# flagship (in-window every round). The remaining 19 slots take
+# r09/r10-evidence ops.
+R13_PRIORITY = [
+    "text_html_extract", "pipeline_pretrain_e2e",
+    "text_pii_scrub", "text_tfidf", "text_quality_score",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
+    "dedup_cluster_cc", "dedup_levenshtein", "join_skew_salted",
+    "join_bucketed", "join_null_safe", "pipeline_dataset_export",
+    "pipeline_corpus_clean", "agg_pivot", "agg_percentile",
+    "sample_hash", "sample_stratified", "hist_numeric",
+    "agg_corr_stats", "agg_mode", "fn_conditional", "agg_unpivot",
+    "scan_parquet", "agg_ngram_df_sketch", "text_novelty_sketch",
+    "text_chunk_overlap", "decontaminate_bloom", "agg_kmv_distinct",
     "text_bigram_freq",
 ]
 
@@ -43,39 +39,33 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-12 rotation goal: the zero-evidence / output-changed ops and
-    the 15 r07-evidence ops LEAD the checked window, the flagship holds
-    slot 30, and r08-evidence ops fill the rest EXACTLY — every slot
-    accounted for, so a list edit cannot silently push a priority op
-    past position 50 (the round-9 review caught the section comments
-    drifting exactly this way)."""
+    """Round-13 rotation goal: the two r13-new zero-evidence ops and the
+    28 leftover r08-evidence ops LEAD the checked window, the flagship
+    holds slot 31, and r09/r10-evidence ops fill the rest EXACTLY —
+    every slot accounted for, so a list edit cannot silently push a
+    priority op past position 50 (the round-9 review caught the section
+    comments drifting exactly this way)."""
     order = list(QUERIES)
-    assert order[: len(R12_PRIORITY)] == R12_PRIORITY
+    assert order[: len(R13_PRIORITY)] == R13_PRIORITY
     first50 = order[:50]
-    # the remaining window slots must all be r08-evidence ops: no
+    # the remaining window slots must all be r09/r10-evidence ops: no
     # zero-evidence or priority op may be displaced below the cutoff
-    R08_EVIDENCE = {
-        "scan_python_datasource", "fn_url", "agg_bitmap_distinct",
-        "ivf_centroids", "sql_volume_shipping", "sql_market_share",
-        "sql_small_qty_revenue", "analytics_transition_matrix",
-        "scan_binary_files", "analytics_rfm", "stream_python_source",
-        "dedup_cluster_downweight", "dedup_containment",
-        "dq_expectations", "sql_waiting_suppliers", "text_fingerprint",
-        "multimodal_meta", "text_lang_id", "multimodal_frame_sample",
-        "multimodal_resize", "text_pii_scrub", "text_tfidf",
-        "text_quality_score", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_embedding", "dedup_cluster_cc", "dedup_levenshtein",
-        "join_skew_salted", "join_bucketed", "join_null_safe",
-        "pipeline_dataset_export", "pipeline_corpus_clean", "agg_pivot",
-        "agg_percentile", "sample_hash", "sample_stratified",
-        "hist_numeric", "agg_corr_stats", "agg_mode", "fn_conditional",
-        "agg_unpivot", "scan_parquet", "agg_ngram_df_sketch",
-        "text_novelty_sketch", "text_chunk_overlap",
-        "decontaminate_bloom", "agg_kmv_distinct",
+    R09_R10_EVIDENCE = {
+        "scan_text", "scan_csv_json", "sink_partitioned",
+        "project_select", "filter_pred", "join_broadcast",
+        "join_sortmerge", "join_outer", "join_semi_anti",
+        "join_theta_range", "join_asof", "join_interval",
+        "agg_hash_count", "agg_multi", "agg_distinct",
+        "agg_grouping_sets", "agg_global", "agg_ratio_of_total",
+        "win_rank", "win_analytic", "win_frame", "sort_global", "topk",
+        "set_union_intersect_except", "dedup_exact", "fn_string",
+        "fn_date", "fn_math", "fn_array", "fn_map_json",
+        "text_tokenize", "sim_search", "udf_scalar", "udf_grouped",
+        "udaf",
     }
-    tail = set(first50[len(R12_PRIORITY):])
-    assert len(first50) == 50 and tail <= R08_EVIDENCE, (
-        sorted(tail - R08_EVIDENCE)
+    tail = set(first50[len(R13_PRIORITY):])
+    assert len(first50) == 50 and tail <= R09_R10_EVIDENCE, (
+        sorted(tail - R09_R10_EVIDENCE)
     )
 
 

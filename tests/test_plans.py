@@ -415,3 +415,61 @@ def test_no_cartesian_products_or_row_udfs_anywhere(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_BY_DESIGN:
             offenders.append(f"{name}: BroadcastNestedLoopJoin")
     assert not offenders, offenders
+
+
+def test_html_extract_is_narrow(spark, sf_dir):
+    """The web front door must be the cheapest possible shape: one pruned
+    parquet scan (doc_id + text only) and a single tag-strip/segment/
+    gate/decode projection — zero exchanges, zero Python, no explode
+    (the segment array lives and dies inside the row)."""
+    p = plan_of(QUERIES["text_html_extract"](spark, sf_dir))
+    assert count_nodes(p, "Exchange") == 0, p
+    assert "EvalPython" not in p
+    assert count_nodes(p, "Generate") == 0  # no explode
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_pretrain_capstone_stage_budgets(spark, sf_dir):
+    """Per-stage exchange budgets for pipeline_pretrain_e2e, pinned at
+    the materialization boundaries the op actually executes (the lazy
+    end-to-end tree re-expands shared inputs, so its node count is not
+    the executed cost): gate+scrub fuse narrowly over the scan; exact
+    dedup is ONE keyed shuffle; the minhash stage spends 3 (band
+    self-join + candidate distinct + verify hydration); substring scrub
+    5 with exactly one run window (the dedup_substring posting-list
+    shape); decontaminate 2 (train-gram explode agg + the anti join —
+    the eval side rides a broadcast). A regression anywhere (a gram
+    self-join, a second window, a lost broadcast) lands here."""
+    from pyspark.sql import functions as F
+
+    from erlang_mapreduce_spark.operators import pretrain as pt
+    from erlang_mapreduce_spark.operators.dedup import _doc_gram_sets_md5
+    from erlang_mapreduce_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    gated = pt.gate_and_scrub(docs)
+    pg = plan_of(gated)
+    assert count_nodes(pg, "Exchange") == 0, pg
+    assert count_nodes(pg, "Scan parquet") == 1
+
+    dd = pt.exact_dedup(gated)
+    assert count_nodes(plan_of(dd), "Exchange") == 1
+
+    ddc = dd.localCheckpoint()
+    sets = _doc_gram_sets_md5(
+        ddc.select("doc_id", F.col("scrubbed").alias("text"))
+    ).localCheckpoint()
+    mh = pt.minhash_survivors(ddc, sets)
+    assert count_nodes(plan_of(mh), "Exchange") <= 3
+
+    mhc = mh.localCheckpoint()
+    docs6 = pt.substring_clean(mhc)
+    p6 = plan_of(docs6)
+    assert count_nodes(p6, "Exchange") <= 5, p6
+    assert count_nodes(p6, "Window") == 1
+
+    d6c = docs6.localCheckpoint()
+    docs7 = pt.decontaminate(docs, d6c)
+    p7 = plan_of(docs7)
+    assert count_nodes(p7, "Exchange") <= 2, p7
+    assert "BroadcastHashJoin" in p7  # eval grams broadcast, never shuffled
