@@ -43,6 +43,15 @@ _DOCS = [
          "tail --> end of cdata soup", "en", "srcD"),
     (14, "&amp;amp; &amp;lt;script&amp;gt; " + "&amp;" * 200
          + " entity bomb with filler words to pass the gate", "en", "srcD"),
+    # multi-script payload rows (r12 VERDICT task 6): RTL + combining
+    # marks, emoji-ZWJ sequences, astral-plane text — through the
+    # byte-BPE family, chunking, and packing
+    (15, "النَّصُّ الْعَرَبِيُّ مَعَ حَرَكَات and עִבְרִית עִם נִקּוּד mixed "
+         "with ascii tail words", "mixed", "srcE"),
+    (16, "families 👨‍👩‍👧‍👦 👩‍👩‍👦 and flags 🏳️‍🌈 🇺🇳 🇯🇵 zwj "
+         "sequences between plain words", "mixed", "srcE"),
+    (17, "astral 𝒽𝑒𝓁𝓁𝑜 𝔀𝓸𝓻𝓭𝓼 gothic 𐍈𐌰𐌹𐌷𐍄𐍃 cuneiform 𒀀𒀁𒀂 "
+         "four byte utf8 everywhere", "mixed", "srcE"),
 ]
 
 _OPS = (
@@ -68,6 +77,8 @@ _OPS = (
     "multimodal_decode",
     "agg_ngram_counts",
     "text_html_extract",  # rows 12-14 are its malformed-input suite
+    "text_chunk_overlap",  # rows 15-17: multi-script chunk boundaries
+    "pipeline_seq_pack",   # rows 15-17: byte budgets on RTL/ZWJ/astral
 )
 
 

@@ -225,7 +225,18 @@ _VOCAB = (
     # pre-tokens)
     "Привет мир κόσμος δεδομένα 世界 汉字处理 日本語テキスト données "
     "Zürich 🙂 "
-    "поисковаяоптимизацияидлинноеслово"
+    "поисковаяоптимизацияидлинноеслово "
+    # round-13 (VERDICT task 6): RTL with combining marks (Arabic harakat,
+    # Hebrew niqqud — the marks are \p{M}, so the pre-tokenizer emits them
+    # as single-char tokens between letter runs, identically in both
+    # engines), emoji-ZWJ sequences (the ZWJ is a zero-width joiner the
+    # byte tokenizer sees as its own 3-byte pre-token), a regional-
+    # indicator flag pair, and astral-plane text (4-byte UTF-8: math
+    # script, Gothic) — all caseless, so lower() is inert and the known
+    # casefold divergences stay out of play
+    "النَّصُّ عَرَبِيٌّ עִבְרִית שָׁלוֹם "
+    "👨‍👩‍👧‍👦 🏳️‍🌈 🇺🇳 "
+    "𝒽𝑒𝓁𝓁𝑜 𝔀𝓸𝓻𝓭 𐍈𐌰𐌹𐌷𐍄𐍃"
 ).split()
 
 
@@ -338,7 +349,7 @@ DOC_OPS = (
     "agg_ngram_counts", "agg_ngram_df_sketch", "text_novelty_sketch",
     "text_chunk_overlap", "decontaminate_bloom", "graph_triangle_count",
     "agg_heavy_hitters",
-    "pipeline_corpus_clean",
+    "pipeline_corpus_clean", "pipeline_pretrain_e2e", "text_html_extract",
     "pipeline_seq_pack", "fn_array", "fn_url", "udf_scalar", "udtf",
     "multimodal_meta", "multimodal_decode", "multimodal_frame_sample",
 )

@@ -105,6 +105,10 @@ BYTE_PRETOK_TEXTS = AGREE + DIVERGE + [
     "ーガ ひらがな 한국어",
     "ᵃᵇ super ﬁ ligature ǅ title-case",
     "𝒳 math alphanumerics 𐍈 gothic",  # astral plane (4-byte UTF-8)
+    # r13: RTL with combining marks, emoji-ZWJ, regional-indicator flags
+    "النَّصُّ عَرَبِيٌّ here עִבְרִית שָׁלוֹם",
+    "family 👨‍👩‍👧‍👦 flag 🏳️‍🌈 pair 🇺🇳 tail",
+    "𝒽𝑒𝓁𝓁𝑜 𝔀𝓸𝓻𝓭 mixed 𐍈𐌰𐌹𐌷𐍄𐍃 runs",
 ]
 
 
