@@ -119,6 +119,13 @@ TRACKED_ONLY = (
     # in the official line) plus the bounded collect
     "bpe_train_bytes",
     "text_bpe_tokenize_trained_bytes",
+    # round-13 additions: the raw-web front door, the capstone chain, and
+    # the three new TPC-H shapes (Q6/Q10/Q9)
+    "text_html_extract",
+    "pipeline_pretrain_e2e",
+    "sql_forecast_revenue",
+    "sql_returned_items",
+    "sql_product_profit",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can
@@ -197,14 +204,16 @@ def main() -> None:
     )
     detail = {**compact, "tracked_only": {k: timings[k] for k in TRACKED_ONLY},
               "passes": passes}
-    # preserve per-op isolated re-timings (tools/isolated_timing.py writes
-    # them under "isolated") across full-bench rewrites, so drift
-    # adjudications stay next to the medians they explain
+    # preserve per-op isolated re-timings (tools/isolated_timing.py,
+    # "isolated") and the full-registry sweep (tools/registry_sweep.py,
+    # "sweep"/"sweep_meta") across full-bench rewrites, so drift
+    # adjudications and tail-op evidence stay next to the medians
     try:
         with open(detail_path) as f:
             prev = json.load(f)
-        if "isolated" in prev:
-            detail["isolated"] = prev["isolated"]
+        for k in ("isolated", "sweep", "sweep_meta"):
+            if k in prev:
+                detail[k] = prev[k]
     except (OSError, ValueError):
         pass
     with open(detail_path, "w") as f:

@@ -595,3 +595,116 @@ def sql_promising_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     small); the final agg is a partial/final pair over ≤10 groups. The
     same text runs on DuckDB."""
     return _sql(spark, sf_dir, _Q22_TABLES, _Q22)
+
+
+_Q6_TABLES = ("lineitem",)
+
+# TPC-H Q6 shape: the pure pushdown query — one scan, three range
+# predicates, one global aggregate, no join, no group key. Its entire
+# 100 TB cost is the scan, so the plan test pins that ALL THREE
+# predicates reach the parquet reader as PushedFilters (date + discount
+# + quantity) and the read schema is the 4 filtered/aggregated columns,
+# nothing else. Shuffle volume: one partial-agg row per task.
+_Q6 = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_forecast_revenue", oracle=_Q6)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped revenue-change forecast via ``spark.sql``: the
+    discount-band what-if over one year of shipments. The minimal
+    scan→filter→global-agg pipeline (the declarative form of the
+    reference's single fold at mapreduce.erl:130-141): every predicate
+    pushes into the parquet scan, the projection prunes to 4 columns,
+    and the aggregate moves one partial row per task — at 100 TB this
+    query is I/O-bound by construction, the ideal shape. The same text
+    runs on DuckDB."""
+    return _sql(spark, sf_dir, _Q6_TABLES, _Q6)
+
+
+_Q10_TABLES = ("customer", "orders", "lineitem", "nation")
+
+# TPC-H Q10 shape: returned-item reporting — a quarter of orders joins
+# returned lines, aggregates lost revenue per customer, and keeps the
+# top 20. The LIMIT needs a total order (revenue DESC, custkey tiebreak)
+# to be deterministic across engines; TakeOrderedAndProject keeps the
+# sort K-bounded (no global sort at any scale).
+_Q10 = f"""
+SELECT c_custkey, c_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       c_acctbal, n_name,
+       count(*) AS n_lineitems
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("sql_returned_items", oracle=_Q10)
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report via ``spark.sql``: which
+    customers returned the most revenue in a half-year window. Plan at
+    100 TB: the date filter pushes into the orders scan and the return
+    flag into the lineitem scan BEFORE the fact⋈fact join (the join
+    shuffles only the filtered quarter on o/l_orderkey); nation
+    broadcasts; the per-customer aggregate shuffles on the group key;
+    the top-20 is TakeOrderedAndProject (per-partition heap + driver
+    merge — never a global sort). The same text runs on DuckDB."""
+    return _sql(spark, sf_dir, _Q10_TABLES, _Q10)
+
+
+_Q9_TABLES = ("part", "lineitem", "supplier", "orders", "nation")
+
+# TPC-H Q9 shape: product-type profit — a name-pattern part filter fans
+# through lineitem to supplier-nation × order-year profit cells. TPC-H's
+# profit uses ps_supplycost from partsupp, which the fixture lacks
+# (TESTDATA.md ships no partsupp); a 60%-of-retail cost proxy
+# (0.6 * p_retailprice * l_quantity) keeps the same join graph, the same
+# profit-expression shape (revenue minus cost), and a full cross-engine
+# oracle. amount stays double on both engines until the final
+# decimal-exact sum.
+_Q9 = f"""
+SELECT nation, o_year,
+       {dsum_sql('amount')} AS sum_profit,
+       count(*) AS n_lineitems
+FROM (
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount)
+             - 0.6 * p_retailprice * l_quantity AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("sql_product_profit", oracle=_Q9)
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-profit query via ``spark.sql``: profit on
+    'gear' parts by supplier nation and order year. Plan at 100 TB: the
+    LIKE filter prunes part FIRST and the pruned part set (≤ a few % of
+    parts) broadcasts into lineitem — the fact table never shuffles for
+    that join and rows drop before the wide orders join; supplier and
+    nation broadcast; the only data-sized exchange is lineitem⋈orders on
+    the order key; the final agg is a partial/final pair over
+    nation×year cells. The same text runs on DuckDB (cost proxy — see
+    _Q9 comment)."""
+    return _sql(spark, sf_dir, _Q9_TABLES, _Q9)

@@ -178,6 +178,41 @@ def test_sql_suite_physical_strategies(spark, sf_dir):
     assert n15.count("HashAggregate") == 2
     assert n15.count("Window") == 1
     assert n15.count("AdaptiveSparkPlan") == 1  # no subquery replan
+    # Q6 shape: the pure pushdown query — ALL THREE range predicates
+    # reach the parquet reader, the projection prunes to the 4
+    # filtered/aggregated columns, and the whole plan is one scan + one
+    # partial/final pair (the query is I/O-bound by construction)
+    df6 = QUERIES["sql_forecast_revenue"](spark, sf_dir)
+    n6 = nodes_of(df6)
+    assert not any("Join" in n for n in n6)
+    assert n6.count("HashAggregate") == 2 and n6.count("Exchange") == 1
+    p6 = plan_of(df6)
+    pushed6 = [l for l in p6.splitlines() if "PushedFilters" in l][0]
+    for pred in ("l_shipdate", "GreaterThanOrEqual(l_discou",
+                 "LessThan(l_quantity"):
+        assert pred in pushed6, pushed6
+    rs6 = [l for l in p6.splitlines() if "ReadSchema" in l][0]
+    assert rs6.count(",") == 3, rs6  # exactly 4 columns
+    # Q10 shape: the date window pushes into the orders scan and the
+    # return flag into the lineitem scan BEFORE the join; the top-20 is
+    # TakeOrderedAndProject, never a global Sort of the aggregate output
+    df10 = QUERIES["sql_returned_items"](spark, sf_dir)
+    n10 = nodes_of(df10)
+    assert "TakeOrderedAndProject" in n10 and "Sort" not in n10
+    assert not any("NestedLoop" in n or "Cartesian" in n for n in n10)
+    p10 = plan_of(df10)
+    pushed10 = [l for l in p10.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed10)
+    assert any("EqualTo(l_returnflag,R)" in l for l in pushed10)
+    # Q9 shape: the LIKE filter pushes into the part scan as a
+    # StringContains and the pruned part set BROADCASTS — the fact table
+    # never shuffles for the part join; supplier/nation broadcast too
+    df9 = QUERIES["sql_product_profit"](spark, sf_dir)
+    n9 = nodes_of(df9)
+    assert n9.count("BroadcastHashJoin") >= 3
+    assert not any("NestedLoop" in n or "Cartesian" in n for n in n9)
+    p9 = plan_of(df9)
+    assert "StringContains(p_name,gear)" in p9, p9
 
 
 def test_rollup_single_scan_single_expand(spark, sf_dir):

@@ -41,6 +41,9 @@ SQL_OPS = (
     "sql_priority_pipeline",
     "sql_discounted_revenue",
     "sql_top_supplier",
+    "sql_forecast_revenue",
+    "sql_returned_items",
+    "sql_product_profit",
 )
 
 _SRC = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -110,7 +113,12 @@ def _gen_dir(base: str, seed: int) -> str:
     }))
     write("part", pa.table({
         "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
-        "p_name": pa.array([f"part {i}" for i in range(n_part)]),
+        # ~1/3 of names carry the 'gear' token so Q9's LIKE filter is
+        # non-vacuous on the fuzz DB (and 2/3 exercise the negative side)
+        "p_name": pa.array([
+            f"part {i} gear" if i % 3 == 0 else f"part {i}"
+            for i in range(n_part)
+        ]),
         "p_brand": pa.array(
             [f"Brand#{rng.integers(1, 6)}" for _ in range(n_part)]
         ),

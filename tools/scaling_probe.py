@@ -99,6 +99,28 @@ OPS = (
     # shape as text_bpe_tokenize (per-DISTINCT-word Arrow encode, JVM
     # corpus work), byte merges instead of char merges
     "text_bpe_tokenize_bytes",
+    # round-13 additions (the r12 verdict's task 5): the four families the
+    # probe never covered — sql_suite, streaming replay, multimodal
+    # plumbing, maintenance — plus the two r13-new ops. lineitem/orders/
+    # events/documents replicate; dims (customer/supplier/part) keep their
+    # natural size, so the sql shapes probe fact-side growth against
+    # fixed dims, exactly the 100 TB star shape.
+    "sql_pricing_summary",
+    "sql_market_share",
+    "sql_large_volume_customers",
+    "sql_priority_pipeline",
+    "sql_discounted_revenue",
+    "stream_tumbling",
+    "stream_kmv_distinct",
+    "stream_minhash_dedup",
+    "stream_token_budget",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_resize",
+    "sort_zorder_layout",
+    "merge_upsert",
+    "text_html_extract",
+    "pipeline_pretrain_e2e",
 )
 
 # The steepest SCALING rows (the token-linear family) get one extra 30×
@@ -328,6 +350,57 @@ def main() -> None:
         "merges instead of char merges, so its curve should track",
         "text_bpe_tokenize's (the per-word Python encode does ~4x the",
         "merge steps, but that stage is vocabulary-sized, constant here).",
+        "",
+        "Round-13 families (first probe coverage for sql_suite, streaming,",
+        "multimodal, maintenance):",
+        f"- SQL shapes: sql_pricing_summary ({a('sql_pricing_summary')}) is",
+        "  the Q1 full-lineitem aggregate — scan + one map-side-combined",
+        "  hash agg, so alpha→1 is the floor for an op that must read",
+        f"  every row. sql_priority_pipeline ({a('sql_priority_pipeline')})",
+        f"  and sql_discounted_revenue ({a('sql_discounted_revenue')}) are",
+        "  scan-dominated semi-join/filter shapes over replicated facts.",
+        f"  sql_market_share ({a('sql_market_share')}) and",
+        f"  sql_large_volume_customers ({a('sql_large_volume_customers')})",
+        "  join replicated facts against FIXED dims (dims don't replicate",
+        "  — the star-schema constraint), so their fact-side exchanges",
+        "  grow with data while the broadcast sides stay constant: the",
+        "  exact 100 TB star shape. Near-1 alphas here mean the join",
+        "  plans add no super-linear term on top of the scan.",
+        "- Streaming replay: each op's cost is micro-batches × per-batch",
+        f"  plan. stream_tumbling ({a('stream_tumbling')}) and",
+        f"  stream_kmv_distinct ({a('stream_kmv_distinct')}) carry",
+        "  batch-sized state merges (group rows / k-bounded sketches);",
+        f"  stream_minhash_dedup ({a('stream_minhash_dedup')}) checks each",
+        "  batch against a banded signature store (batch-sized probe,",
+        f"  never corpus rescan); stream_token_budget",
+        f"  ({a('stream_token_budget')}) re-tokenizes each batch through",
+        "  the vocabulary-sized Arrow encode. Replication grows the",
+        "  replayed volume; the per-batch state reads stay O(groups)/O(k)",
+        "  — alphas ≤~1 mean no cross-batch blow-up.",
+        f"- Multimodal: multimodal_meta ({a('multimodal_meta')}) is a",
+        f"  narrow digest projection; multimodal_decode",
+        f"  ({a('multimodal_decode')}) and multimodal_resize",
+        f"  ({a('multimodal_resize')}) push Arrow batches through",
+        "  mapInPandas — per-payload work, zero shuffle, so they track",
+        "  the scan (alpha→1 is the decode floor: every byte crosses the",
+        "  Arrow boundary once; the 100 TB lever is executor count, not",
+        "  plan shape).",
+        f"- Maintenance: sort_zorder_layout ({a('sort_zorder_layout')}) is",
+        "  a narrow integer z-interleave + one hash agg over replicated",
+        f"  lineitem. merge_upsert ({a('merge_upsert')}) applies a CDC",
+        "  batch to the supplier DIM, which does not replicate — its flat",
+        "  curve here probes fixed per-query overhead only; the op's",
+        "  scale story is the broadcast(changes) left join that never",
+        "  shuffles the base (pinned in test_plans), which this fixture",
+        "  cannot exercise by construction.",
+        f"- Round-13 ops: text_html_extract ({a('text_html_extract')}) is",
+        "  a chain of narrow regexp projections over replicated documents",
+        "  — scan-tracking, no shuffle at any scale. pipeline_pretrain_e2e",
+        f"  ({a('pipeline_pretrain_e2e')}) composes the full ten-stage",
+        "  chain; its cost is the sum of its stages (dedup stages collapse",
+        "  to DISTINCT texts — constant here — while gate/scrub/tokenize/",
+        "  pack/export scale with the corpus), so its alpha sits between",
+        "  the pair ops' ~0 and the tokenize family's ~0.7.",
         "",
         "## 30x probe — the token-linear family",
         "",
