@@ -225,16 +225,33 @@ def test_cc_large_small_star_beats_diameter(spark, sf_dir):
     """A 64-node chain has diameter 63: naive min-label propagation needs
     ~63 rounds, large-star/small-star must finish in O(log² n) — assert
     convergence well under the diameter AND exact labels (everything
-    reaches root 0)."""
+    reaches root 0). local_cap=0 forces the distributed path (the default
+    adaptive cap would finish this toy graph locally in round 0)."""
     from erlang_mapreduce_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )
-    labels, rounds = connected_components(chain)
+    labels, rounds = connected_components(chain, local_cap=0)
     got = {(r.node, r.root) for r in labels.collect()}
     assert got == {(i, 0) for i in range(64)}
     assert rounds <= 12, f"took {rounds} rounds on a 63-diameter chain"
+
+
+def test_cc_local_finish_matches_distributed(spark, sf_dir):
+    """The adaptive local finish (measured edge count <= CC_LOCAL_EDGES →
+    bounded collect + union-find) must label exactly like the distributed
+    star fixed point, and must report the rounds it SKIPPED as 0 — the
+    default path for any sub-cap graph."""
+    from erlang_mapreduce_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(chain)  # default adaptive cap
+    got = {(r.node, r.root) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(64)}
+    assert rounds == 0  # finished locally before any distributed round
 
 
 def test_cc_two_components_and_singletons(spark, sf_dir):
@@ -243,10 +260,16 @@ def test_cc_two_components_and_singletons(spark, sf_dir):
     pairs = spark.createDataFrame(
         [(5, 3), (3, 9), (20, 21), (7, 7)], "doc_a long, doc_b long"
     )
-    labels, _ = connected_components(pairs)
-    got = {(r.node, r.root) for r in labels.collect()}
-    # self-loop (7,7) is dropped; singletons absent by contract
-    assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (21, 20)}
+    # both paths must agree on semantics: self-loop dropped, singletons
+    # absent by contract
+    for cap in (0, None):
+        labels, _ = (
+            connected_components(pairs)
+            if cap is None
+            else connected_components(pairs, local_cap=cap)
+        )
+        got = {(r.node, r.root) for r in labels.collect()}
+        assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (21, 20)}, cap
 
 
 def test_cc_matches_union_find_on_random_graphs(spark, sf_dir):
@@ -279,9 +302,17 @@ def test_cc_matches_union_find_on_random_graphs(spark, sf_dir):
         truth = {x: find(x) for x in touched}
 
         df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-        labels, _ = connected_components(df)
-        got = {r.node: r.root for r in labels.collect()}
-        assert got == truth, f"seed {seed}"
+        # both paths: the distributed star rewrites (local_cap=0) and the
+        # adaptive local finish (default cap) must each reproduce the
+        # union-find truth exactly
+        for cap in (0, None):
+            labels, _ = (
+                connected_components(df)
+                if cap is None
+                else connected_components(df, local_cap=cap)
+            )
+            got = {r.node: r.root for r in labels.collect()}
+            assert got == truth, f"seed {seed} cap {cap}"
 
 
 def test_cc_durable_checkpoint_mode(spark, sf_dir, tmp_path):
@@ -295,7 +326,11 @@ def test_cc_durable_checkpoint_mode(spark, sf_dir, tmp_path):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
     )
-    labels, rounds = connected_components(chain, checkpoint_dir=ckpt)
+    # local_cap=0: this test exercises the durable per-round checkpoint
+    # machinery, which the adaptive local finish would skip entirely
+    labels, rounds = connected_components(
+        chain, checkpoint_dir=ckpt, local_cap=0
+    )
     got = {(r.node, r.root) for r in labels.collect()}
     assert got == {(i, 0) for i in range(21)}
     ckpt_files = [p for p in (tmp_path / "cc_ckpt").rglob("*") if p.is_file()]
