@@ -424,17 +424,33 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     optional attribute and 'both missing' means 'same'. ('click' is mapped
     to NULL here to exercise it.) Crucially <=> is still a HASH join key in
     Spark (EqualNullSafe is sargable for hashing — NULL hashes to a
-    bucket), NOT a nested loop; the aggregate keeps the oracle comparison
-    compact. At scale a hot NULL bucket is a skew key like any other —
-    AQE skew split handles it."""
+    bucket), NOT a nested loop. At scale a hot NULL bucket is a skew key
+    like any other — AQE skew split handles it.
+
+    The pair COUNT is computed by pre-aggregating each side per key and
+    multiplying — the textbook many-to-many join-count rewrite. The key
+    here is low-cardinality (a handful of event types), so the naive
+    join-then-count materializes |a_k|x|b_k| rows per key before throwing
+    them away: measured 27 s at sf0.1 (~1.7e9 joined rows) and pure
+    scale-death at 100 TB; the pre-aggregated form moves ONE row per key
+    through the null-safe join and is corpus-linear. The round-13
+    registry sweep caught this — the op sat outside every bench set."""
     e = load(spark, sf_dir, "events")
     k = F.nullif("event_type", F.lit("click")).alias("k")
-    a = e.filter(F.col("event_id") % 2 == 0).select("event_id", k).alias("a")
-    b = e.filter(F.col("event_id") % 2 == 1).select("event_id", k).alias("b")
+    a_cnt = (
+        e.filter(F.col("event_id") % 2 == 0).select(k)
+        .groupBy("k").agg(F.count("*").alias("cnt_a")).alias("a")
+    )
+    b_cnt = (
+        e.filter(F.col("event_id") % 2 == 1).select(k)
+        .groupBy("k").agg(F.count("*").alias("cnt_b")).alias("b")
+    )
     return (
-        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
-        .groupBy(F.col("a.k").alias("k"))
-        .agg(F.count("*").alias("pair_cnt"))
+        a_cnt.join(b_cnt, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .select(
+            F.col("a.k").alias("k"),
+            (F.col("cnt_a") * F.col("cnt_b")).alias("pair_cnt"),
+        )
     )
 
 

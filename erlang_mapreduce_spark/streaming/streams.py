@@ -17,6 +17,7 @@ because chunk boundaries are fixed quantiles of ts.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import shutil
@@ -181,6 +182,38 @@ def _materialize_chunks(sf_dir: str, mode: str) -> str:
     return d
 
 
+# State-store partition count pinned for every replay query in this
+# module. A stateful streaming query's shuffle partition count is captured
+# into its checkpoint at the first micro-batch and becomes the state-store
+# layout: one store per partition PER STATEFUL OPERATOR, each snapshotted
+# to the checkpoint every batch. It must therefore be sized to expected
+# STATE volume (keys held), not to the session's batch shuffle width — the
+# replay corpora hold at most a few thousand distinct keys, and inheriting
+# the 32-wide batch default cost 32 near-empty store checkpoints per
+# operator per micro-batch (measured: stream_stream_join 20.2 s → 4.3 s at
+# sf0.1 from this setting alone; it runs TWO stateful sides × N batches).
+# Production makes the same explicit first-run choice, sized to
+# keys/executors; the semantics are partition-count-independent (every op
+# here is hash-checked against its oracle at any width).
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _state_sized_shuffle(spark: SparkSession):
+    """Pin spark.sql.shuffle.partitions to STREAM_STATE_PARTITIONS for the
+    duration of a replay (set before .start(), held through
+    awaitTermination — micro-batches plan while the query drains), then
+    restore the session value."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _run_stream(
     spark: SparkSession, src_dir: str, transform, sink_name: str, output_mode: str
 ) -> DataFrame:
@@ -191,16 +224,17 @@ def _run_stream(
         .parquet(src_dir)
     )
     ckpt = f"/tmp/spark_graft_ckpt/{sink_name}-{time.time_ns()}"
-    q = (
-        transform(stream)
-        .writeStream.trigger(availableNow=True)
-        .format("memory")
-        .queryName(sink_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):
+        q = (
+            transform(stream)
+            .writeStream.trigger(availableNow=True)
+            .format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
     # the memory sink holds the results; the per-run state-store dir is
     # dead weight once the query terminates — don't accumulate across runs
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -444,15 +478,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"ssjoin_{abs(hash(sf_dir)) % 10**8}"
     ckpt = f"/tmp/spark_graft_ckpt/{sink}-{time.time_ns()}"
-    q = (
-        joined.writeStream.trigger(availableNow=True)
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):  # two stateful sides × N batches
+        q = (
+            joined.writeStream.trigger(availableNow=True)
+            .format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
 
@@ -612,13 +647,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = os.path.join(base, "ckpt")
     try:
-        q = (
-            stream.writeStream.trigger(availableNow=True)
-            .foreachBatch(upsert)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_sized_shuffle(spark):  # sizes the per-batch jobs too
+            q = (
+                stream.writeStream.trigger(availableNow=True)
+                .foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         if not cur:  # empty source: no batch ever fired
             return spark.createDataFrame(
                 [],
@@ -736,13 +772,14 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = os.path.join(base, "ckpt")
     try:
-        q = (
-            stream.writeStream.trigger(availableNow=True)
-            .foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_sized_shuffle(spark):  # sizes the per-batch jobs too
+            q = (
+                stream.writeStream.trigger(availableNow=True)
+                .foreachBatch(merge)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         if not cur:  # empty source: no batch ever fired
             return spark.createDataFrame(
                 [], "event_type string, k_used long, est_distinct double"
@@ -892,9 +929,13 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = "band_id int, bkey string, owner long"
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: the shingling + 64-perm minhash is the batch's dominant
+        # cost and TWO actions read it (the owner-index write and the flag
+        # join) — without the cache each batch ran the signature pipeline
+        # twice (measured ~2x this op's wall time at sf0.1)
         bands = minhash_bands(
             _doc_gram_sets_md5(batch_df), string_keys=True
-        )
+        ).persist()
         batch_min = bands.groupBy("band_id", "bkey").agg(
             F.min("doc_id").alias("owner")
         )
@@ -924,6 +965,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         flags.write.mode("overwrite").parquet(
             os.path.join(base, "flags", f"v{batch_id}")
         )
+        bands.unpersist()
         state.append(sv)
 
     stream = (
@@ -933,27 +975,32 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = os.path.join(base, "ckpt")
     try:
-        q = (
-            stream.writeStream.trigger(availableNow=True)
-            .foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_sized_shuffle(spark):  # sizes the per-batch jobs too
+            q = (
+                stream.writeStream.trigger(availableNow=True)
+                .foreachBatch(on_batch)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         docs = load(spark, sf_dir, "documents")
         if not state:  # empty source: no batch ever fired
-            out = docs.select(
-                "doc_id", F.lit(False).alias("is_dup")
-            )
-        else:
-            fl = spark.read.schema("doc_id long, dup int").parquet(
-                os.path.join(base, "flags", "*")
-            )
-            out = docs.join(fl, "doc_id", "left").select(
-                "doc_id",
-                F.coalesce(F.col("dup") == 1, F.lit(False)).alias("is_dup"),
-            )
-        return spark.createDataFrame(out.collect(), out.schema)
+            return docs.select("doc_id", F.lit(False).alias("is_dup"))
+        fl = spark.read.schema("doc_id long, dup int").parquet(
+            os.path.join(base, "flags", "*")
+        )
+        out = docs.join(fl, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("dup") == 1, F.lit(False)).alias("is_dup"),
+        )
+        # eager localCheckpoint (pooled), NOT an O(docs) driver collect:
+        # the result must survive the scratch rmtree below, and executor
+        # blocks do that distributedly — the previous
+        # createDataFrame(collect()) shipped the whole corpus's flags
+        # through the driver, data-proportional at 100 TB
+        from ..ckpt import guard_result, pooled_local_checkpoint
+
+        return guard_result(pooled_local_checkpoint(out))
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1043,13 +1090,14 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = os.path.join(base, "ckpt")
     try:
-        q = (
-            stream.writeStream.trigger(availableNow=True)
-            .foreachBatch(merge)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_sized_shuffle(spark):  # sizes the per-batch jobs too
+            q = (
+                stream.writeStream.trigger(availableNow=True)
+                .foreachBatch(merge)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         if not versions:  # empty source: no batch ever fired
             return spark.createDataFrame([], snap_schema)
         snap = spark.read.schema(snap_schema).parquet(
@@ -1171,14 +1219,15 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"pystream_{abs(hash(sf_dir)) % 10**8}"
     ckpt = f"/tmp/spark_graft_ckpt/{sink}-{_t.time_ns()}"
-    q = (
-        agg.writeStream.trigger(availableNow=True)
-        .format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):  # stateful complete-mode aggregate
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
