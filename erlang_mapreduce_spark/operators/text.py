@@ -199,3 +199,59 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split("norm_text", " ")))
         .alias("n_tokens"),
     )
+
+
+# Sentence boundary: one-or-more terminal punctuation marks followed by
+# whitespace. Lookbehind-free on purpose — Java regex (Spark) supports it
+# but RE2 (DuckDB) does not, and a plain character-class pattern is
+# bit-identical in both dialects (the test_unicode_parity lesson). The
+# whitespace class is explicit, not \s: Java's \s includes \x0B, RE2's
+# does not.
+SENT_SPLIT_RE = r"[.!?]+[ \t\n\r\f]+"
+
+
+@query(
+    "text_sentence_split",
+    oracle=r"""
+WITH s AS (
+    SELECT doc_id, string_split_regex(text, '[.!?]+[ \t\n\r\f]+') AS arr
+    FROM documents WHERE text IS NOT NULL
+),
+idx AS (
+    SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS gs FROM s
+)
+SELECT doc_id, CAST(gs AS INTEGER) AS sent_idx, trim(arr[gs]) AS sentence,
+       length(trim(arr[gs])) AS n_chars
+FROM idx
+WHERE trim(arr[gs]) <> ''
+""",
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation — the preprocessing stage between raw text
+    and chunking/packing: split on terminal-punctuation + whitespace
+    boundaries, keep each sentence with its 1-based in-document index and
+    character count. Chunkers that respect sentence boundaries
+    (`text_chunk_overlap` slices on tokens; RAG-style chunkers slice
+    here) and per-sentence quality filters both start from this table.
+
+    Plan shape: one narrow split + posexplode over the scan — zero
+    shuffles at any scale; output grows with sentence count, which is the
+    op's job (same output-linearity class as text_chunk_overlap).
+    sent_idx counts RAW split slots (1-based) on both engines, so indices
+    agree even when empty slots are filtered; terminal punctuation is
+    consumed by the boundary, which is the documented split contract
+    (sentence TEXT, not spans). The fixture corpus carries no sentence
+    punctuation (each doc segments whole); the punctuated-path evidence
+    lives in tests/test_operators.py and the hostile-content suite."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ex = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", SENT_SPLIT_RE)).alias("pos", "raw"),
+    )
+    s = F.trim("raw")
+    return ex.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("sent_idx"),
+        s.alias("sentence"),
+        F.length(s).alias("n_chars"),
+    ).filter(s != "")

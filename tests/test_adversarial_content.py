@@ -52,6 +52,11 @@ _DOCS = [
          "sequences between plain words", "mixed", "srcE"),
     (17, "astral 𝒽𝑒𝓁𝓁𝑜 𝔀𝓸𝓻𝓭𝓼 gothic 𐍈𐌰𐌹𐌷𐍄𐍃 cuneiform 𒀀𒀁𒀂 "
          "four byte utf8 everywhere", "mixed", "srcE"),
+    # punctuation torture for sentence segmentation: abbreviation dots,
+    # ellipses, runs of mixed terminators, terminator at EOS (no trailing
+    # whitespace — must NOT split), interior punctuation with no space
+    (18, "Dr. Smith went... to the U.S.A.! Then what?? A no.split case "
+         "stays whole. Trailing terminator.", "en", "srcF"),
 ]
 
 _OPS = (
@@ -79,6 +84,7 @@ _OPS = (
     "text_html_extract",  # rows 12-14 are its malformed-input suite
     "text_chunk_overlap",  # rows 15-17: multi-script chunk boundaries
     "pipeline_seq_pack",   # rows 15-17: byte budgets on RTL/ZWJ/astral
+    "text_sentence_split",  # row 18: abbreviation/ellipsis/EOS boundaries
 )
 
 

@@ -840,3 +840,51 @@ def test_stream_minhash_flags_cover_batch_pairs(spark, sf_dir):
     assert not missing, f"verified dups not flagged by the stream: {missing}"
     all_ids = {r.doc_id for r in load(spark, sf_dir, "documents").collect()}
     assert flagged <= all_ids
+
+
+def test_sentence_split_semantics(spark, tmp_path):
+    """text_sentence_split on handcrafted punctuation: ellipses collapse
+    into one boundary, abbreviation dots split naively (the documented
+    contract — boundary = terminator run + whitespace), a terminator with
+    NO trailing whitespace (end-of-string or mid-token) does not split,
+    and sent_idx stays 1-based over raw split slots."""
+    import duckdb
+
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    d = str(tmp_path / "sent_fixture")
+    import os
+
+    os.makedirs(d)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    rows = [
+        (1, "One sentence. Two sentences! Three?", "en", "s", 0),
+        (2, "Wait... really?! Yes. The end.", "en", "s", 0),
+        (3, "No terminators at all just words", "en", "s", 0),
+        (4, None, "en", "s", 0),
+        (5, "a.b.c stays whole. next one", "en", "s", 0),
+    ]
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    got = {
+        (r.doc_id, r.sent_idx): r.sentence
+        for r in QUERIES["text_sentence_split"](spark, d).collect()
+    }
+    assert got == {
+        (1, 1): "One sentence",
+        (1, 2): "Two sentences",
+        (1, 3): "Three?",  # EOS terminator: no trailing ws, no split
+        (2, 1): "Wait",
+        (2, 2): "really",  # "...?!" runs collapse into single boundaries
+        (2, 3): "Yes",
+        (2, 4): "The end.",
+        (3, 1): "No terminators at all just words",
+        (5, 1): "a.b.c stays whole",  # interior dots: no whitespace after
+        (5, 2): "next one",
+    }

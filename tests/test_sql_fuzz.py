@@ -358,6 +358,7 @@ DOC_OPS = (
     "text_chunk_overlap", "decontaminate_bloom", "graph_triangle_count",
     "agg_heavy_hitters",
     "pipeline_corpus_clean", "pipeline_pretrain_e2e", "text_html_extract",
+    "text_sentence_split",
     "pipeline_seq_pack", "fn_array", "fn_url", "udf_scalar", "udtf",
     "multimodal_meta", "multimodal_decode", "multimodal_frame_sample",
 )
