@@ -371,6 +371,7 @@ def test_gram_set_durable_mode_same_pairs(spark, sf_dir, tmp_path, monkeypatch):
     snaps = sorted(p.name for p in tag_dirs[0].glob("shared_*.parquet"))
     assert snaps == [
         "shared_gram_sets_xx.parquet",
+        "shared_rep_jaccard_pairs.parquet",  # shared since round 13
         "shared_verbatim_members.parquet",
         "shared_verbatim_rep_docs.parquet",
     ], f"durable snapshots missing under {tag_dirs[0]}: {snaps}"
