@@ -244,7 +244,11 @@ _VOCAB = (
     # casefold divergences stay out of play
     "النَّصُّ عَرَبِيٌّ עִבְרִית שָׁלוֹם "
     "👨‍👩‍👧‍👦 🏳️‍🌈 🇺🇳 "
-    "𝒽𝑒𝓁𝓁𝑜 𝔀𝓸𝓻𝓭 𐍈𐌰𐌹𐌷𐍄𐍃"
+    "𝒽𝑒𝓁𝓁𝑜 𝔀𝓸𝓻𝓭 𐍈𐌰𐌹𐌷𐍄𐍃 "
+    # round-13: sentence terminators so text_sentence_split's fuzz trials
+    # actually segment (tokens ending in ./!/? create a boundary whenever
+    # the next token follows with a space; mid-token dots must NOT split)
+    "done. ends! maybe? wait... mr.abbrev v1.2.3 e.g."
 ).split()
 
 
