@@ -903,3 +903,119 @@ def text_novelty_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_est"),
         )
     )
+
+
+@query(
+    "text_lm_perplexity",
+    oracle=r"""
+WITH tc AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM tc),
+v AS (SELECT count(DISTINCT tok) AS vsz FROM tok),
+bg AS (
+    SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+    FROM (SELECT doc_id, ws,
+                 unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM tc WHERE len(ws) >= 2)
+),
+btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, sum(tf) AS cb FROM btf GROUP BY 1, 2),
+cw AS (SELECT w1, sum(tf) AS cw FROM btf GROUP BY 1),
+scored AS (
+    SELECT btf.doc_id,
+           CAST(sum(btf.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(btf.tf * round(
+                    ln((CAST(cb AS DOUBLE) + 1) / (CAST(cw AS DOUBLE) + vsz)),
+                    6) AS DECIMAL(29,6))) AS DOUBLE)
+               / sum(btf.tf) AS alp
+    FROM btf JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v
+    GROUP BY btf.doc_id
+)
+SELECT doc_id, n_bigrams, round(alp, 6) AS avg_logprob,
+       round(exp(-alp), 6) AS perplexity
+FROM scored
+""",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document — the CCNet-style quality filter
+    real pretraining pipelines run: score each document under an n-gram
+    language model and gate on perplexity (fluent text scores low;
+    gibberish, boilerplate soup, and OCR noise score high). The LM here
+    is add-one-smoothed bigrams trained on the corpus itself
+    (p(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V)); production swaps the count
+    relations for ones aggregated over a clean reference corpus
+    (CCNet uses Wikipedia) — the scoring plan below is unchanged.
+
+    Shape at scale: ONE tokenize; per-doc bigram term frequency via hash
+    agg (map-side combine — a doc's bigrams sit in one input row); corpus
+    bigram and first-word counts as SUM windows over the tf relation
+    (co-partitioned lookups, never a join against separate count tables
+    — text_unigram_logprob's device, one key deeper); vocabulary size as
+    one broadcast scalar. Bigram adjacency is taken over the
+    EMPTY-FILTERED token array (filter-then-pair — pairing first would
+    put phantom boundary tokens inside bigrams).
+
+    Hash-safety: ln/exp are transcendental → each bigram logprob rounds
+    to 6dp before the DECIMAL-exact weighted sum (order-free); the mean
+    divides in double on identical operands; avg and perplexity round to
+    6 on both engines. Counts and V are integers — bit-identical.
+    Documents with fewer than two tokens have no bigrams and are absent
+    by contract (perplexity of a one-token document is undefined)."""
+    from pyspark.sql import Window
+
+    from ..exact import _DEC
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tc = scan_parallel(d).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    toks = tc.select("doc_id", F.explode("ws").alias("tok"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    bg = tc.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    btf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    scored = (
+        btf.withColumn(
+            "cb", F.sum("tf").over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn("cw", F.sum("tf").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") + 1)
+                    / (F.col("cw").cast("double") + F.col("vsz"))
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum((F.col("tf") * F.col("lp")).cast(_DEC)).cast("double")
+            / F.sum("tf")
+        ).alias("alp"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("alp")), 6).alias("perplexity"),
+    )

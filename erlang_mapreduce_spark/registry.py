@@ -47,30 +47,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 181 registered ops, insertion
+# insertion order and stops after 50 ops. With 182 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
 # Round-13 window (this ordering), oldest-evidence-first policy:
-#   1-6:   the six ops NEW in r13, zero driver evidence
+#   1-7:   the seven ops NEW in r13, zero driver evidence
 #          (text_html_extract, pipeline_pretrain_e2e, the three
-#          Q6/Q10/Q9-shaped SQL queries, and text_sentence_split).
-#   7-34:  the 28 r08-evidence ops left after the r12 window (the oldest
+#          Q6/Q10/Q9-shaped SQL queries, text_sentence_split, and
+#          text_lm_perplexity).
+#   8-35:  the 28 r08-evidence ops left after the r12 window (the oldest
 #          evidence remaining — r12 VERDICT task 1).
-#   35:    text_bigram_freq (the flagship, in-window every round).
-#   36-50: the first 15 of the r09/r10-evidence block.
+#   36:    text_bigram_freq (the flagship, in-window every round).
+#   37-50: the first 14 of the r09/r10-evidence block.
 # After r13: no op's evidence predates r9.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-6: new in r13, zero driver evidence ---
+    # --- 1-7: new in r13, zero driver evidence ---
     "text_html_extract",
     "pipeline_pretrain_e2e",
     "sql_forecast_revenue",
     "sql_returned_items",
     "sql_product_profit",
     "text_sentence_split",
-    # --- 7-34: the 28 r08-evidence ops (oldest remaining) ---
+    "text_lm_perplexity",
+    # --- 8-35: the 28 r08-evidence ops (oldest remaining) ---
     "text_pii_scrub",
     "text_tfidf",
     "text_quality_score",
@@ -99,9 +101,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_chunk_overlap",
     "decontaminate_bloom",
     "agg_kmv_distinct",
-    # --- 35: the flagship (in-window every round per policy) ---
+    # --- 36: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    # --- 36-50: the first 15 of the r09/r10-evidence block ---
+    # --- 37-50: the first 14 of the r09/r10-evidence block ---
     "scan_text",
     "scan_csv_json",
     "sink_partitioned",

@@ -74,6 +74,7 @@ _OPS = (
     "text_lang_id",
     "text_tfidf",
     "text_unigram_logprob",
+    "text_lm_perplexity",
     "text_repetition_score",
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -9,15 +9,15 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-13 driver window (VERDICT_r12 task 1): the six r13-new
+# Round-13 driver window (VERDICT_r12 task 1): the seven r13-new
 # zero-evidence ops MUST lead, then the 28 r08-evidence ops left over
 # after the r12 window (the oldest evidence remaining), then the
-# flagship (in-window every round). The remaining 15 slots take
+# flagship (in-window every round). The remaining 14 slots take
 # r09/r10-evidence ops.
 R13_PRIORITY = [
     "text_html_extract", "pipeline_pretrain_e2e",
     "sql_forecast_revenue", "sql_returned_items", "sql_product_profit",
-    "text_sentence_split",
+    "text_sentence_split", "text_lm_perplexity",
     "text_pii_scrub", "text_tfidf", "text_quality_score",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
     "dedup_cluster_cc", "dedup_levenshtein", "join_skew_salted",
@@ -41,9 +41,9 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-13 rotation goal: the six r13-new zero-evidence ops and the
+    """Round-13 rotation goal: the seven r13-new zero-evidence ops and the
     28 leftover r08-evidence ops LEAD the checked window, the flagship
-    holds slot 35, and r09/r10-evidence ops fill the rest EXACTLY —
+    holds slot 36, and r09/r10-evidence ops fill the rest EXACTLY —
     every slot accounted for, so a list edit cannot silently push a
     priority op past position 50 (the round-9 review caught the section
     comments drifting exactly this way)."""

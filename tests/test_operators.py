@@ -888,3 +888,39 @@ def test_sentence_split_semantics(spark, tmp_path):
         (5, 1): "a.b.c stays whole",  # interior dots: no whitespace after
         (5, 2): "next one",
     }
+
+
+def test_lm_perplexity_semantics(spark, tmp_path):
+    """text_lm_perplexity orders documents sensibly: under the corpus's
+    own bigram LM, a document of endlessly repeated bigrams scores LOWER
+    perplexity than one made of bigrams that occur only once, and every
+    perplexity is >= 1 - 1e-9 (exp of a non-negative mean NLL). A
+    one-token document is absent by contract."""
+    import os
+
+    import duckdb
+
+    from erlang_mapreduce_spark.registry import QUERIES
+
+    d = str(tmp_path / "ppl_fixture")
+    os.makedirs(d)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    rows = [
+        (1, "the cat " * 50, "en", "s", 0),          # one bigram, repeated
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (3, "solo", "en", "s", 0),                    # 1 token: no bigrams
+    ]
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    got = {r.doc_id: r for r in
+           QUERIES["text_lm_perplexity"](spark, d).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].perplexity < got[2].perplexity
+    assert all(r.perplexity >= 1 - 1e-9 for r in got.values())
+    assert got[1].n_bigrams == 99 and got[2].n_bigrams == 7

@@ -349,6 +349,7 @@ DOC_OPS = (
     "text_quality_score", "text_token_count", "text_normalize",
     "text_tokenize", "text_bigram_freq", "text_repetition_score",
     "text_unigram_logprob", "text_ngram_novelty", "text_decontaminate",
+    "text_lm_perplexity",
     "text_bpe_tokenize", "bpe_train", "text_bpe_tokenize_trained",
     "text_bpe_tokenize_bytes", "bpe_train_bytes",
     "text_bpe_tokenize_trained_bytes",

@@ -17,7 +17,7 @@ screen, and send anything >3 s to tools/isolated_timing.py before
 believing it.
 
 Run on an otherwise idle machine:
-    python tools/registry_sweep.py            # all 181 ops
+    python tools/registry_sweep.py            # all 182 ops
     python tools/registry_sweep.py text_tfidf # or a subset
 """
 
