@@ -119,13 +119,16 @@ TRACKED_ONLY = (
     # in the official line) plus the bounded collect
     "bpe_train_bytes",
     "text_bpe_tokenize_trained_bytes",
-    # round-13 additions: the raw-web front door, the capstone chain, and
-    # the three new TPC-H shapes (Q6/Q10/Q9)
+    # round-13 additions: the raw-web front door, the capstone chain, the
+    # three new TPC-H shapes (Q6/Q10/Q9), sentence segmentation, and the
+    # bigram-LM perplexity gate
     "text_html_extract",
     "pipeline_pretrain_e2e",
     "sql_forecast_revenue",
     "sql_returned_items",
     "sql_product_profit",
+    "text_sentence_split",
+    "text_lm_perplexity",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can

@@ -424,6 +424,7 @@ _BNLJ_BY_DESIGN = {
     "sim_search_ann",
     "text_tfidf",
     "text_unigram_logprob",
+    "text_lm_perplexity",  # 1-row broadcast vocabulary size, same shape
     "analytics_pareto_topk",  # 1-row broadcast total × K-row report
     "agg_quantile_bins",  # 1-row broadcast boundaries × narrow projection
     "analytics_rfm",  # 1-row broadcast quartile boundaries, same shape
