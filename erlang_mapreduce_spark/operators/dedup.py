@@ -495,7 +495,7 @@ def _rep_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_cluster_cc's expansion argument).
 
     Materialized ONCE per (session, corpus) via ``_shared_materialize``,
-    like the gram sets it consumes: FOUR operators walk this graph
+    like the gram sets it consumes: FIVE operators walk this graph
     (ngram_jaccard, cluster_cc, cluster_keep_best via cluster_cc,
     cluster_downweight, plus graph_triangle_count), and before round 13
     each invocation re-ran the inverted-index pair pipeline — the

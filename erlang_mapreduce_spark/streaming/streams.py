@@ -552,6 +552,64 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+_UPSERT_SNAP_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, event_type string, "
+    "value double, n long"
+)
+
+
+def _upsert_batch_latest(df: DataFrame) -> DataFrame:
+    """Per-user mergeable summary of one micro-batch: latest event by
+    (ts, event_id) via max(struct) argmax, plus the event count."""
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("last"),
+            F.count("*").alias("n"),
+        )
+        .select("user_id", "last.*", "n")
+    )
+
+
+def _upsert_merge_batch(
+    spark: SparkSession,
+    base: str,
+    versions: dict[int, str],
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """One foreachBatch merge step of stream_foreachbatch_upsert —
+    module-level so tests can re-invoke a committed batch (an at-least-once
+    replay) directly. prev is derived from BATCH ID, never from "latest
+    written": on a replay of batch N (v{N} committed, checkpoint not yet
+    advanced), the previous snapshot must be the highest version < N —
+    reading v{N} itself would merge batch N into its own output
+    (double-counting `n`, argmax over its own result) AND overwrite the
+    parquet path being read. Same device as stream_token_budget's merge."""
+    delta = _upsert_batch_latest(batch_df)
+    prev_ids = [b for b in versions if b < batch_id]
+    if prev_ids:
+        prev = spark.read.schema(_UPSERT_SNAP_SCHEMA).parquet(
+            versions[max(prev_ids)]
+        )
+        delta = (
+            prev.unionByName(delta)
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("last"),
+                F.sum("n").alias("n"),
+            )
+            .select("user_id", "last.*", "n")
+        )
+    v = os.path.join(base, f"v{batch_id}")
+    delta.write.mode("overwrite").parquet(v)
+    versions[batch_id] = v
+
+
 @query(
     "stream_foreachbatch_upsert",
     oracle="""
@@ -581,10 +639,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed parquet snapshot by re-aggregating snapshot ∪ batch — the
     foreachBatch escape hatch Spark prescribes for sinks with merge
     semantics (JDBC upserts, Delta MERGE). Each batch writes a NEW
-    versioned snapshot dir keyed by batch id: that makes the merge
-    idempotent under foreachBatch's at-least-once replay (a re-run of
-    batch k rewrites v<k> from the same inputs instead of double-counting
-    into it) — the roll-your-own analog of a transactional sink.
+    versioned snapshot dir keyed by batch id, and the merge reads its
+    predecessor as the highest committed version < batch_id (never
+    "latest written"): that makes the merge idempotent under
+    foreachBatch's at-least-once replay (a re-run of batch k rewrites
+    v{k} from the same v{<k} ∪ batch-k inputs instead of double-counting
+    batch k into its own output) — the roll-your-own analog of a
+    transactional sink. tests/test_streaming.py replays the last batch
+    and pins snapshot equality.
 
     State per version is O(distinct users), not O(events) — the
     max(struct)+sum summaries are mergeable, which is exactly what lets
@@ -601,44 +663,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.applicationId,
         f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
     )
-    snap_schema = (
-        "user_id long, ts timestamp, event_id long, event_type string, "
-        "value double, n long"
-    )
-    cur: list[str] = []  # path of the latest committed snapshot version
-
-    def batch_latest(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy("user_id")
-            .agg(
-                F.max(
-                    F.struct("ts", "event_id", "event_type", "value")
-                ).alias("last"),
-                F.count("*").alias("n"),
-            )
-            .select("user_id", "last.*", "n")
-        )
+    versions: dict[int, str] = {}  # batch_id -> committed snapshot path
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        delta = batch_latest(batch_df)
-        if cur:
-            prev = spark.read.schema(snap_schema).parquet(cur[-1])
-            merged = (
-                prev.unionByName(delta)
-                .groupBy("user_id")
-                .agg(
-                    F.max(
-                        F.struct("ts", "event_id", "event_type", "value")
-                    ).alias("last"),
-                    F.sum("n").alias("n"),
-                )
-                .select("user_id", "last.*", "n")
-            )
-        else:
-            merged = delta
-        v = os.path.join(base, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(v)
-        cur.append(v)
+        _upsert_merge_batch(spark, base, versions, batch_df, batch_id)
 
     stream = (
         spark.readStream.schema(_EVENT_SCHEMA)
@@ -655,13 +683,15 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        if not cur:  # empty source: no batch ever fired
+        if not versions:  # empty source: no batch ever fired
             return spark.createDataFrame(
                 [],
                 "user_id long, n_events long, last_ts string, "
                 "last_type string, last_value double",
             )
-        snap = spark.read.schema(snap_schema).parquet(cur[-1])
+        snap = spark.read.schema(_UPSERT_SNAP_SCHEMA).parquet(
+            versions[max(versions)]
+        )
         out = snap.select(
             "user_id",
             F.col("n").alias("n_events"),
@@ -726,7 +756,7 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.applicationId,
         f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
     )
-    cur: list[str] = []
+    versions: dict[int, str] = {}
     w = Window.partitionBy("event_type").orderBy("h")
 
     def batch_sketch(df: DataFrame) -> DataFrame:
@@ -750,9 +780,16 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_sketch(batch_df)
-        if cur:
+        # prev = highest version < batch_id (the _upsert_merge_batch replay
+        # device). The KMV merge itself is additionally IDEMPOTENT —
+        # min-k(distinct(S ∪ B ∪ B)) = min-k(distinct(S ∪ B)) — so unlike
+        # the summing upsert, even merging a replayed batch into its own
+        # v{N} output would not corrupt values; versioning by batch id
+        # still matters to avoid overwriting the parquet path being read.
+        prev_ids = [b for b in versions if b < batch_id]
+        if prev_ids:
             prev = spark.read.schema("event_type string, h long").parquet(
-                cur[-1]
+                versions[max(prev_ids)]
             )
             delta = (
                 prev.unionByName(delta)
@@ -763,7 +800,7 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         v = os.path.join(base, f"v{batch_id}")
         delta.write.mode("overwrite").parquet(v)
-        cur.append(v)
+        versions[batch_id] = v
 
     stream = (
         spark.readStream.schema(_EVENT_SCHEMA)
@@ -780,12 +817,12 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        if not cur:  # empty source: no batch ever fired
+        if not versions:  # empty source: no batch ever fired
             return spark.createDataFrame(
                 [], "event_type string, k_used long, est_distinct double"
             )
         snap = spark.read.schema("event_type string, h long").parquet(
-            cur[-1]
+            versions[max(versions)]
         )
         m = F.count("*")
         out = snap.groupBy("event_type").agg(
@@ -917,15 +954,22 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     These are LSH-candidate flags (the recall stage): production chains
     the exact-Jaccard verify behind them exactly as dedup_minhash does —
     kept out here so the op isolates the streaming-state semantics."""
+    from ..ckpt import release_transient_storage
     from ..operators.dedup import _doc_gram_sets_md5, minhash_bands
 
+    # Scope the pooled-checkpoint lease snapshot to THIS invocation: without
+    # the release, repeated calls accumulate pooled blocks (the BENCH_r03
+    # leak class) and guard_result below would snapshot leases accrued by
+    # earlier runs, so LRU eviction of an unrelated entry could spuriously
+    # raise CheckpointReleasedError when this result is forced (r13 ADVICE).
+    release_transient_storage()
     d = _materialize_doc_chunks(sf_dir)
     base = os.path.join(
         "/tmp/spark_graft_sdedup",
         spark.sparkContext.applicationId,
         f"{os.path.basename(os.path.normpath(sf_dir))}-{time.time_ns()}",
     )
-    state: list[str] = []
+    versions: dict[int, str] = {}
     state_schema = "band_id int, bkey string, owner long"
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -939,8 +983,17 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_min = bands.groupBy("band_id", "bkey").agg(
             F.min("doc_id").alias("owner")
         )
-        if state:
-            prev = spark.read.schema(state_schema).parquet(state[-1])
+        # prev = highest version < batch_id (the _upsert_merge_batch replay
+        # device). The owner merge is additionally IDEMPOTENT — min over a
+        # re-unioned batch is unchanged — so a replay could not corrupt
+        # owners even via self-merge; versioning by batch id still avoids
+        # overwriting the parquet path being read, and the flags/v{N}
+        # rewrite a replay performs reproduces identical content.
+        prev_ids = [b for b in versions if b < batch_id]
+        if prev_ids:
+            prev = spark.read.schema(state_schema).parquet(
+                versions[max(prev_ids)]
+            )
             owners = (
                 prev.unionByName(batch_min)
                 .groupBy("band_id", "bkey")
@@ -966,7 +1019,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(base, "flags", f"v{batch_id}")
         )
         bands.unpersist()
-        state.append(sv)
+        versions[batch_id] = sv
 
     stream = (
         spark.readStream.schema(_DOC_SCHEMA)
@@ -984,7 +1037,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
         docs = load(spark, sf_dir, "documents")
-        if not state:  # empty source: no batch ever fired
+        if not versions:  # empty source: no batch ever fired
             return docs.select("doc_id", F.lit(False).alias("is_dup"))
         fl = spark.read.schema("doc_id long, dup int").parquet(
             os.path.join(base, "flags", "*")

@@ -114,3 +114,47 @@ def test_custom_state_running_counts(spark, sf_dir):
     # total emitted-event mass = all events + the re-sent final quartile
     assert truth_total == n + q4, f"{truth_total} != {n} + {q4}"
     assert len(final) == ev.select("user_id").distinct().count()
+
+
+def test_foreachbatch_upsert_replay_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once replay pin (r13 VERDICT task 1): foreachBatch may
+    re-deliver a batch whose snapshot version already committed (v{N}
+    written, checkpoint not yet advanced). The merge derives prev from
+    the highest version < batch_id, so re-running the committed batch
+    must (a) leave the final snapshot byte-identical and (b) still equal
+    the one-shot batch argmax/count over all events."""
+    from erlang_mapreduce_spark.streaming.streams import (
+        _UPSERT_SNAP_SCHEMA,
+        _upsert_batch_latest,
+        _upsert_merge_batch,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    base = str(tmp_path / "upsert")
+    versions: dict[int, str] = {}
+    _upsert_merge_batch(spark, base, versions, b0, 0)
+    _upsert_merge_batch(spark, base, versions, b1, 1)
+    clean = sorted(
+        map(
+            tuple,
+            spark.read.schema(_UPSERT_SNAP_SCHEMA)
+            .parquet(versions[1])
+            .collect(),
+        )
+    )
+    # replay batch 1: with the old cur[-1] shape this merged v1 into
+    # itself (n double-counted, argmax reading its own output)
+    _upsert_merge_batch(spark, base, versions, b1, 1)
+    replayed = sorted(
+        map(
+            tuple,
+            spark.read.schema(_UPSERT_SNAP_SCHEMA)
+            .parquet(versions[1])
+            .collect(),
+        )
+    )
+    assert replayed == clean, "replay of a committed batch changed the snapshot"
+    truth = sorted(map(tuple, _upsert_batch_latest(ev).collect()))
+    assert replayed == truth, "snapshot != one-shot batch argmax/count"

@@ -30,11 +30,53 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from erlang_mapreduce_spark.ckpt import release_transient_storage  # noqa: E402
+from erlang_mapreduce_spark.ckpt import (  # noqa: E402
+    release_transient_storage,
+    set_shared_cap,
+)
 from erlang_mapreduce_spark.registry import QUERIES  # noqa: E402
 from erlang_mapreduce_spark.session import get_spark  # noqa: E402
 
 OUTLIER_S = 3.0
+
+
+def sweep_ops(spark, ops, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    """Warm each op (JVM + codegen, outside the timed region) then time one
+    pass at ``sf_dir``. Warmup corpus comes from $SPARK_GRAFT_SWEEP_WARM_DIR
+    (default sf0.001) and is SKIPPED if absent — a missing warmup corpus
+    must not record the op as ERROR when the timed corpus works (r13 ADVICE
+    item 2a). The shared-checkpoint cap is raised for the sweep's duration:
+    with ~5 shared keys per corpus and the default cap of 6, each sf0.001
+    warmup evicted the timed corpus's gram-set/pair-graph entries, so every
+    dedup-family cell silently included a full shared-table rebuild (2b)."""
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_SWEEP_WARM_DIR", "/root/testdata/sf0.001"
+    )
+    warm = os.path.isdir(warm_dir)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    sweep: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    set_shared_cap(12)  # both corpora's shared keys stay live
+    try:
+        for i, op in enumerate(ops, 1):
+            try:
+                if warm:
+                    force(QUERIES[op](spark, warm_dir))
+                    release_transient_storage()
+                t0 = time.perf_counter()
+                force(QUERIES[op](spark, sf_dir))
+                sweep[op] = round(time.perf_counter() - t0, 3)
+                release_transient_storage()
+                print(f"[{i}/{len(ops)}] {op}: {sweep[op]:.3f}s", flush=True)
+            except Exception as exc:  # record, keep sweeping
+                errors[op] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"[{i}/{len(ops)}] {op}: ERROR {errors[op]}", flush=True)
+    finally:
+        set_shared_cap(6)
+    return sweep, errors
 
 
 def main() -> None:
@@ -46,24 +88,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("registry-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-
-    def force(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    sweep: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for i, op in enumerate(ops, 1):
-        try:
-            force(QUERIES[op](spark, "/root/testdata/sf0.001"))  # warmup
-            release_transient_storage()
-            t0 = time.perf_counter()
-            force(QUERIES[op](spark, sf_dir))
-            sweep[op] = round(time.perf_counter() - t0, 3)
-            release_transient_storage()
-            print(f"[{i}/{len(ops)}] {op}: {sweep[op]:.3f}s", flush=True)
-        except Exception as exc:  # record, keep sweeping
-            errors[op] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"[{i}/{len(ops)}] {op}: ERROR {errors[op]}", flush=True)
+    sweep, errors = sweep_ops(spark, ops, sf_dir)
 
     detail_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
