@@ -129,14 +129,21 @@ TRACKED_ONLY = (
     "sql_product_profit",
     "text_sentence_split",
     "text_lm_perplexity",
+    # round-14 addition: SemDeDup cluster-then-prune semantic dedup
+    "dedup_semantic",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can
-# normalize: r01 = single pass, r02 = best-of-2, r03+ = median-of-3 with
-# every pass recorded (sub-second queries jitter ±30% pass-to-pass on a
-# shared 32-thread JVM; the median tames that without best-of's downward
-# bias).
-METHODOLOGY = "median-of-3"
+# normalize: r01 = single pass, r02 = best-of-2, r03-r13 = median-of-3
+# consecutive passes, r14+ = median-of-5 INTERLEAVED passes (round-robin
+# over the full op set, so a transient machine-level stall — GC, page
+# cache eviction, a noisy neighbor on the shared 32-thread JVM — lands in
+# one pass of MANY ops instead of poisoning 2 of one op's 3 consecutive
+# passes; the r13 bench showed 7× pass spread on untouched ops under the
+# consecutive scheme). Per-op spread is recorded as IQR (sorted[3] −
+# sorted[1] of the 5 passes) in BENCH_local_detail.json.
+METHODOLOGY = "median-of-5-interleaved"
+N_PASSES = 5
 
 
 def _force(df) -> None:
@@ -161,23 +168,23 @@ def main() -> None:
     for name in all_ops:
         _force(QUERIES[name](spark, warm_dir))
 
-    timings: dict[str, float] = {}
-    passes: dict[str, list[float]] = {}
-    for name in all_ops:
-        fn = QUERIES[name]
-        ts = []
-        for _ in range(3):
+    passes: dict[str, list[float]] = {name: [] for name in all_ops}
+    for _ in range(N_PASSES):
+        for name in all_ops:
             t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            ts.append(round(time.perf_counter() - t0, 3))
+            _force(QUERIES[name](spark, sf_dir))
+            passes[name].append(round(time.perf_counter() - t0, 3))
             # Outside the timed region: free persisted/checkpointed blocks
             # the pass left behind, so every pass (and every query) starts
             # from identical executor-storage state — the BENCH_r03
             # 2×-cross-pass-variance fix (checkpoint blocks accumulated
             # across same-JVM invocations until eviction pressure).
             release_transient_storage()
-        passes[name] = ts
-        timings[name] = sorted(ts)[1]  # median of 3
+    timings = {n: sorted(ts)[N_PASSES // 2] for n, ts in passes.items()}
+    iqr = {
+        n: round(sorted(ts)[3] - sorted(ts)[1], 3)
+        for n, ts in passes.items()
+    }
 
     # The driver captures only a bounded tail of stdout, so the official
     # line must stay COMPACT: medians only, HEADLINE ops only (TRACKED_ONLY
@@ -187,6 +194,13 @@ def main() -> None:
     # record parsed as null).
     official = {k: timings[k] for k in HEADLINE}
     total = round(sum(official.values()), 3)
+    # per-op spread as % of the median, so the official line carries the
+    # instrument's error bar (r13 VERDICT task 2) in two scalars instead of
+    # a line-busting dict
+    spread_pct = sorted(
+        round(100.0 * iqr[n] / timings[n], 1) if timings[n] > 0 else 0.0
+        for n in HEADLINE
+    )
     compact = {
         # r11 rename (was headline_queries_total_wall): the r9 basis change
         # shrank the summed set from 43 to 30 ops while keeping the key, so
@@ -200,25 +214,63 @@ def main() -> None:
         "n_queries": len(official),
         "queries": official,
         "methodology": METHODOLOGY,
+        "iqr_pct_med": spread_pct[len(spread_pct) // 2],
+        "iqr_pct_max": spread_pct[-1],
         "sf": sf,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local_detail.json"
     )
     detail = {**compact, "tracked_only": {k: timings[k] for k in TRACKED_ONLY},
-              "passes": passes}
+              "passes": passes, "iqr": iqr}
     # preserve per-op isolated re-timings (tools/isolated_timing.py,
     # "isolated") and the full-registry sweep (tools/registry_sweep.py,
     # "sweep"/"sweep_meta") across full-bench rewrites, so drift
     # adjudications and tail-op evidence stay next to the medians
+    prev_sweep: dict[str, float] = {}
     try:
         with open(detail_path) as f:
             prev = json.load(f)
         for k in ("isolated", "sweep", "sweep_meta"):
             if k in prev:
                 detail[k] = prev[k]
+        if isinstance(prev.get("sweep"), dict):
+            prev_sweep = dict(prev["sweep"])
     except (OSError, ValueError):
         pass
+
+    # Full-registry sweep each bench run (r13 VERDICT task 6): the tail ops
+    # outside HEADLINE+TRACKED_ONLY get one warmed timed pass; bench-set ops
+    # reuse this run's medians (strictly better evidence). The official line
+    # then carries a compact regression screen vs the PREVIOUS sweep — any
+    # tail op >2× its prior cell and >0.5 s surfaces round-over-round
+    # (the never-benched tail hid a 27 s defect until r13's first sweep).
+    if os.environ.get("SPARK_GRAFT_SWEEP", "1") == "1":
+        from tools.registry_sweep import sweep_ops
+
+        tail = [op for op in QUERIES if op not in set(all_ops)]
+        tail_sweep, tail_errors = sweep_ops(spark, tail, sf_dir)
+        new_sweep = {**tail_sweep, **timings}
+        detail["sweep"] = new_sweep
+        detail["sweep_meta"] = {
+            "sf_dir": sf_dir,
+            "methodology": (
+                "tail: single warmed pass (screen only); bench-set ops: "
+                f"{METHODOLOGY} medians from this run"
+            ),
+            "errors": tail_errors,
+        }
+        regressions = {
+            op: [prev_sweep[op], t]
+            for op, t in new_sweep.items()
+            if op in prev_sweep and t > 0.5 and t >= 2.0 * prev_sweep[op]
+        }
+        worst = sorted(
+            regressions, key=lambda o: -regressions[o][1] / regressions[o][0]
+        )[:5]
+        compact["sweep_reg"] = {o: regressions[o] for o in worst}
+        detail["sweep_reg"] = regressions
+
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(compact, separators=(",", ":")))

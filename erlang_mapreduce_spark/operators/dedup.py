@@ -1977,3 +1977,159 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+# --- SemDeDup-style semantic dedup (cluster-then-prune) -------------------
+
+SEM_COS_T = 0.4  # within-cell near-dup threshold (fixture-scaled; SemDeDup
+# uses ~0.95+ on web-image embeddings — the dial, not the algorithm)
+
+
+def _sem_assign_cte() -> str:
+    """DuckDB CTE chain extending similarity._ivf_cte(): assign every
+    embedding to its nearest trained centroid (int64-micro distances,
+    argmin ties to the lowest cell — the sim_search_ivf oracle shape) and
+    build per-cell centroid vectors as double lists for cosine scoring."""
+    from .similarity import IVF_DIM
+
+    return f"""
+edim AS (
+    SELECT vec_id, CAST(i AS INTEGER) AS dim, vm[CAST(i AS INTEGER)] AS val
+    FROM em, range(1, {IVF_DIM + 1}) t(i)
+),
+dists AS (
+    SELECT e.vec_id, c.cell,
+           sum((e.val - c.val) * (e.val - c.val)) AS d
+    FROM edim e JOIN cen c USING (dim)
+    GROUP BY 1, 2
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+cvec AS (
+    SELECT cell, list(CAST(val AS DOUBLE) ORDER BY dim) AS cv
+    FROM cen GROUP BY cell
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+
+def _sem_oracle() -> str:
+    from .similarity import _ivf_cte
+
+    return f"""
+{_ivf_cte().rstrip().rstrip(',')},
+{_sem_assign_cte().strip()},
+mem AS (
+    SELECT a.vec_id, a.cell,
+           round(list_cosine_similarity(ev.v, cvec.cv), 6) AS cent_cos
+    FROM assign a JOIN ev USING (vec_id) JOIN cvec USING (cell)
+),
+dups AS (
+    SELECT b.vec_id
+    FROM mem a
+    JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    JOIN ev ea ON ea.vec_id = a.vec_id
+    JOIN ev eb ON eb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {SEM_COS_T}
+      AND (a.cent_cos < b.cent_cos
+           OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+    GROUP BY b.vec_id
+)
+SELECT m.vec_id, m.cell, m.cent_cos,
+       d.vec_id IS NOT NULL AS is_dup
+FROM mem m LEFT JOIN dups d ON d.vec_id = m.vec_id
+"""
+
+
+@query("dedup_semantic", oracle=_sem_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) — the cluster-then-prune corner of the dedup family:
+    k-means-cluster the embeddings, then flag within-cell cosine-near
+    members, keeping per near-dup relation the member LEAST similar to its
+    centroid (the paper's keep rule: prune the redundant core of each
+    semantic cluster, keep its periphery). Complements the pairwise
+    `dedup_embedding` (which verifies candidate PAIRS): this op never
+    compares across cells, so the quadratic term is bounded per cell.
+
+    Spark-first shape: centroid training reuses `ivf_centroids`' bounded
+    deterministic sample (driver numpy over ≤IVF_TRAIN_CAP vectors —
+    corpus-size-independent); assignment is one narrow Arrow pass; the
+    within-cell candidate join is an equi-join on `cell` (no all-pairs,
+    no CartesianProduct — the global plan sweep checks). At fixture scale
+    K=16 cells bound parallelism; at 100 TB K grows ~sqrt(N) (the IVF_K
+    note, similarity.py:309) so cells stay ~constant-size, the equi-join
+    shuffles O(N) rows, and per-cell pairwise work is O(N·cell_size) —
+    SemDeDup's own scaling argument. Keep-rule determinism: ranks compare
+    round-6 centroid cosines with vec_id ties, so the DuckDB twin
+    re-derives identical flags (the integer-micro k-means makes cells
+    cross-engine exact; recall vs brute force is pinned in
+    tests/test_dedup.py). Reference scope: beyond mapreduce.erl (no
+    reference counterpart); included per the LLM-pipeline brief."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import _MICRO, IVF_DIM, _train_centroids, cosine_col
+
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    Cm = _train_centroids(e)
+    if Cm.size == 0:  # empty corpus: no row reaches the UDF, but the
+        Cm = np.zeros((1, IVF_DIM), dtype=np.int64)  # closure needs a shape
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        X = np.floor(np.stack(v.to_numpy()) * _MICRO).astype(np.int64)
+        d = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1))  # ties → lowest cell
+
+    cents = spark.createDataFrame(
+        [(cell, [float(x) for x in vec]) for cell, vec in enumerate(Cm.tolist())],
+        "cell int, cv array<double>",
+    )
+    mem = (
+        e.select("vec_id", "v", nearest_cell("v").alias("cell"))
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "v",
+            F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("cent_cos"),
+        )
+    )
+    a, b = mem.alias("a"), mem.alias("b")
+    keeper_first = (F.col("a.cent_cos") < F.col("b.cent_cos")) | (
+        (F.col("a.cent_cos") == F.col("b.cent_cos"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter(
+            (F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6) >= SEM_COS_T)
+            & keeper_first
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        mem.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cent_cos",
+            F.coalesce("dup", F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -47,83 +47,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 182 registered ops, insertion
+# insertion order and stops after 50 ops. With 183 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-13 window (this ordering), oldest-evidence-first policy:
-#   1-7:   the seven ops NEW in r13, zero driver evidence
-#          (text_html_extract, pipeline_pretrain_e2e, the three
-#          Q6/Q10/Q9-shaped SQL queries, text_sentence_split, and
-#          text_lm_perplexity).
-#   8-35:  the 28 r08-evidence ops left after the r12 window (the oldest
-#          evidence remaining — r12 VERDICT task 1).
-#   36:    text_bigram_freq (the flagship, in-window every round).
-#   37-50: the first 14 of the r09/r10-evidence block.
-# After r13: no op's evidence predates r9.
+# Round-14 window (this ordering), oldest-evidence-first policy:
+#   1:     dedup_semantic, NEW in r14 (zero driver evidence).
+#   2-36:  the 35 r09/r10-evidence ops left after the r13 window (the
+#          oldest evidence remaining — r13 VERDICT task 3).
+#   37:    text_bigram_freq (the flagship, in-window every round).
+#   38-50: the first 13 of the r11-evidence block.
+# After r14: no op's driver evidence predates r11.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-7: new in r13, zero driver evidence ---
-    "text_html_extract",
-    "pipeline_pretrain_e2e",
-    "sql_forecast_revenue",
-    "sql_returned_items",
-    "sql_product_profit",
-    "text_sentence_split",
-    "text_lm_perplexity",
-    # --- 8-35: the 28 r08-evidence ops (oldest remaining) ---
-    "text_pii_scrub",
-    "text_tfidf",
-    "text_quality_score",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_cluster_cc",
-    "dedup_levenshtein",
-    "join_skew_salted",
-    "join_bucketed",
-    "join_null_safe",
-    "pipeline_dataset_export",
-    "pipeline_corpus_clean",
-    "agg_pivot",
-    "agg_percentile",
-    "sample_hash",
-    "sample_stratified",
-    "hist_numeric",
-    "agg_corr_stats",
-    "agg_mode",
-    "fn_conditional",
-    "agg_unpivot",
-    "scan_parquet",
-    "agg_ngram_df_sketch",
-    "text_novelty_sketch",
-    "text_chunk_overlap",
-    "decontaminate_bloom",
-    "agg_kmv_distinct",
-    # --- 36: the flagship (in-window every round per policy) ---
-    "text_bigram_freq",
-    # --- 37-50: the first 14 of the r09/r10-evidence block ---
-    "scan_text",
-    "scan_csv_json",
-    "sink_partitioned",
-    "project_select",
-    "filter_pred",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_outer",
-    "join_semi_anti",
-    "join_theta_range",
-    "join_asof",
-    "join_interval",
-    "agg_hash_count",
-    "agg_multi",
+# --- 1: new in r14, zero driver evidence ---
+    "dedup_semantic",
+    # --- 2-36: the 35 r09/r10-evidence ops (oldest remaining) ---
     "agg_distinct",
     "agg_grouping_sets",
     "agg_global",
     "agg_ratio_of_total",
     "win_rank",
-    # --- 51+: r09/r10-evidence remainder (lead the round-14 window) ---
     "win_analytic",
     "win_frame",
     "sort_global",
@@ -154,7 +99,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_substring_scrub",
     "agg_approx",
     "sim_search_ivf",
-    # --- r11 evidence ---
+    # --- 37: the flagship (in-window every round per policy) ---
+    "text_bigram_freq",
+    # --- 38-50: the first 13 of the r11-evidence block ---
     "text_bpe_tokenize",
     "bpe_train",
     "text_bpe_tokenize_trained",
@@ -168,6 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_session",
     "text_decontaminate",
     "dedup_passage",
+    # --- 51+: r11-evidence remainder (lead the round-15 window) ---
     "dedup_span_rolling",
     "sample_quality_weighted",
     "agg_heavy_hitters",
@@ -203,7 +151,7 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_scd2",
     "join_asof_tolerance",
     "sample_split_train_eval",
-    # --- r12 evidence (freshest — these led the r12 window) ---
+    # --- r12 evidence ---
     "text_bpe_tokenize_bytes",
     "sql_large_volume_customers",
     "sql_promo_part_suppliers",
@@ -253,6 +201,56 @@ DRIVER_PRIORITY: list[str] = [
     "text_lang_id",
     "multimodal_frame_sample",
     "multimodal_resize",
+    # --- r13 evidence (freshest) ---
+    "text_html_extract",
+    "pipeline_pretrain_e2e",
+    "sql_forecast_revenue",
+    "sql_returned_items",
+    "sql_product_profit",
+    "text_sentence_split",
+    "text_lm_perplexity",
+    "text_pii_scrub",
+    "text_tfidf",
+    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_cluster_cc",
+    "dedup_levenshtein",
+    "join_skew_salted",
+    "join_bucketed",
+    "join_null_safe",
+    "pipeline_dataset_export",
+    "pipeline_corpus_clean",
+    "agg_pivot",
+    "agg_percentile",
+    "sample_hash",
+    "sample_stratified",
+    "hist_numeric",
+    "agg_corr_stats",
+    "agg_mode",
+    "fn_conditional",
+    "agg_unpivot",
+    "scan_parquet",
+    "agg_ngram_df_sketch",
+    "text_novelty_sketch",
+    "text_chunk_overlap",
+    "decontaminate_bloom",
+    "agg_kmv_distinct",
+    "scan_text",
+    "scan_csv_json",
+    "sink_partitioned",
+    "project_select",
+    "filter_pred",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_outer",
+    "join_semi_anti",
+    "join_theta_range",
+    "join_asof",
+    "join_interval",
+    "agg_hash_count",
+    "agg_multi",
 ]
 
 
@@ -290,6 +288,7 @@ EAGER_OPS: frozenset[str] = frozenset(
         "stream_token_budget",
         "sink_python_datasource",
         "pipeline_pretrain_e2e",
+        "dedup_semantic",  # driver-side capped centroid training at build
     }
 )
 

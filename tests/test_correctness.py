@@ -9,24 +9,24 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-13 driver window (VERDICT_r12 task 1): the seven r13-new
-# zero-evidence ops MUST lead, then the 28 r08-evidence ops left over
-# after the r12 window (the oldest evidence remaining), then the
-# flagship (in-window every round). The remaining 14 slots take
-# r09/r10-evidence ops.
-R13_PRIORITY = [
-    "text_html_extract", "pipeline_pretrain_e2e",
-    "sql_forecast_revenue", "sql_returned_items", "sql_product_profit",
-    "text_sentence_split", "text_lm_perplexity",
-    "text_pii_scrub", "text_tfidf", "text_quality_score",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding",
-    "dedup_cluster_cc", "dedup_levenshtein", "join_skew_salted",
-    "join_bucketed", "join_null_safe", "pipeline_dataset_export",
-    "pipeline_corpus_clean", "agg_pivot", "agg_percentile",
-    "sample_hash", "sample_stratified", "hist_numeric",
-    "agg_corr_stats", "agg_mode", "fn_conditional", "agg_unpivot",
-    "scan_parquet", "agg_ngram_df_sketch", "text_novelty_sketch",
-    "text_chunk_overlap", "decontaminate_bloom", "agg_kmv_distinct",
+# Round-14 driver window (VERDICT_r13 task 3): dedup_semantic (new in
+# r14, zero evidence) MUST lead, then the 35 r09/r10-evidence ops left
+# over after the r13 window (the oldest evidence remaining), then the
+# flagship at slot 37. The remaining 13 slots take the head of the
+# r11-evidence block. After r14, no op's driver evidence predates r11.
+R14_PRIORITY = [
+    "dedup_semantic",
+    "agg_distinct", "agg_grouping_sets", "agg_global",
+    "agg_ratio_of_total", "win_rank", "win_analytic", "win_frame",
+    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
+    "text_tokenize", "sim_search", "udf_scalar", "udf_grouped", "udaf",
+    "graph_triangle_count", "pq_codebooks", "sim_search_pq",
+    "sample_temperature", "stream_kmv_distinct",
+    "sql_customer_distribution", "sql_promising_customers",
+    "ts_motif_match", "stream_minhash_dedup", "rollup_sketch_hierarchy",
+    "dedup_substring", "dedup_substring_scrub", "agg_approx",
+    "sim_search_ivf",
     "text_bigram_freq",
 ]
 
@@ -41,33 +41,27 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-13 rotation goal: the seven r13-new zero-evidence ops and the
-    28 leftover r08-evidence ops LEAD the checked window, the flagship
-    holds slot 36, and r09/r10-evidence ops fill the rest EXACTLY —
-    every slot accounted for, so a list edit cannot silently push a
-    priority op past position 50 (the round-9 review caught the section
-    comments drifting exactly this way)."""
+    """Round-14 rotation goal: dedup_semantic (zero evidence) and the 35
+    leftover r09/r10-evidence ops LEAD the checked window, the flagship
+    holds slot 37, and r11-evidence ops fill the rest EXACTLY — every
+    slot accounted for, so a list edit cannot silently push a priority op
+    past position 50 (the round-9 review caught the section comments
+    drifting exactly this way)."""
     order = list(QUERIES)
-    assert order[: len(R13_PRIORITY)] == R13_PRIORITY
+    assert order[: len(R14_PRIORITY)] == R14_PRIORITY
     first50 = order[:50]
-    # the remaining window slots must all be r09/r10-evidence ops: no
+    # the remaining window slots must all be r11-evidence ops: no
     # zero-evidence or priority op may be displaced below the cutoff
-    R09_R10_EVIDENCE = {
-        "scan_text", "scan_csv_json", "sink_partitioned",
-        "project_select", "filter_pred", "join_broadcast",
-        "join_sortmerge", "join_outer", "join_semi_anti",
-        "join_theta_range", "join_asof", "join_interval",
-        "agg_hash_count", "agg_multi", "agg_distinct",
-        "agg_grouping_sets", "agg_global", "agg_ratio_of_total",
-        "win_rank", "win_analytic", "win_frame", "sort_global", "topk",
-        "set_union_intersect_except", "dedup_exact", "fn_string",
-        "fn_date", "fn_math", "fn_array", "fn_map_json",
-        "text_tokenize", "sim_search", "udf_scalar", "udf_grouped",
-        "udaf",
+    R11_EVIDENCE_HEAD = {
+        "text_bpe_tokenize", "bpe_train", "text_bpe_tokenize_trained",
+        "udtf", "fn_agg_collect", "multimodal_decode",
+        "sql_pricing_summary", "stream_stream_join", "stream_tumbling",
+        "stream_sliding", "stream_session", "text_decontaminate",
+        "dedup_passage",
     }
-    tail = set(first50[len(R13_PRIORITY):])
-    assert len(first50) == 50 and tail <= R09_R10_EVIDENCE, (
-        sorted(tail - R09_R10_EVIDENCE)
+    tail = set(first50[len(R14_PRIORITY):])
+    assert len(first50) == 50 and tail <= R11_EVIDENCE_HEAD, (
+        sorted(tail - R11_EVIDENCE_HEAD)
     )
 
 

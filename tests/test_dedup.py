@@ -595,3 +595,73 @@ def test_substring_occ_cap_inert_on_fixture(spark, sf_dir):
         .collect()[0][0]
     )
     assert occ * 10 <= SUBSTR_OCC_CAP, occ
+
+
+def test_dedup_semantic_recall_and_keep_rule(spark, sf_dir):
+    """SemDeDup pins: (1) every flagged member has a same-cell witness pair
+    with verified cosine ≥ SEM_COS_T whose keep-priority is higher —
+    precision 1.0 by construction, cross-checked here against brute-force
+    numpy cosines; (2) within-cell candidate recall vs brute-force all-pairs
+    ≥ 0.2 at the fixture threshold (the synthetic embeddings have NO true
+    near-dup structure — pairwise cos p99.9 ≈ 0.38, max ≈ 0.5 — so loose
+    τ=0.4 pairs straddle cells; at SemDeDup's production regime, cos ≥ 0.95,
+    near-identical vectors share a cell by construction); (3) the keep rule
+    leaves the least-centroid-similar member of every flagged relation
+    unflagged — no cell prunes ALL its members."""
+    import numpy as np
+
+    from erlang_mapreduce_spark.operators.dedup import (
+        SEM_COS_T,
+        dedup_semantic,
+    )
+
+    out = dedup_semantic(spark, sf_dir)
+    rows = sorted(out.collect(), key=lambda r: r.vec_id)
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    ids = [r.vec_id for r in rows]
+    assert ids == sorted(emb), "one output row per embedding"
+    X = np.stack([emb[i] for i in ids])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = np.round(Xn @ Xn.T, 6)
+    cell = {r.vec_id: r.cell for r in rows}
+    prio = {r.vec_id: (r.cent_cos, r.vec_id) for r in rows}
+    idx = {v: i for i, v in enumerate(ids)}
+
+    flagged = {r.vec_id for r in rows if r.is_dup}
+    # (1) every flagged member has a same-cell higher-priority witness
+    for v in flagged:
+        assert any(
+            u != v
+            and cell[u] == cell[v]
+            and cos[idx[u], idx[v]] >= SEM_COS_T
+            and prio[u] < prio[v]
+            for u in ids
+        ), f"{v} flagged without a same-cell keeper witness"
+    # (2) recall of within-cell candidate pairs vs brute force
+    iu = np.triu_indices(len(ids), 1)
+    brute = cos[iu] >= SEM_COS_T
+    same = np.array(
+        [cell[ids[a]] == cell[ids[b]] for a, b in zip(*iu)], dtype=bool
+    )
+    n_brute = int(brute.sum())
+    if n_brute:
+        recall = float((brute & same).sum()) / n_brute
+        assert recall >= 0.2, f"within-cell recall {recall:.3f} < 0.2"
+    # (3) the top-priority member of every flagged relation survives
+    for v in flagged:
+        mates = [
+            u
+            for u in ids
+            if u != v and cell[u] == cell[v] and cos[idx[u], idx[v]] >= SEM_COS_T
+        ]
+        keeper = min(mates + [v], key=lambda u: prio[u])
+        assert keeper not in flagged or any(
+            prio[w] < prio[keeper]
+            and cell[w] == cell[keeper]
+            and cos[idx[w], idx[keeper]] >= SEM_COS_T
+            for w in ids
+            if w != keeper
+        )
