@@ -129,8 +129,10 @@ TRACKED_ONLY = (
     "sql_product_profit",
     "text_sentence_split",
     "text_lm_perplexity",
-    # round-14 addition: SemDeDup cluster-then-prune semantic dedup
+    # round-14 additions: SemDeDup cluster-then-prune semantic dedup and
+    # DSIR importance resampling
     "dedup_semantic",
+    "sample_dsir",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can
@@ -167,6 +169,19 @@ def main() -> None:
     all_ops = HEADLINE + TRACKED_ONLY
     for name in all_ops:
         _force(QUERIES[name](spark, warm_dir))
+
+    # CPU reference: a fixed pure-JVM whole-stage-codegen job (no I/O, no
+    # Python) timed alongside the queries. The r14 adjudication found
+    # round-over-round totals drift ~1.2-1.9x from AMBIENT machine speed
+    # on this shared VM (identical code, isolated sessions, different
+    # days) — dividing a round's total by its cpu_ref_sec removes that
+    # factor before cross-round comparisons.
+    ref_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1_500_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        ref_ts.append(time.perf_counter() - t0)
+    cpu_ref = round(sorted(ref_ts)[1], 3)
 
     passes: dict[str, list[float]] = {name: [] for name in all_ops}
     for _ in range(N_PASSES):
@@ -216,6 +231,7 @@ def main() -> None:
         "methodology": METHODOLOGY,
         "iqr_pct_med": spread_pct[len(spread_pct) // 2],
         "iqr_pct_max": spread_pct[-1],
+        "cpu_ref_sec": cpu_ref,
         "sf": sf,
     }
     detail_path = os.path.join(

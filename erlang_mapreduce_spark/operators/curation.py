@@ -1134,3 +1134,214 @@ def sample_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- DSIR importance resampling (hashed n-gram data selection) ------------
+
+DSIR_NB = 1024  # hashed-feature buckets (DSIR uses 10k at web scale)
+DSIR_TARGET_SRC = "src0"  # the small high-quality target corpus proxy
+DSIR_K = 100  # fixed selection budget (DSIR selects to a token budget)
+
+# ln terms are computed on INTEGER arguments only (bucket counts + 1,
+# totals + NB) and rounded to 6 before any arithmetic — both engines' libm
+# agree on round-6 of ln(exact small integer); all sums/differences of the
+# rounded terms then run in DECIMAL (order-independent, exact.py).
+_DSIR_FEATS_CTE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       w -> length(w) > 0) AS ws
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, f
+    FROM (
+        SELECT doc_id, unnest(ws) AS f FROM toks
+        UNION ALL
+        SELECT doc_id,
+               array_to_string(ws[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)],
+                               ' ') AS f
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)
+    )
+),
+fb AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(f), 1, 8) AS BIGINT) % {DSIR_NB}
+               AS bucket
+    FROM feats
+),
+lab AS (SELECT doc_id, source = '{DSIR_TARGET_SRC}' AS is_t FROM documents),
+tf AS (
+    SELECT fb.doc_id, lab.is_t, bucket, count(*) AS tf
+    FROM fb JOIN lab USING (doc_id)
+    GROUP BY 1, 2, 3
+),
+bc AS (
+    SELECT bucket,
+           sum(CASE WHEN is_t THEN tf ELSE 0 END) AS ct,
+           sum(CASE WHEN NOT is_t THEN tf ELSE 0 END) AS cr
+    FROM tf GROUP BY 1
+),
+tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM bc),
+lr AS (
+    SELECT bucket,
+           CAST(round(ln(CAST(ct + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+         - CAST(round(ln(CAST(cr + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+         - CAST((SELECT round(ln(CAST(t_tot + {DSIR_NB} AS DOUBLE)), 6)
+                 FROM tot) AS DECIMAL(18,6))
+         + CAST((SELECT round(ln(CAST(r_tot + {DSIR_NB} AS DOUBLE)), 6)
+                 FROM tot) AS DECIMAL(18,6)) AS lr
+    FROM bc
+),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(sum(CAST(tf.tf AS DECIMAL(18,0)) * lr.lr) AS DOUBLE)
+               AS log_w,
+           CAST(sum(CAST(tf.tf AS DECIMAL(18,0)) * lr.lr) AS DECIMAL(29,6))
+         + CAST(round(-ln(-ln(
+               (CAST('0x' || substring(md5(CAST(tf.doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 0.5) / 4294967296.0)), 6)
+               AS DECIMAL(18,6)) AS gkey
+    FROM tf JOIN lr USING (bucket)
+    WHERE NOT tf.is_t
+    GROUP BY tf.doc_id
+)
+"""
+
+
+@query(
+    "sample_dsir",
+    oracle=f"""
+{_DSIR_FEATS_CTE.strip()}
+SELECT doc_id, round(log_w, 6) AS log_w,
+       CAST(gkey AS DOUBLE) AS gumbel_key,
+       rn <= {DSIR_K} AS selected
+FROM (SELECT *, row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn
+      FROM scored)
+""",
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how target-like its
+    hashed n-gram profile is, then Gumbel-top-k sample a fixed budget.
+    The standard pretraining-data selection recipe: a small high-quality
+    target corpus (source = DSIR_TARGET_SRC here) fits two bag-of-hashed-
+    ngram unigram models (target vs raw, add-1 smoothed over DSIR_NB
+    buckets), each raw doc's importance log-weight is Σ tf·(ln p_t −
+    ln p_r) over its feature buckets, and selection adds per-doc Gumbel
+    noise (−ln(−ln u), u = the md5-uniform device) so the draw IS an
+    importance-weighted sample rather than a deterministic top slice.
+
+    Spark-first shape, 100 TB story: features (word unigrams + bigrams)
+    are a narrow explode; the per-(doc, bucket) tf is one map-side-
+    combined hash agg; bucket log-ratios collapse to a DSIR_NB-row table
+    (broadcast back — the "model" is 1024 floats, exactly why DSIR scales
+    to web corpora); per-doc scores are one more hash agg; the selection
+    threshold is a TakeOrdered over DSIR_K rows crossed back as a 1-row
+    broadcast — no global sort, no window, no driver collect anywhere,
+    corpus scanned once. Every ln takes an INTEGER argument rounded to 6
+    (cross-engine exact), sums run in DECIMAL; the Gumbel key is a pure
+    function of doc_id, so the whole sample is reproducible on any
+    engine, run, or partitioning — the property that makes sampled-corpus
+    experiments comparable. Top-k semantics pinned vs the oracle's
+    row_number: selected ⇔ (gkey, −doc_id) ≥lex the DSIR_K-th row's."""
+    from ..exact import _DEC
+
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), r"\s+")
+    docs = scan_parallel(d).select(
+        "doc_id",
+        (F.col("source") == DSIR_TARGET_SRC).alias("is_t"),
+        F.filter(ws, lambda w: F.length(w) > 0).alias("ws"),
+    )
+    feats = docs.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.concat(F.col("ws"), _word_ngrams(F.col("ws"), 2))
+        ).alias("f"),
+    )
+    tf = (
+        feats.select(
+            "doc_id",
+            "is_t",
+            F.pmod(
+                F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long"),
+                F.lit(DSIR_NB),
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "is_t", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    bc = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_t"), F.col("tf")).otherwise(0)).alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    dec6 = "decimal(18,6)"
+    lr = (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.round(F.log(F.col("ct") + 1.0), 6).cast(dec6)
+                - F.round(F.log(F.col("cr") + 1.0), 6).cast(dec6)
+                - F.round(F.log(F.col("t_tot") + float(DSIR_NB)), 6).cast(dec6)
+                + F.round(F.log(F.col("r_tot") + float(DSIR_NB)), 6).cast(dec6)
+            ).alias("lr"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    scored = (
+        tf.filter(~F.col("is_t"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf").cast("decimal(18,0)") * F.col("lr")).alias(
+                "lw_dec"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("lw_dec").cast("double").alias("log_w"),
+            (
+                F.col("lw_dec").cast("decimal(29,6)")
+                + F.round(-F.log(-F.log(u)), 6).cast(dec6)
+            ).alias("gkey"),
+        )
+    )
+    # the DSIR_K-th row of (gkey DESC, doc_id ASC) as a 1-row broadcast:
+    # TakeOrderedAndProject, never a global sort or single-partition window
+    th = (
+        scored.orderBy(F.desc("gkey"), "doc_id")
+        .limit(DSIR_K)
+        .agg(
+            F.min(
+                F.struct(F.col("gkey"), (-F.col("doc_id")).alias("nd"))
+            ).alias("th")
+        )
+        .select(
+            F.col("th.gkey").alias("th_key"), (-F.col("th.nd")).alias("th_doc")
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            F.round("log_w", 6).alias("log_w"),
+            F.col("gkey").cast("double").alias("gumbel_key"),
+            (
+                (F.col("gkey") > F.col("th_key"))
+                | (
+                    (F.col("gkey") == F.col("th_key"))
+                    & (F.col("doc_id") <= F.col("th_doc"))
+                )
+            ).alias("selected"),
+        )
+    )

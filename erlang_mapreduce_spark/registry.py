@@ -47,23 +47,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's per-round correctness pass walks ``queries()`` in dict
-# insertion order and stops after 50 ops. With 183 registered ops, insertion
+# insertion order and stops after 50 ops. With 184 registered ops, insertion
 # order therefore decides which ops get a driver-verified row each round, so
 # this list rotates round-over-round to spread driver evidence across the
 # whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
 # Round-14 window (this ordering), oldest-evidence-first policy:
-#   1:     dedup_semantic, NEW in r14 (zero driver evidence).
-#   2-36:  the 35 r09/r10-evidence ops left after the r13 window (the
+#   1-2:   dedup_semantic + sample_dsir, NEW in r14 (zero driver
+#          evidence).
+#   3-37:  the 35 r09/r10-evidence ops left after the r13 window (the
 #          oldest evidence remaining — r13 VERDICT task 3).
-#   37:    text_bigram_freq (the flagship, in-window every round).
-#   38-50: the first 13 of the r11-evidence block.
+#   38:    text_bigram_freq (the flagship, in-window every round).
+#   39-50: the first 12 of the r11-evidence block.
 # After r14: no op's driver evidence predates r11.
 DRIVER_PRIORITY: list[str] = [
-# --- 1: new in r14, zero driver evidence ---
+    # --- 1-2: new in r14, zero driver evidence ---
     "dedup_semantic",
-    # --- 2-36: the 35 r09/r10-evidence ops (oldest remaining) ---
+    "sample_dsir",
+    # --- 3-37: the 35 r09/r10-evidence ops (oldest remaining) ---
     "agg_distinct",
     "agg_grouping_sets",
     "agg_global",
@@ -99,9 +101,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_substring_scrub",
     "agg_approx",
     "sim_search_ivf",
-    # --- 37: the flagship (in-window every round per policy) ---
+    # --- 38: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    # --- 38-50: the first 13 of the r11-evidence block ---
+    # --- 39-50: the first 12 of the r11-evidence block ---
     "text_bpe_tokenize",
     "bpe_train",
     "text_bpe_tokenize_trained",
@@ -114,8 +116,8 @@ DRIVER_PRIORITY: list[str] = [
     "stream_sliding",
     "stream_session",
     "text_decontaminate",
-    "dedup_passage",
     # --- 51+: r11-evidence remainder (lead the round-15 window) ---
+    "dedup_passage",
     "dedup_span_rolling",
     "sample_quality_weighted",
     "agg_heavy_hitters",

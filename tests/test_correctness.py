@@ -9,13 +9,14 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-14 driver window (VERDICT_r13 task 3): dedup_semantic (new in
-# r14, zero evidence) MUST lead, then the 35 r09/r10-evidence ops left
-# over after the r13 window (the oldest evidence remaining), then the
-# flagship at slot 37. The remaining 13 slots take the head of the
-# r11-evidence block. After r14, no op's driver evidence predates r11.
+# Round-14 driver window (VERDICT_r13 task 3): dedup_semantic and
+# sample_dsir (new in r14, zero evidence) MUST lead, then the 35
+# r09/r10-evidence ops left over after the r13 window (the oldest
+# evidence remaining), then the flagship at slot 38. The remaining 12
+# slots take the head of the r11-evidence block. After r14, no op's
+# driver evidence predates r11.
 R14_PRIORITY = [
-    "dedup_semantic",
+    "dedup_semantic", "sample_dsir",
     "agg_distinct", "agg_grouping_sets", "agg_global",
     "agg_ratio_of_total", "win_rank", "win_analytic", "win_frame",
     "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
@@ -41,9 +42,9 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-14 rotation goal: dedup_semantic (zero evidence) and the 35
+    """Round-14 rotation goal: the two r14-new zero-evidence ops and the 35
     leftover r09/r10-evidence ops LEAD the checked window, the flagship
-    holds slot 37, and r11-evidence ops fill the rest EXACTLY — every
+    holds slot 38, and r11-evidence ops fill the rest EXACTLY — every
     slot accounted for, so a list edit cannot silently push a priority op
     past position 50 (the round-9 review caught the section comments
     drifting exactly this way)."""
@@ -57,7 +58,6 @@ def test_rotation_targets_in_first_50():
         "udtf", "fn_agg_collect", "multimodal_decode",
         "sql_pricing_summary", "stream_stream_join", "stream_tumbling",
         "stream_sliding", "stream_session", "text_decontaminate",
-        "dedup_passage",
     }
     tail = set(first50[len(R14_PRIORITY):])
     assert len(first50) == 50 and tail <= R11_EVIDENCE_HEAD, (

@@ -924,3 +924,37 @@ def test_lm_perplexity_semantics(spark, tmp_path):
     assert got[1].perplexity < got[2].perplexity
     assert all(r.perplexity >= 1 - 1e-9 for r in got.values())
     assert got[1].n_bigrams == 99 and got[2].n_bigrams == 7
+
+
+def test_dsir_budget_and_threshold_semantics(spark, sf_dir):
+    """DSIR pins: (1) exactly min(DSIR_K, n_raw) documents are selected;
+    (2) no target-corpus doc appears in the output; (3) selection is
+    EXACTLY the top slice of the (gumbel_key DESC, doc_id ASC) order —
+    the broadcast-threshold predicate must reproduce row_number ≤ K;
+    (4) the gumbel key is the score plus a pure doc_id function, so
+    re-running yields the identical sample (determinism)."""
+    from erlang_mapreduce_spark.operators.curation import (
+        DSIR_K,
+        DSIR_TARGET_SRC,
+        sample_dsir,
+    )
+    from erlang_mapreduce_spark.tables import load
+
+    out = sample_dsir(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.source
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    n_raw = sum(1 for s in docs.values() if s != DSIR_TARGET_SRC)
+    assert all(docs[r.doc_id] != DSIR_TARGET_SRC for r in out)
+    # scored rows = raw docs with ≥1 feature (all fixture docs tokenize)
+    assert len(out) == n_raw
+    sel = [r.doc_id for r in out if r.selected]
+    assert len(sel) == min(DSIR_K, n_raw)
+    ranked = sorted(out, key=lambda r: (-r.gumbel_key, r.doc_id))
+    top = {r.doc_id for r in ranked[: min(DSIR_K, n_raw)]}
+    assert set(sel) == top, "threshold predicate != row_number top slice"
+    again = sample_dsir(spark, sf_dir).collect()
+    assert sorted((r.doc_id, r.selected) for r in again) == sorted(
+        (r.doc_id, r.selected) for r in out
+    )

@@ -425,6 +425,9 @@ _BNLJ_BY_DESIGN = {
     "text_tfidf",
     "text_unigram_logprob",
     "text_lm_perplexity",  # 1-row broadcast vocabulary size, same shape
+    # two 1-row scalar broadcasts: corpus feature totals into the
+    # 1024-bucket log-ratio model, and the Gumbel-top-k threshold row
+    "sample_dsir",
     "analytics_pareto_topk",  # 1-row broadcast total × K-row report
     "agg_quantile_bins",  # 1-row broadcast boundaries × narrow projection
     "analytics_rfm",  # 1-row broadcast quartile boundaries, same shape

@@ -121,6 +121,17 @@ OPS = (
     "merge_upsert",
     "text_html_extract",
     "pipeline_pretrain_e2e",
+    # round-14 additions (the r13 verdict's task 7): the remaining r13-new
+    # text ops — sentence segmentation (narrow regex explode) and the
+    # bigram-LM perplexity gate (two w1-keyed windows over the bigram-tf
+    # relation; its SKEW exposure is probed separately by zipf_probe.py)
+    # — plus the r14-new SemDeDup op (embeddings replicate with offsets,
+    # so cells grow while K stays fixture-sized: within-cell pair work
+    # grows ~quadratically per cell here, an upper bound like the other
+    # pair ops' replication caveat).
+    "text_sentence_split",
+    "text_lm_perplexity",
+    "dedup_semantic",
 )
 
 # The steepest SCALING rows (the token-linear family) get one extra 30×
@@ -401,6 +412,21 @@ def main() -> None:
         "  to DISTINCT texts — constant here — while gate/scrub/tokenize/",
         "  pack/export scale with the corpus), so its alpha sits between",
         "  the pair ops' ~0 and the tokenize family's ~0.7.",
+        f"- Round-14 ops: text_sentence_split ({a('text_sentence_split')})",
+        "  is a narrow regex split + posexplode — output-linear, zero",
+        f"  shuffle. text_lm_perplexity ({a('text_lm_perplexity')}) runs",
+        "  two w1-keyed windows over the bigram-tf relation; replicated",
+        "  docs keep the DISTINCT bigram-type set constant, so the",
+        "  windows' row volume grows with docs while key cardinality",
+        "  doesn't — the uniform-vocabulary curve; the Zipf-head hazard is",
+        "  probed separately below (zipf_probe.py section).",
+        f"  dedup_semantic ({a('dedup_semantic')}) assigns replicated",
+        "  embeddings to the FIXED K=16 fixture cells, so per-cell",
+        "  membership grows ~linearly and within-cell pair work",
+        "  ~quadratically — an upper bound by the same argument as the",
+        "  other pair ops (production K grows ~sqrt(N), holding cell size",
+        "  ~constant; the fixture cannot grow K without changing the",
+        "  oracle constants).",
         "",
         "## 30x probe — the token-linear family",
         "",
@@ -440,8 +466,19 @@ def main() -> None:
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.md")
+    # preserve the zipf_probe.py marker block across regenerations (the
+    # two tools co-own SCALING.md; each rewrites only its own section)
+    zipf_block = ""
+    try:
+        with open(out) as f:
+            prev = f.read()
+        zs, ze = "<!-- zipf-probe:start -->", "<!-- zipf-probe:end -->"
+        if zs in prev:
+            zipf_block = "\n" + prev[prev.index(zs): prev.index(ze) + len(ze)] + "\n"
+    except OSError:
+        pass
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + zipf_block)
     print("\n".join(lines))
 
 
