@@ -2060,13 +2060,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first shape: centroid training reuses `ivf_centroids`' bounded
     deterministic sample (driver numpy over ≤IVF_TRAIN_CAP vectors —
-    corpus-size-independent); assignment is one narrow Arrow pass; the
+    corpus-size-independent); verbatim-identical vectors collapse to one
+    representative BEFORE pairing (see the inline proof — crawl corpora
+    are full of byte-identical embeddings, and the r14 scaling probe
+    measured the uncollapsed pair join at alpha 1.19 on replicated data
+    vs 0.03 collapsed); assignment is one narrow Arrow pass; the
     within-cell candidate join is an equi-join on `cell` (no all-pairs,
-    no CartesianProduct — the global plan sweep checks). At fixture scale
-    K=16 cells bound parallelism; at 100 TB K grows ~sqrt(N) (the IVF_K
-    note, similarity.py:309) so cells stay ~constant-size, the equi-join
-    shuffles O(N) rows, and per-cell pairwise work is O(N·cell_size) —
-    SemDeDup's own scaling argument. Keep-rule determinism: ranks compare
+    no CartesianProduct — the global plan sweep checks) with the
+    Arrow-vectorized cosine in the filter. At fixture scale K=16 cells
+    bound parallelism; at 100 TB K grows ~sqrt(N) (the IVF_K note,
+    similarity.py:309) so cells stay ~constant-size, the equi-join
+    shuffles O(N) rows, and per-cell pairwise work is
+    O(distinct·cell_size) — SemDeDup's own scaling argument.
+    Keep-rule determinism: ranks compare
     round-6 centroid cosines with vec_id ties, so the DuckDB twin
     re-derives identical flags (the integer-micro k-means makes cells
     cross-engine exact; recall vs brute force is pinned in
@@ -2076,7 +2082,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import pandas_udf
 
-    from .similarity import _MICRO, IVF_DIM, _train_centroids, cosine_col
+    from .similarity import _MICRO, IVF_DIM, _cos_pandas, _train_centroids
 
     e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -2095,14 +2101,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(cell, [float(x) for x in vec]) for cell, vec in enumerate(Cm.tolist())],
         "cell int, cv array<double>",
     )
+    # Arrow-vectorized cosine for BOTH scoring sites — the pair filter is
+    # the op's hot path (O(Σ cell²) evaluations) and the interpreted
+    # zip_with fold measured 10x the wall time at the probe's replicated
+    # 10x scale; round-6 makes numpy's pairwise summation and DuckDB's
+    # sequential loop agree (the sim_search precedent, hash-green since r6)
+    cos = _cos_pandas()
+    # VERBATIM COLLAPSE (the pair-op device of this module): identical
+    # vectors share a cell, a centroid cosine, and pairwise cosine 1.0, so
+    # the pair pipeline runs on one representative per DISTINCT vector and
+    # flags expand to members by rule — exactly, because (a) a non-rep
+    # member's own rep is always a same-cell, cos-1.0, higher-priority
+    # witness (same cent_cos, smaller vec_id), and (b) any member witness
+    # for a rep implies that member's rep is also a witness (equal or
+    # better priority). The one exception is a zero-norm vector: all its
+    # cosines are NaN (never ≥ τ) on both engines, so its twins stay
+    # unflagged. Compute is O(distinct vectors · cell_size), not O(rows ·
+    # cell_size) — crawl corpora are full of byte-identical embeddings.
+    vw = Window.partitionBy("v")
+    ve = e.withColumn("rep_id", F.min("vec_id").over(vw))
+    reps = ve.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id", "v")
     mem = (
-        e.select("vec_id", "v", nearest_cell("v").alias("cell"))
+        reps.select("vec_id", "v", nearest_cell("v").alias("cell"))
         .join(F.broadcast(cents), "cell")
         .select(
             "vec_id",
             "cell",
             "v",
-            F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("cent_cos"),
+            F.round(cos(F.col("v"), F.col("cv")), 6).alias("cent_cos"),
         )
     )
     a, b = mem.alias("a"), mem.alias("b")
@@ -2117,19 +2143,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .filter(
-            (F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6) >= SEM_COS_T)
+            (F.round(cos(F.col("a.v"), F.col("b.v")), 6) >= SEM_COS_T)
             & keeper_first
         )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("dup", F.lit(True))
     )
-    return (
+    rep_out = (
         mem.join(dups, "vec_id", "left")
         .select(
-            "vec_id",
+            F.col("vec_id").alias("rep_id"),
             "cell",
             "cent_cos",
-            F.coalesce("dup", F.lit(False)).alias("is_dup"),
+            F.coalesce("dup", F.lit(False)).alias("rep_dup"),
         )
+    )
+    norm_pos = (
+        F.aggregate(
+            "v", F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        > 0
+    )
+    return ve.join(rep_out, "rep_id").select(
+        "vec_id",
+        "cell",
+        "cent_cos",
+        F.when(F.col("vec_id") != F.col("rep_id"), norm_pos)
+        .otherwise(F.col("rep_dup"))
+        .alias("is_dup"),
     )

@@ -420,13 +420,16 @@ def main() -> None:
         "  windows' row volume grows with docs while key cardinality",
         "  doesn't — the uniform-vocabulary curve; the Zipf-head hazard is",
         "  probed separately below (zipf_probe.py section).",
-        f"  dedup_semantic ({a('dedup_semantic')}) assigns replicated",
-        "  embeddings to the FIXED K=16 fixture cells, so per-cell",
-        "  membership grows ~linearly and within-cell pair work",
-        "  ~quadratically — an upper bound by the same argument as the",
-        "  other pair ops (production K grows ~sqrt(N), holding cell size",
-        "  ~constant; the fixture cannot grow K without changing the",
-        "  oracle constants).",
+        f"  dedup_semantic ({a('dedup_semantic')}) inherits the",
+        "  verbatim-collapse: replicas are verbatim embedding twins in",
+        "  the same cell, and the r14 first-probe (alpha 1.19, 52 s at",
+        "  10x) showed the within-cell pair join crunching every twin;",
+        "  the pair pipeline now runs per DISTINCT vector with exact",
+        "  member expansion (a twin's own rep is always its witness;",
+        "  zero-norm vectors excluded), so like the other pair ops its",
+        "  curve tracks distinct-vector volume — constant here. On",
+        "  organic data the residual per-cell quadratic term is bounded",
+        "  by production K growing ~sqrt(N).",
         "",
         "## 30x probe — the token-linear family",
         "",
