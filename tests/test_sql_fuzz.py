@@ -358,7 +358,7 @@ DOC_OPS = (
     "dedup_passage", "dedup_span_rolling", "dedup_cluster_cc",
     "sample_quality_weighted", "sample_mix_rebalance",
     "sample_cap_per_source", "sample_split_train_eval",
-    "sample_temperature",
+    "sample_temperature", "sample_dsir",
     "agg_ngram_counts", "agg_ngram_df_sketch", "text_novelty_sketch",
     "text_chunk_overlap", "decontaminate_bloom", "graph_triangle_count",
     "agg_heavy_hitters",
@@ -383,7 +383,7 @@ EVT_OPS = (
 
 EMB_OPS = ("dedup_embedding", "sim_search", "sim_search_ann",
            "ivf_centroids", "sim_search_ivf", "pq_codebooks",
-           "sim_search_pq")
+           "sim_search_pq", "dedup_semantic")
 
 
 @pytest.mark.parametrize("name", DOC_OPS)
