@@ -261,24 +261,41 @@ def main() -> None:
     # then carries a compact regression screen vs the PREVIOUS sweep — any
     # tail op >2× its prior cell and >0.5 s surfaces round-over-round
     # (the never-benched tail hid a 27 s defect until r13's first sweep).
+    # The sweep runs in a FRESH subprocess JVM: the first r14 in-process
+    # run timed the stateful-streaming tail 4-6x slow inside the
+    # post-5-pass bench JVM (state-store/GC context), flagging five
+    # phantom regressions that fresh sessions re-measured at par.
     if os.environ.get("SPARK_GRAFT_SWEEP", "1") == "1":
-        from tools.registry_sweep import sweep_ops
+        import subprocess
 
         tail = [op for op in QUERIES if op not in set(all_ops)]
-        tail_sweep, tail_errors = sweep_ops(spark, tail, sf_dir)
-        new_sweep = {**tail_sweep, **timings}
-        detail["sweep"] = new_sweep
-        detail["sweep_meta"] = {
-            "sf_dir": sf_dir,
-            "methodology": (
-                "tail: single warmed pass (screen only); bench-set ops: "
-                f"{METHODOLOGY} medians from this run"
-            ),
-            "errors": tail_errors,
-        }
+        rc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "registry_sweep.py"), *tail],
+            capture_output=True, text=True,
+        ).returncode
+        # registry_sweep merged the tail cells + sweep_meta into the detail
+        # file; read them back, overlay this run's medians, re-emit
+        try:
+            with open(detail_path) as f:
+                swept = json.load(f)
+            tail_sweep = {
+                op: t for op, t in swept.get("sweep", {}).items()
+                if op in set(tail)
+            }
+            detail["sweep_meta"] = swept.get("sweep_meta", {})
+        except (OSError, ValueError):
+            tail_sweep = {}
+        detail["sweep"] = {**tail_sweep, **timings}
+        detail.setdefault("sweep_meta", {})["methodology"] = (
+            "tail: single warmed pass in a FRESH subprocess JVM (screen "
+            f"only; rc={rc}); bench-set ops: {METHODOLOGY} medians from "
+            "this run"
+        )
         regressions = {
             op: [prev_sweep[op], t]
-            for op, t in new_sweep.items()
+            for op, t in detail["sweep"].items()
             if op in prev_sweep and t > 0.5 and t >= 2.0 * prev_sweep[op]
         }
         worst = sorted(
