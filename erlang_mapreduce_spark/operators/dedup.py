@@ -2114,11 +2114,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # member's own rep is always a same-cell, cos-1.0, higher-priority
     # witness (same cent_cos, smaller vec_id), and (b) any member witness
     # for a rep implies that member's rep is also a witness (equal or
-    # better priority). The one exception is a zero-norm vector: all its
-    # cosines are NaN (never ≥ τ) on both engines, so its twins stay
-    # unflagged. Compute is O(distinct vectors · cell_size), not O(rows ·
-    # cell_size) — crawl corpora are full of byte-identical embeddings.
-    vw = Window.partitionBy("v")
+    # better priority). The one exception is a zero-norm vector: numpy
+    # scores its cosines NaN, which Arrow's pandas→Spark conversion turns
+    # into NULL (and a genuine NaN would compare GREATER than any number
+    # in Spark SQL), while DuckDB's list_cosine_similarity returns -1.0
+    # for any zero-norm operand. We adopt DuckDB's convention at BOTH
+    # scoring sites — coalesce(nanvl(·, -1.0), -1.0) covers the
+    # NULL-via-Arrow and literal-NaN paths — so zero-norm rows score
+    # cent_cos = -1.0 and never enter a pair relation on either engine,
+    # matching norm_pos in the expansion (pinned by
+    # test_dedup_semantic_zero_norm_twins). Compute is
+    # O(distinct vectors · cell_size), not O(rows · cell_size) — crawl
+    # corpora are full of byte-identical embeddings.
+    #
+    # The collapse window partitions by md5 of the vector's exact JSON
+    # rendering, NOT the raw array<double>: the exchange then ships a
+    # 32-char digest per row instead of the full embedding (at 100 TB the
+    # key bytes dominate that shuffle). Shortest-round-trip double
+    # formatting is injective, so the digest is exact up to md5 collisions
+    # (~N²·2⁻¹²⁸ — negligible; a collision would only over-collapse two
+    # distinct vectors into one rep relation).
+    vw = Window.partitionBy(F.md5(F.to_json(F.struct(F.col("v").alias("v")))))
     ve = e.withColumn("rep_id", F.min("vec_id").over(vw))
     reps = ve.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id", "v")
     mem = (
@@ -2128,7 +2144,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cell",
             "v",
-            F.round(cos(F.col("v"), F.col("cv")), 6).alias("cent_cos"),
+            F.coalesce(
+                F.nanvl(F.round(cos(F.col("v"), F.col("cv")), 6), F.lit(-1.0)),
+                F.lit(-1.0),
+            ).alias("cent_cos"),
         )
     )
     a, b = mem.alias("a"), mem.alias("b")
@@ -2142,10 +2161,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
-        .filter(
-            (F.round(cos(F.col("a.v"), F.col("b.v")), 6) >= SEM_COS_T)
-            & keeper_first
+        .withColumn(
+            "pc",
+            F.coalesce(
+                F.nanvl(
+                    F.round(cos(F.col("a.v"), F.col("b.v")), 6), F.lit(-1.0)
+                ),
+                F.lit(-1.0),
+            ),
         )
+        .filter((F.col("pc") >= SEM_COS_T) & keeper_first)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("dup", F.lit(True))

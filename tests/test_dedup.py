@@ -665,3 +665,59 @@ def test_dedup_semantic_recall_and_keep_rule(spark, sf_dir):
             for w in ids
             if w != keeper
         )
+
+
+def test_dedup_semantic_zero_norm_twins(spark, tmp_path):
+    """Pins the zero-norm convention (r14 ADVICE): numpy scores a zero-norm
+    vector's cosines as NaN (which Spark SQL compares GREATER than any
+    number) while DuckDB's list_cosine_similarity returns -1.0 — unguarded,
+    the engines would disagree on duplicated zero embeddings. The op adopts
+    DuckDB's -1.0 via nanvl at both scoring sites, so zero-norm twins stay
+    unflagged (and cent_cos = -1.0) on BOTH engines. Fixture: 3 zero
+    vectors (two verbatim twins + a singleton), one verbatim nonzero twin
+    pair, and random fill — run the full driver-style compare, then assert
+    the pinned rows."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erlang_mapreduce_spark.operators.dedup import dedup_semantic
+    from erlang_mapreduce_spark.operators.similarity import IVF_DIM
+    from tests.oracle import run_compare
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    d = str(tmp_path / "zero_norm")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(41)
+    n = 24
+    vecs = rng.standard_normal((n, IVF_DIM)).astype(np.float32)
+    vecs[0] = 0.0  # zero twin A
+    vecs[1] = 0.0  # zero twin B (verbatim of A)
+    vecs[2] = 0.0  # zero singleton — also verbatim here; all three collapse
+    vecs[5] = vecs[4]  # nonzero verbatim twin pair
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"):
+        shutil.copyfile(
+            os.path.join(src, f"{t}.parquet"), os.path.join(d, f"{t}.parquet")
+        )
+    run_compare(spark, "dedup_semantic", d)
+
+    rows = {r.vec_id: r for r in dedup_semantic(spark, d).collect()}
+    for v in (0, 1, 2):
+        assert rows[v].cent_cos == -1.0, rows[v]
+        assert rows[v].is_dup is False, rows[v]
+    # the nonzero verbatim twin expands to is_dup=true (cos 1.0 ≥ τ)
+    assert rows[5].is_dup is True, rows[5]
