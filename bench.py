@@ -296,7 +296,13 @@ def main() -> None:
         regressions = {
             op: [prev_sweep[op], t]
             for op, t in detail["sweep"].items()
-            if op in prev_sweep and t > 0.5 and t >= 2.0 * prev_sweep[op]
+            # prev > 0 guards the ratio sort key below: a 0.0 prior cell
+            # (sub-ms op rounded to 3 decimals) is not a regression signal
+            # and would raise ZeroDivisionError at the end of a full run
+            if op in prev_sweep
+            and prev_sweep[op] > 0
+            and t > 0.5
+            and t >= 2.0 * prev_sweep[op]
         }
         worst = sorted(
             regressions, key=lambda o: -regressions[o][1] / regressions[o][0]

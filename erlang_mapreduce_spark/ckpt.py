@@ -98,18 +98,23 @@ _SHARED: "OrderedDict[object, tuple[DataFrame, BlockLease]]" = OrderedDict()
 _SHARED_CAP = 6
 
 
-def set_shared_cap(n: int) -> None:
-    """Resize the shared-checkpoint LRU cap. Sweep/bench tooling that
+def set_shared_cap(n: int) -> int:
+    """Resize the shared-checkpoint LRU cap; returns the PREVIOUS cap so
+    callers restore the caller's value rather than a hardcoded default
+    (r14 ADVICE: a hardcoded restore clobbers non-default caps and drifts
+    if this module's default changes). Sweep/bench tooling that
     alternates corpora (warmup SF + timed SF ⇒ ~10 live keys) raises this
     so warming one corpus does not evict the other's gram-set/pair-graph
     entries — otherwise every timed dedup cell silently includes a full
     shared-table rebuild (r13 ADVICE item 2). Shrinking evicts LRU-first."""
     global _SHARED_CAP
+    prev = _SHARED_CAP
     _SHARED_CAP = n
     while len(_SHARED) > _SHARED_CAP:
         _, (old, old_lease) = _SHARED.popitem(last=False)
         free_local_checkpoint(old)
         old_lease.kill()
+    return prev
 
 
 def free_local_checkpoint(df: DataFrame) -> None:

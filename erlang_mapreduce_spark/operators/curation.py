@@ -1143,7 +1143,9 @@ DSIR_TARGET_SRC = "src0"  # the small high-quality target corpus proxy
 DSIR_K = 100  # fixed selection budget (DSIR selects to a token budget)
 
 # ln terms are computed on INTEGER arguments only (bucket counts + 1,
-# totals + NB) and rounded to 6 before any arithmetic — both engines' libm
+# totals + NB, and the Gumbel factors 2a+1 / 2^33 / m / 10^6 — the
+# double-log is factored into integer-argument lns, see the inline note in
+# sample_dsir) and rounded to 6 before any arithmetic — both engines' libm
 # agree on round-6 of ln(exact small integer); all sums/differences of the
 # rounded terms then run in DECIMAL (order-independent, exact.py).
 _DSIR_FEATS_CTE = f"""
@@ -1198,10 +1200,15 @@ scored AS (
            CAST(sum(CAST(tf.tf AS DECIMAL(18,0)) * lr.lr) AS DOUBLE)
                AS log_w,
            CAST(sum(CAST(tf.tf AS DECIMAL(18,0)) * lr.lr) AS DECIMAL(29,6))
-         + CAST(round(-ln(-ln(
-               (CAST('0x' || substring(md5(CAST(tf.doc_id AS VARCHAR)), 1, 8)
-                     AS BIGINT) + 0.5) / 4294967296.0)), 6)
-               AS DECIMAL(18,6)) AS gkey
+         + (CAST(round(ln(1000000.0), 6) AS DECIMAL(18,6))
+          - CAST(round(ln(CAST(greatest(CAST((
+                CAST(round(ln(8589934592.0), 6) AS DECIMAL(18,6))
+              - CAST(round(ln(CAST(
+                    2 * CAST('0x' || substring(
+                            md5(CAST(tf.doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+            ) * 1000000 AS BIGINT), 1) AS DOUBLE)), 6)
+            AS DECIMAL(18,6))) AS gkey
     FROM tf JOIN lr USING (bucket)
     WHERE NOT tf.is_t
     GROUP BY tf.doc_id
@@ -1293,11 +1300,25 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        + 0.5
-    ) / F.lit(4294967296.0)
+    # Gumbel noise −ln(−ln u), factored into INTEGER-argument lns only so
+    # the module invariant (round-6 of ln(integer) agrees cross-engine)
+    # covers it: u = (2a+1)/2^33 with a the 32-bit md5 prefix, so
+    # −ln u = ln(2^33) − ln(2a+1) — both integer arguments; round-6 the
+    # difference to g1 = m/10^6 (m a BIGINT, clamped ≥ 1 for the u→1 tail
+    # where g1 < 5e-7 would floor m to 0 — probability ~5e-7 per doc, a
+    # deterministic identical clamp on both engines), and the outer log is
+    # −ln(g1) = ln(10^6) − ln(m) — integer arguments again. Every
+    # intermediate is DECIMAL, so the key is bit-identical cross-engine.
+    a32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    g1 = F.round(F.log(F.lit(8589934592.0)), 6).cast(dec6) - F.round(
+        F.log((2 * a32 + 1).cast("double")), 6
+    ).cast(dec6)
+    m_int = F.greatest((g1 * 1000000).cast("long"), F.lit(1))
+    gum = F.round(F.log(F.lit(1000000.0)), 6).cast(dec6) - F.round(
+        F.log(m_int.cast("double")), 6
+    ).cast(dec6)
     scored = (
         tf.filter(~F.col("is_t"))
         .join(F.broadcast(lr), "bucket")
@@ -1310,10 +1331,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("lw_dec").cast("double").alias("log_w"),
-            (
-                F.col("lw_dec").cast("decimal(29,6)")
-                + F.round(-F.log(-F.log(u)), 6).cast(dec6)
-            ).alias("gkey"),
+            (F.col("lw_dec").cast("decimal(29,6)") + gum).alias("gkey"),
         )
     )
     # the DSIR_K-th row of (gkey DESC, doc_id ASC) as a 1-row broadcast:

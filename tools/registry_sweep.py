@@ -59,7 +59,7 @@ def sweep_ops(spark, ops, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
 
     sweep: dict[str, float] = {}
     errors: dict[str, str] = {}
-    set_shared_cap(12)  # both corpora's shared keys stay live
+    prev_cap = set_shared_cap(12)  # both corpora's shared keys stay live
     try:
         for i, op in enumerate(ops, 1):
             try:
@@ -75,7 +75,7 @@ def sweep_ops(spark, ops, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                 errors[op] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"[{i}/{len(ops)}] {op}: ERROR {errors[op]}", flush=True)
     finally:
-        set_shared_cap(6)
+        set_shared_cap(prev_cap)  # restore the CALLER's cap, not a default
     return sweep, errors
 
 

@@ -132,6 +132,17 @@ def main() -> None:
         p = os.path.join(ROOT, name, "documents.parquet")
         if not os.path.exists(p):
             shares[name] = build_zipf_docs(p, n, seed)
+        else:
+            # cached fixture: MEASURE the head share from the parquet
+            # instead of a hardcoded fallback (r14 ADVICE — re-runs were
+            # silently documenting 10.0% regardless of the corpus)
+            shares[name] = float(
+                duckdb.sql(
+                    "SELECT sum(CASE WHEN w = 'w00000' THEN 1 ELSE 0 END)"
+                    " / count(*) FROM (SELECT unnest(string_split(text,"
+                    f" ' ')) AS w FROM '{p}')"
+                ).fetchone()[0]
+            )
         if not os.path.exists(os.path.join(ROOT, name, "lineitem.parquet")):
             build_skewed_lineitem(
                 os.path.join(ROOT, name), 1 if name == "x1" else 10
