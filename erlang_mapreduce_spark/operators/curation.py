@@ -1363,3 +1363,128 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("selected"),
         )
     )
+
+
+# --- model-based quality filtering (linear classifier scoring) ------------
+
+QC_NB = 1024  # hashed-feature buckets (fastText-style feature hashing)
+QC_W_SCALE = 1000  # integer weights in [-QC_W_SCALE, QC_W_SCALE], /1000
+
+# reuse DSIR's tokenize → unigram+bigram → md5-bucket CTE prefix (toks,
+# feats, fb) verbatim — same features, same bucketing, one shared source
+# of truth; the assert keeps fb's % DSIR_NB modulus valid for this op
+assert QC_NB == DSIR_NB, "shared fb CTE hard-codes the DSIR modulus"
+_QC_FEATS_CTE = _DSIR_FEATS_CTE.split(",\nlab AS")[0].strip()
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+{_QC_FEATS_CTE},
+w AS (
+    SELECT CAST(b AS INTEGER) AS bucket,
+           CAST('0x' || substring(md5('qcw-' || CAST(b AS VARCHAR)), 1, 8)
+                AS BIGINT) % {2 * QC_W_SCALE + 1} - {QC_W_SCALE} AS w
+    FROM range(0, {QC_NB}) t(b)
+),
+qtf AS (
+    SELECT doc_id, bucket, count(*) AS tf FROM fb GROUP BY 1, 2
+),
+qsc AS (
+    SELECT doc_id,
+           CAST(sum(tf * w) AS BIGINT) AS num,
+           CAST(sum(tf) AS BIGINT) AS n_feats
+    FROM qtf JOIN w USING (bucket) GROUP BY 1
+)
+SELECT doc_id, n_feats,
+       round(CAST(num AS DOUBLE) / CAST(n_feats * {QC_W_SCALE} AS DOUBLE), 6)
+           AS logit,
+       round(CAST(num AS DOUBLE) / CAST(n_feats * {QC_W_SCALE} AS DOUBLE), 6)
+           >= 0.0 AS keep
+FROM qsc
+""",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the linear-classifier curation stage
+    real pretraining pipelines run (GPT-3's LR quality filter, Brown et
+    al. 2020 §A; CCNet's fastText LM filter, Wenzek et al. 2020; fastText
+    linear text classification, Joulin et al. 2016): score every document
+    with a bag-of-hashed-ngrams linear model and keep docs scoring above
+    the threshold. The classifier WEIGHTS here are fixed public values
+    derived from md5("qcw-"||bucket) — the same seeded-artifact device as
+    the ANN hyperplanes — because no pretrained fastText weights can ship
+    in-sandbox; the Spark-side engineering (feature hashing, broadcast
+    weight table, single corpus scan) is exactly what transfers when a
+    real trained weight vector is dropped in.
+
+    Spark-first shape, 100 TB story (reuses sample_dsir's device one
+    section up): word unigram+bigram features are a narrow explode off ONE
+    corpus scan; per-(doc,bucket) tf is a map-side-combined hash agg; the
+    model is a QC_NB-row table generated engine-side (spark.range — no
+    collect) and BROADCAST into an equi-join; the final per-doc score is
+    one more hash agg. No window, no sort, no driver collect — the plan is
+    scan → explode → 2 hash aggs → broadcast join (pinned in
+    tests/test_plans.py). Cross-engine exactness: tf and weights are
+    integers, sums are exact, the logit is ONE IEEE divide of exact
+    integers rounded to 6 (the module's established convention), and keep
+    compares the rounded value — so the decision is bit-identical on any
+    engine, run, or partitioning. Reference scope: beyond mapreduce.erl
+    (no reference counterpart); included per the LLM-pipeline brief."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), r"\s+")
+    docs = scan_parallel(d).select(
+        "doc_id",
+        F.filter(ws, lambda w: F.length(w) > 0).alias("ws"),
+    )
+    feats = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.col("ws"), _word_ngrams(F.col("ws"), 2))
+        ).alias("f"),
+    )
+    tf = (
+        feats.select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long"),
+                F.lit(QC_NB),
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    wtab = spark.range(QC_NB).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qcw-"), F.col("id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (2 * QC_W_SCALE + 1)
+            - QC_W_SCALE
+        ).alias("w"),
+    )
+    scored = (
+        tf.join(F.broadcast(wtab), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("num"),
+            F.sum("tf").alias("n_feats"),
+        )
+    )
+    logit = F.round(
+        F.col("num").cast("double")
+        / (F.col("n_feats") * QC_W_SCALE).cast("double"),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        logit.alias("logit"),
+        (logit >= 0.0).alias("keep"),
+    )

@@ -53,70 +53,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-14 window (this ordering), oldest-evidence-first policy:
-#   1-2:   dedup_semantic + sample_dsir, NEW in r14 (zero driver
-#          evidence).
-#   3-37:  the 35 r09/r10-evidence ops left after the r13 window (the
-#          oldest evidence remaining — r13 VERDICT task 3).
+# Round-15 window (this ordering), oldest-evidence-first policy:
+#   1:     quality_classifier_score, NEW in r15 (zero driver evidence).
+#   2-37:  the 36 r11-evidence ops (the oldest evidence remaining —
+#          r14 VERDICT task 3).
 #   38:    text_bigram_freq (the flagship, in-window every round).
-#   39-50: the first 12 of the r11-evidence block.
-# After r14: no op's driver evidence predates r11.
+#   39-50: the first 12 of the r12-evidence block.
+# After r15: no op's driver evidence predates r12.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-2: new in r14, zero driver evidence ---
-    "dedup_semantic",
-    "sample_dsir",
-    # --- 3-37: the 35 r09/r10-evidence ops (oldest remaining) ---
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_global",
-    "agg_ratio_of_total",
-    "win_rank",
-    "win_analytic",
-    "win_frame",
-    "sort_global",
-    "topk",
-    "set_union_intersect_except",
-    "dedup_exact",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_array",
-    "fn_map_json",
-    "text_tokenize",
-    "sim_search",
-    "udf_scalar",
-    "udf_grouped",
-    "udaf",
-    "graph_triangle_count",
-    "pq_codebooks",
-    "sim_search_pq",
-    "sample_temperature",
-    "stream_kmv_distinct",
-    "sql_customer_distribution",
-    "sql_promising_customers",
-    "ts_motif_match",
-    "stream_minhash_dedup",
-    "rollup_sketch_hierarchy",
-    "dedup_substring",
-    "dedup_substring_scrub",
-    "agg_approx",
-    "sim_search_ivf",
-    # --- 38: the flagship (in-window every round per policy) ---
-    "text_bigram_freq",
-    # --- 39-50: the first 12 of the r11-evidence block ---
-    "text_bpe_tokenize",
-    "bpe_train",
-    "text_bpe_tokenize_trained",
-    "udtf",
-    "fn_agg_collect",
-    "multimodal_decode",
-    "sql_pricing_summary",
-    "stream_stream_join",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "text_decontaminate",
-    # --- 51+: r11-evidence remainder (lead the round-15 window) ---
+    # --- 1: NEW in r15, zero driver evidence ---
+    "quality_classifier_score",
+    # --- 2-37: the 36 r11-evidence ops (oldest remaining) ---
     "dedup_passage",
     "dedup_span_rolling",
     "sample_quality_weighted",
@@ -153,7 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_scd2",
     "join_asof_tolerance",
     "sample_split_train_eval",
-    # --- r12 evidence ---
+    # --- 38: the flagship (in-window every round per policy) ---
+    "text_bigram_freq",
+    # --- 39-50: the head of the r12-evidence block ---
     "text_bpe_tokenize_bytes",
     "sql_large_volume_customers",
     "sql_promo_part_suppliers",
@@ -166,6 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_top_supplier",
     "sink_python_datasource",
     "scan_python_arrow",
+    # --- 51+: r12-evidence remainder ---
     "pipeline_seq_pack",
     "text_token_count",
     "profile_columns",
@@ -203,7 +153,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_lang_id",
     "multimodal_frame_sample",
     "multimodal_resize",
-    # --- r13 evidence (freshest) ---
+    # --- r13 evidence ---
     "text_html_extract",
     "pipeline_pretrain_e2e",
     "sql_forecast_revenue",
@@ -253,6 +203,56 @@ DRIVER_PRIORITY: list[str] = [
     "join_interval",
     "agg_hash_count",
     "agg_multi",
+    # --- r14 evidence (freshest) ---
+    "dedup_semantic",
+    "sample_dsir",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_global",
+    "agg_ratio_of_total",
+    "win_rank",
+    "win_analytic",
+    "win_frame",
+    "sort_global",
+    "topk",
+    "set_union_intersect_except",
+    "dedup_exact",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_map_json",
+    "text_tokenize",
+    "sim_search",
+    "udf_scalar",
+    "udf_grouped",
+    "udaf",
+    "graph_triangle_count",
+    "pq_codebooks",
+    "sim_search_pq",
+    "sample_temperature",
+    "stream_kmv_distinct",
+    "sql_customer_distribution",
+    "sql_promising_customers",
+    "ts_motif_match",
+    "stream_minhash_dedup",
+    "rollup_sketch_hierarchy",
+    "dedup_substring",
+    "dedup_substring_scrub",
+    "agg_approx",
+    "sim_search_ivf",
+    "text_bpe_tokenize",
+    "bpe_train",
+    "text_bpe_tokenize_trained",
+    "udtf",
+    "fn_agg_collect",
+    "multimodal_decode",
+    "sql_pricing_summary",
+    "stream_stream_join",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "text_decontaminate",
 ]
 
 

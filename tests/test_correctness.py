@@ -9,25 +9,49 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-14 driver window (VERDICT_r13 task 3): dedup_semantic and
-# sample_dsir (new in r14, zero evidence) MUST lead, then the 35
-# r09/r10-evidence ops left over after the r13 window (the oldest
-# evidence remaining), then the flagship at slot 38. The remaining 12
-# slots take the head of the r11-evidence block. After r14, no op's
-# driver evidence predates r11.
-R14_PRIORITY = [
-    "dedup_semantic", "sample_dsir",
-    "agg_distinct", "agg_grouping_sets", "agg_global",
-    "agg_ratio_of_total", "win_rank", "win_analytic", "win_frame",
-    "sort_global", "topk", "set_union_intersect_except", "dedup_exact",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_json",
-    "text_tokenize", "sim_search", "udf_scalar", "udf_grouped", "udaf",
-    "graph_triangle_count", "pq_codebooks", "sim_search_pq",
-    "sample_temperature", "stream_kmv_distinct",
-    "sql_customer_distribution", "sql_promising_customers",
-    "ts_motif_match", "stream_minhash_dedup", "rollup_sketch_hierarchy",
-    "dedup_substring", "dedup_substring_scrub", "agg_approx",
-    "sim_search_ivf",
+# Round-15 driver window (VERDICT_r14 task 3): quality_classifier_score
+# (new in r15, zero evidence) MUST lead, then the 36 r11-evidence ops
+# (the oldest evidence remaining after the r14 window), then the flagship
+# at slot 38. The remaining 12 slots take the head of the r12-evidence
+# block. After r15, no op's driver evidence predates r12.
+R15_PRIORITY = [
+    "quality_classifier_score",
+    "dedup_passage",
+    "dedup_span_rolling",
+    "sample_quality_weighted",
+    "agg_heavy_hitters",
+    "text_repetition_score",
+    "rollup_time_hypertable",
+    "ts_gap_fill",
+    "win_ntile",
+    "win_range_interval",
+    "cdc_latest_by_key",
+    "text_normalize",
+    "scan_orc",
+    "scan_partition_pruned",
+    "sink_text_formatted",
+    "topk_per_group",
+    "fn_bitwise",
+    "sql_top_revenue_orders",
+    "sql_revenue_by_nation",
+    "stream_custom_state",
+    "dedup_minhash",
+    "stream_watermark_late",
+    "stream_stateful_dedup",
+    "sim_search_ann",
+    "sample_mix_rebalance",
+    "sample_cap_per_source",
+    "agg_ngram_counts",
+    "text_unigram_logprob",
+    "analytics_cohort_retention",
+    "analytics_funnel",
+    "dedup_cluster_keep_best",
+    "stream_file_sink",
+    "analytics_sessionize",
+    "analytics_anomaly_extremes",
+    "cdc_scd2",
+    "join_asof_tolerance",
+    "sample_split_train_eval",
     "text_bigram_freq",
 ]
 
@@ -42,26 +66,34 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-14 rotation goal: the two r14-new zero-evidence ops and the 35
-    leftover r09/r10-evidence ops LEAD the checked window, the flagship
-    holds slot 38, and r11-evidence ops fill the rest EXACTLY — every
-    slot accounted for, so a list edit cannot silently push a priority op
-    past position 50 (the round-9 review caught the section comments
-    drifting exactly this way)."""
+    """Round-15 rotation goal: the r15-new zero-evidence op and the 36
+    r11-evidence ops LEAD the checked window, the flagship holds slot 38,
+    and r12-evidence ops fill the rest EXACTLY — every slot accounted
+    for, so a list edit cannot silently push a priority op past position
+    50 (the round-9 review caught the section comments drifting exactly
+    this way)."""
     order = list(QUERIES)
-    assert order[: len(R14_PRIORITY)] == R14_PRIORITY
+    assert order[: len(R15_PRIORITY)] == R15_PRIORITY
     first50 = order[:50]
-    # the remaining window slots must all be r11-evidence ops: no
+    # the remaining window slots must all be r12-evidence ops: no
     # zero-evidence or priority op may be displaced below the cutoff
-    R11_EVIDENCE_HEAD = {
-        "text_bpe_tokenize", "bpe_train", "text_bpe_tokenize_trained",
-        "udtf", "fn_agg_collect", "multimodal_decode",
-        "sql_pricing_summary", "stream_stream_join", "stream_tumbling",
-        "stream_sliding", "stream_session", "text_decontaminate",
+    R12_EVIDENCE_HEAD = {
+        "text_bpe_tokenize_bytes",
+        "sql_large_volume_customers",
+        "sql_promo_part_suppliers",
+        "agg_approx_exact",
+        "stream_token_budget",
+        "bpe_train_bytes",
+        "text_bpe_tokenize_trained_bytes",
+        "sql_priority_pipeline",
+        "sql_discounted_revenue",
+        "sql_top_supplier",
+        "sink_python_datasource",
+        "scan_python_arrow",
     }
-    tail = set(first50[len(R14_PRIORITY):])
-    assert len(first50) == 50 and tail <= R11_EVIDENCE_HEAD, (
-        sorted(tail - R11_EVIDENCE_HEAD)
+    tail = set(first50[len(R15_PRIORITY):])
+    assert len(first50) == 50 and tail <= R12_EVIDENCE_HEAD, (
+        sorted(tail - R12_EVIDENCE_HEAD)
     )
 
 

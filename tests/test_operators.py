@@ -958,3 +958,30 @@ def test_dsir_budget_and_threshold_semantics(spark, sf_dir):
     assert sorted((r.doc_id, r.selected) for r in again) == sorted(
         (r.doc_id, r.selected) for r in out
     )
+
+
+def test_quality_classifier_score_semantics(spark, sf_dir):
+    """Quality-classifier pins: (1) one row per tokenizable doc;
+    (2) n_feats = 2·n_tokens − 1 (unigrams + overlapping bigrams);
+    (3) keep ⇔ round-6 logit ≥ 0 — the decision is a pure function of the
+    rounded score; (4) |logit| ≤ 1 (weights are in [-1, 1] and the score
+    is a tf-weighted mean); (5) deterministic across runs."""
+    from erlang_mapreduce_spark.operators.curation import (
+        quality_classifier_score,
+    )
+    from erlang_mapreduce_spark.tables import load
+
+    out = quality_classifier_score(spark, sf_dir).collect()
+    toks = {
+        r.doc_id: [w for w in (r.text or "").lower().split() if w]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    expect_ids = sorted(d for d, ws in toks.items() if ws)
+    assert sorted(r.doc_id for r in out) == expect_ids
+    for r in out:
+        n = len(toks[r.doc_id])
+        assert r.n_feats == (2 * n - 1 if n >= 2 else n), r
+        assert r.keep == (r.logit >= 0.0), r
+        assert abs(r.logit) <= 1.0, r
+    again = quality_classifier_score(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

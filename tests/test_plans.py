@@ -530,3 +530,18 @@ def test_semantic_collapse_key_is_digest_not_vector(spark, sf_dir):
 
     assert not re.search(r"hashpartitioning\(v#", p), p
     assert "md5" in plan_of(QUERIES["dedup_semantic"](spark, sf_dir))
+
+
+def test_quality_classifier_single_scan_broadcast_model(spark, sf_dir):
+    """quality_classifier_score must be scan → explode → 2 hash aggs →
+    BROADCAST model join: one corpus scan, no sort-merge join, and the
+    only exchanges are the two aggregation shuffles (r14 VERDICT task 6)."""
+    df = QUERIES["quality_classifier_score"](spark, sf_dir)
+    n = nodes_of(df)
+    assert n.count("Scan") == 1
+    assert any("BroadcastHashJoin" in x for x in n), n
+    assert not any("SortMergeJoin" in x for x in n), n
+    # exactly two KEY exchanges (the two hash aggs); the only other
+    # exchange allowed is scan_parallel's round-robin parallelism bootstrap
+    p = plan_of(df)
+    assert p.count("hashpartitioning(") == 2, p

@@ -358,7 +358,7 @@ DOC_OPS = (
     "dedup_passage", "dedup_span_rolling", "dedup_cluster_cc",
     "sample_quality_weighted", "sample_mix_rebalance",
     "sample_cap_per_source", "sample_split_train_eval",
-    "sample_temperature", "sample_dsir",
+    "sample_temperature", "sample_dsir", "quality_classifier_score",
     "agg_ngram_counts", "agg_ngram_df_sketch", "text_novelty_sketch",
     "text_chunk_overlap", "decontaminate_bloom", "graph_triangle_count",
     "agg_heavy_hitters",
