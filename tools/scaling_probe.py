@@ -132,7 +132,33 @@ OPS = (
     "text_sentence_split",
     "text_lm_perplexity",
     "dedup_semantic",
+    # round-15 additions (the r14 verdict's task 5 + the r15-new op):
+    # DSIR selection (broadcast model + TakeOrdered threshold — expect
+    # scan-tracking alpha) and the hashed-ngram quality classifier (same
+    # feature pipeline, broadcast weight table)
+    "sample_dsir",
+    "quality_classifier_score",
 )
+
+# Per-op decision notes for the subset-probe addendum (``main`` with op
+# args): what the measured alpha MEANS and what was decided. Full-table
+# regenerations carry the same conclusions in the prose sections.
+SUBSET_DECISIONS: dict[str, str] = {
+    "sample_dsir": (
+        "every stage is scan-shaped or broadcast-shaped by construction "
+        "(narrow gram explode, map-side-combined tf aggs, 1024-row "
+        "broadcast model, TakeOrdered 1-row threshold — no global sort, "
+        "window, or collect), so alpha tracks the corpus scan; replicated "
+        "docs change only row volume, never model/threshold size. "
+        "Decision: scale-safe as planned, no change."
+    ),
+    "quality_classifier_score": (
+        "same feature pipeline as sample_dsir minus the target-corpus "
+        "branch: scan -> explode -> 2 hash aggs -> broadcast weight "
+        "join; the model is a constant 1024-row broadcast at any corpus "
+        "size. Decision: scale-safe as planned, no change."
+    ),
+}
 
 # The steepest SCALING rows (the token-linear family) get one extra 30×
 # point: their 1×→10× alphas (0.5-0.85) mix amortizing fixed overhead
@@ -181,7 +207,96 @@ def build(scale_dir: str, reps: int, replicate: frozenset[str] | None = None) ->
     con.close()
 
 
+def subset_main(ops: tuple[str, ...]) -> None:
+    """Probe ONLY ``ops`` at 1x/3x/10x and surgically merge their rows
+    into the existing SCALING.md main table (replace-or-insert), plus a
+    marker-delimited addendum with per-op decision notes — so a new op
+    gets its alpha row without re-running the whole 60-op probe."""
+    unknown = [o for o in ops if o not in QUERIES]
+    if unknown:
+        print(f"unknown ops: {unknown}", file=sys.stderr)
+        sys.exit(2)
+    for name, reps in SCALES.items():
+        build(os.path.join(ROOT, name), reps)
+    spark = get_spark("scaling-probe-subset")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    for op in ops:
+        force(QUERIES[op](spark, "/root/testdata/sf0.001"))
+    results: dict[str, dict[str, float]] = {op: {} for op in ops}
+    for sname in SCALES:
+        d = os.path.join(ROOT, sname)
+        for op in ops:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(QUERIES[op](spark, d))
+                ts.append(time.perf_counter() - t0)
+                release_transient_storage()
+            results[op][sname] = round(min(ts), 3)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.md")
+    with open(out) as f:
+        text = f.read()
+    lines = text.split("\n")
+    # the MAIN table: first run of "| op | ..." rows after its header
+    hdr = lines.index("| op | 1x (s) | 3x (s) | 10x (s) | alpha |")
+    t_end = hdr + 2
+    while t_end < len(lines) and lines[t_end].startswith("|"):
+        t_end += 1
+    rows = {}
+    for op in ops:
+        r = results[op]
+        alpha = math.log(r["x10"] / r["x1"]) / math.log(10)
+        rows[op] = (
+            f"| {op} | {r['x1']:.3f} | {r['x3']:.3f} | {r['x10']:.3f} "
+            f"| {alpha:.2f} |"
+        )
+    replaced = set()
+    for i in range(hdr + 2, t_end):
+        name = lines[i].split("|")[1].strip()
+        if name in rows:
+            lines[i] = rows[name]
+            replaced.add(name)
+    inserts = [rows[op] for op in ops if op not in replaced]
+    lines[t_end:t_end] = inserts
+    text = "\n".join(lines)
+    ss, se = "<!-- subset-probe:start -->", "<!-- subset-probe:end -->"
+    notes = [ss, "", "### Subset-probe addendum (tools/scaling_probe.py "
+             "<ops>)", "",
+             "Rows above merged by a targeted re-probe; decision notes:",
+             ""]
+    for op in ops:
+        r = results[op]
+        alpha = math.log(r["x10"] / r["x1"]) / math.log(10)
+        note = SUBSET_DECISIONS.get(
+            op, "no decision note registered — add one to "
+                "SUBSET_DECISIONS."
+        )
+        notes.append(f"- `{op}` (alpha {alpha:.2f}): {note}")
+    notes += ["", se]
+    block = "\n".join(notes)
+    if ss in text:
+        text = text[: text.index(ss)] + block + text[
+            text.index(se) + len(se):]
+    else:
+        zs = "<!-- zipf-probe:start -->"
+        at = text.index(zs) if zs in text else len(text)
+        text = text[:at] + block + "\n\n" + text[at:]
+    with open(out, "w") as f:
+        f.write(text)
+    for op in ops:
+        print(op, results[op], rows[op])
+
+
 def main() -> None:
+    if len(sys.argv) > 1:
+        subset_main(tuple(sys.argv[1:]))
+        return
     for name, reps in SCALES.items():
         build(os.path.join(ROOT, name), reps)
     build(os.path.join(ROOT, "x30"), X30_REPS, replicate=frozenset({"documents"}))
@@ -426,10 +541,19 @@ def main() -> None:
         "  10x) showed the within-cell pair join crunching every twin;",
         "  the pair pipeline now runs per DISTINCT vector with exact",
         "  member expansion (a twin's own rep is always its witness;",
-        "  zero-norm vectors excluded), so like the other pair ops its",
+        "  zero-norm vectors score cosine -1.0 by convention, r15), so",
+        "  like the other pair ops its",
         "  curve tracks distinct-vector volume — constant here. On",
         "  organic data the residual per-cell quadratic term is bounded",
         "  by production K growing ~sqrt(N).",
+        f"- Round-15 ops: sample_dsir ({a('sample_dsir')}) is",
+        "  broadcast-shaped end to end (narrow gram explode, map-side tf",
+        "  aggs, 1024-row broadcast model, TakeOrdered 1-row threshold) —",
+        "  alpha tracks the corpus scan; replication grows row volume,",
+        "  never model or threshold size. quality_classifier_score",
+        f"  ({a('quality_classifier_score')}) shares the feature pipeline",
+        "  (scan -> explode -> 2 hash aggs -> broadcast weight join) with",
+        "  a constant 1024-row model at any corpus size.",
         "",
         "## 30x probe — the token-linear family",
         "",
