@@ -33,6 +33,26 @@ from ..registry import query
 from ..tables import load
 
 CHUNK_ROOT = "/tmp/spark_graft_stream_chunks"
+
+# Per-micro-batch progress of the most recent replay, for the fixed-cost
+# probe (tools/stream_cost_probe.py, r14 VERDICT task 7): recentProgress
+# is a bounded local list the query keeps anyway — capturing it after
+# awaitTermination costs nothing and changes no behavior. Keyed "__last__"
+# (the probe runs ops one at a time) — not a public API.
+LAST_PROGRESS: dict[str, list] = {}
+
+
+def _record_progress(q) -> None:
+    import json as _json
+
+    try:
+        LAST_PROGRESS["__last__"] = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in (q.recentProgress or [])
+            if p is not None
+        ]
+    except Exception:  # diagnostics only — never fail the query path
+        LAST_PROGRESS["__last__"] = []
 # Grace window before a superseded fingerprint's chunk dir is reclaimed:
 # long enough for an in-flight replay (chunks replay in seconds) to drain,
 # short enough that a rewritten-corpus leak is bounded to one window.
@@ -235,6 +255,7 @@ def _run_stream(
             .start()
         )
         q.awaitTermination()
+    _record_progress(q)
     # the memory sink holds the results; the per-run state-store dir is
     # dead weight once the query terminates — don't accumulate across runs
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -488,6 +509,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    _record_progress(q)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
 
@@ -1036,6 +1058,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+        _record_progress(q)
         docs = load(spark, sf_dir, "documents")
         if not versions:  # empty source: no batch ever fired
             return docs.select("doc_id", F.lit(False).alias("is_dup"))
@@ -1282,5 +1305,6 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    _record_progress(q)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
