@@ -1019,3 +1019,155 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alp", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("alp")), 6).alias("perplexity"),
     )
+
+
+# --- Gopher rule-based quality filter --------------------------------------
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GSTOP_ARR = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+# Rule thresholds (Rae et al. 2021 use 50..100k words and mean word length
+# 3..10 on web text; the word floor and length band are fixture-scaled
+# dials here — the RULES are the algorithm)
+G_MIN_WORDS, G_MAX_WORDS = 5, 100_000
+G_MWL_LO, G_MWL_HI = 1.0, 12.0
+G_SYM_MAX, G_BULLET_MAX, G_ELLIP_MAX = 0.1, 0.9, 0.3
+G_ALPHA_MIN, G_STOP_MIN = 0.8, 2
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'),
+                       w -> length(w) > 0) AS ws,
+           list_filter(list_transform(string_split_regex(text, '\\n'),
+                                      l -> trim(l)),
+                       l -> length(l) > 0) AS ls,
+           length(text) - length(replace(text, '#', '')) AS n_hash,
+           CAST((length(text) - length(replace(text, '...', ''))) / 3
+                AS BIGINT) AS n_ell
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           list_sum(list_transform(ws, w -> length(w))) AS n_chars_w,
+           len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha,
+           len(list_filter(ws, w -> list_contains([{_GSTOP_ARR}], lower(w))))
+               AS n_stop,
+           len(ls) AS n_lines,
+           len(list_filter(ls, l -> substring(l, 1, 1) IN ('-', '*', '•')))
+               AS n_bullet,
+           len(list_filter(ls, l -> right(l, 3) = '...' OR right(l, 1) = '…'))
+               AS n_ellend,
+           n_hash + n_ell AS n_sym
+    FROM t
+),
+r AS (
+    SELECT doc_id, n_words, n_stop,
+           CAST(n_chars_w AS DOUBLE) / nullif(n_words, 0) AS mean_word_len,
+           CAST(n_sym AS DOUBLE) / nullif(n_words, 0) AS symbol_ratio,
+           CAST(n_bullet AS DOUBLE) / nullif(n_lines, 0) AS bullet_frac,
+           CAST(n_ellend AS DOUBLE) / nullif(n_lines, 0) AS ellipsis_frac,
+           CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) AS alpha_frac
+    FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stop,
+       CASE WHEN n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS}
+             AND mean_word_len BETWEEN {G_MWL_LO} AND {G_MWL_HI}
+             AND symbol_ratio < {G_SYM_MAX}
+             AND coalesce(bullet_frac < {G_BULLET_MAX}, TRUE)
+             AND coalesce(ellipsis_frac < {G_ELLIP_MAX}, TRUE)
+             AND alpha_frac > {G_ALPHA_MIN}
+             AND n_stop >= {G_STOP_MIN}
+            THEN TRUE ELSE FALSE END AS keep
+FROM r
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filtering (Rae et al. 2021, Appendix
+    A1.1 — the rule set MassiveWeb/Gopher and its descendants run before
+    any model-based gate): word-count bounds, mean word length band,
+    symbol-to-word ratio (# and ...), bullet-start and ellipsis-end line
+    fractions, minimum fraction of words containing an alphabetic
+    character, and a minimum stop-word count. Complements
+    text_quality_score (cheap char-level gates) and
+    quality_classifier_score (model-based): together they are the
+    standard three-stage quality battery of a pretraining pipeline.
+
+    Spark-first: ONE narrow projection over the corpus scan — every rule
+    is integer counting over split arrays (higher-order functions,
+    JVM-side, zero shuffle, zero UDF). Cross-engine exactness: all counts
+    are integers; each ratio is a single IEEE divide of exact integers
+    (bit-identical on both engines — the text_quality_score precedent);
+    NULL ratios (zero denominators) fail the CASE on both engines.
+    Reference scope: beyond mapreduce.erl (no reference counterpart);
+    included per the LLM-pipeline brief."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split("text", r"\s+"), lambda w: F.length(w) > 0
+    )
+    ls = F.filter(
+        F.transform(F.split("text", "\n"), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#")))
+    n_ell = (
+        (F.length("text") - F.length(F.replace("text", F.lit("..."))))
+        / F.lit(3)
+    ).cast("long")
+    t = scan_parallel(d).select(
+        "doc_id",
+        ws.alias("ws"),
+        ls.alias("ls"),
+        (n_hash + n_ell).alias("n_sym"),
+    )
+    n_words = F.size("ws")
+    n_lines = F.size("ls")
+    n_chars_w = F.aggregate(
+        "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter("ws", lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.filter("ws", lambda w: F.lower(w).isin(*GOPHER_STOPS))
+    )
+    n_bullet = F.size(
+        F.filter(
+            "ls", lambda x: F.substring(x, 1, 1).isin("-", "*", "•")
+        )
+    )
+    n_ellend = F.size(
+        F.filter(
+            "ls",
+            lambda x: (F.substring(x, -3, 3) == "...")
+            | (F.substring(x, -1, 1) == "…"),
+        )
+    )
+    mwl = F.try_divide(n_chars_w.cast("double"), n_words)
+    sym = F.try_divide(F.col("n_sym").cast("double"), n_words)
+    bul = F.try_divide(n_bullet.cast("double"), n_lines)
+    ele = F.try_divide(n_ellend.cast("double"), n_lines)
+    alp = F.try_divide(n_alpha.cast("double"), n_words)
+    keep = (
+        n_words.between(G_MIN_WORDS, G_MAX_WORDS)
+        & mwl.between(G_MWL_LO, G_MWL_HI)
+        & (sym < G_SYM_MAX)
+        & F.coalesce(bul < G_BULLET_MAX, F.lit(True))
+        & F.coalesce(ele < G_ELLIP_MAX, F.lit(True))
+        & (alp > G_ALPHA_MIN)
+        & (n_stop >= G_STOP_MIN)
+    )
+    return t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        bul.alias("bullet_frac"),
+        ele.alias("ellipsis_frac"),
+        alp.alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        F.when(keep, True).otherwise(False).alias("keep"),
+    )

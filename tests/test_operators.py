@@ -985,3 +985,64 @@ def test_quality_classifier_score_semantics(spark, sf_dir):
         assert abs(r.logit) <= 1.0, r
     again = quality_classifier_score(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_gopher_rules_semantics(spark, sf_dir):
+    """Gopher-rule pins against a pure-python recomputation on the raw
+    fixture text: every count column and the keep decision must match the
+    rule definitions exactly (the op is a single narrow projection, so
+    this is a full semantic recompute, not a spot check)."""
+    import re as _re
+
+    from erlang_mapreduce_spark.operators.analysis import (
+        G_ALPHA_MIN,
+        G_BULLET_MAX,
+        G_ELLIP_MAX,
+        G_MAX_WORDS,
+        G_MIN_WORDS,
+        G_MWL_HI,
+        G_MWL_LO,
+        G_STOP_MIN,
+        G_SYM_MAX,
+        GOPHER_STOPS,
+        text_gopher_rules,
+    )
+    from erlang_mapreduce_spark.tables import load
+
+    out = {r.doc_id: r for r in text_gopher_rules(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    assert sorted(out) == sorted(docs)
+    for did, text in docs.items():
+        r = out[did]
+        if text is None:
+            assert r.n_words is None and r.keep is False
+            continue
+        ws = [w for w in _re.split(r"\s+", text) if w]
+        ls = [x.strip() for x in text.split("\n") if x.strip()]
+        n_sym = text.count("#") + text.count("...")
+        assert r.n_words == len(ws), (did, r)
+        assert r.n_stop == sum(w.lower() in GOPHER_STOPS for w in ws)
+        if ws:
+            assert abs(r.mean_word_len - sum(map(len, ws)) / len(ws)) < 1e-12
+            assert abs(r.symbol_ratio - n_sym / len(ws)) < 1e-12
+            alpha = sum(bool(_re.search("[A-Za-z]", w)) for w in ws)
+            assert abs(r.alpha_frac - alpha / len(ws)) < 1e-12
+        if ls:
+            nb = sum(x[0] in "-*•" for x in ls)
+            ne = sum(x.endswith("...") or x.endswith("…") for x in ls)
+            assert abs(r.bullet_frac - nb / len(ls)) < 1e-12
+            assert abs(r.ellipsis_frac - ne / len(ls)) < 1e-12
+        expect_keep = bool(
+            ws
+            and G_MIN_WORDS <= len(ws) <= G_MAX_WORDS
+            and G_MWL_LO <= sum(map(len, ws)) / len(ws) <= G_MWL_HI
+            and n_sym / len(ws) < G_SYM_MAX
+            and (not ls or sum(x[0] in "-*•" for x in ls) / len(ls)
+                 < G_BULLET_MAX)
+            and (not ls or sum(x.endswith("...") or x.endswith("…")
+                               for x in ls) / len(ls) < G_ELLIP_MAX)
+            and sum(bool(_re.search("[A-Za-z]", w)) for w in ws) / len(ws)
+            > G_ALPHA_MIN
+            and sum(w.lower() in GOPHER_STOPS for w in ws) >= G_STOP_MIN
+        )
+        assert r.keep is expect_keep, (did, r)

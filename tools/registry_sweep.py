@@ -80,7 +80,16 @@ def sweep_ops(spark, ops, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
 
 
 def main() -> None:
-    ops = sys.argv[1:] or list(QUERIES)
+    args = sys.argv[1:]
+    # --key=NAME writes cells into detail[NAME] verbatim instead of merging
+    # into the rolling "sweep" dict — bench.py uses --key=adjudication to
+    # persist fresh-subprocess re-measures of every flagged regression cell
+    # (r14 VERDICT task 1) without overwriting the cells being adjudicated.
+    out_key = "sweep"
+    if args and args[0].startswith("--key="):
+        out_key = args[0][len("--key="):]
+        args = args[1:]
+    ops = args or list(QUERIES)
     unknown = [o for o in ops if o not in QUERIES]
     if unknown:
         print(f"unknown ops: {unknown}", file=sys.stderr)
@@ -99,22 +108,28 @@ def main() -> None:
             detail = json.load(f)
     except (OSError, ValueError):
         detail = {}
-    prev = detail.get("sweep", {})
-    if isinstance(prev, dict):
-        prev.update(sweep)  # partial re-sweeps refresh only their ops
-        detail["sweep"] = prev
+    if out_key != "sweep":
+        detail[out_key] = sweep
     else:
-        detail["sweep"] = sweep
-    detail["sweep_meta"] = {
-        "sf_dir": sf_dir,
-        "methodology": "single warmed pass; screen only — isolate >3s",
-        "errors": errors,
-    }
+        prev = detail.get("sweep", {})
+        if isinstance(prev, dict):
+            prev.update(sweep)  # partial re-sweeps refresh only their ops
+            detail["sweep"] = prev
+        else:
+            detail["sweep"] = sweep
+    if out_key == "sweep":
+        detail["sweep_meta"] = {
+            "sf_dir": sf_dir,
+            "methodology": "single warmed pass in a fresh subprocess JVM; "
+                           "screen only — isolate >3s",
+            "errors": errors,
+        }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
     outliers = sorted(
-        ((op, t) for op, t in detail["sweep"].items() if t > OUTLIER_S),
+        ((op, t) for op, t in detail.get("sweep", {}).items()
+         if t > OUTLIER_S),
         key=lambda kv: -kv[1],
     )
     print(f"\nswept {len(sweep)} ops -> {detail_path}")
