@@ -446,6 +446,12 @@ def main() -> None:
         "cpu_ref_sec": cpu_ref,
         "normalized": round(total / cpu_ref, 1) if cpu_ref else None,
     }
+    rounds["note"] = (
+        "cpu_ref_sec itself varies run-to-run on this shared VM (two r15 "
+        "runs an hour apart: 0.332 and 0.305, ~9%, on near-identical raw "
+        "totals 51.1/50.2), so normalized totals carry a ±~10% error bar "
+        "— compare trends across rounds, not single cells"
+    )
     detail["normalized_rounds"] = rounds
 
     with open(detail_path, "w") as f:
