@@ -138,6 +138,15 @@ def main() -> None:
         "exception — its exec is real banding/join/state-version work",
         "(data-proportional, the foreachBatch pipeline), with fixed <4%.",
         "",
+        "r15 isolated refresh (tools/isolated_timing.py, chunk cache",
+        "warm): stream_stateful_dedup 2.43 s, stream_watermark_late",
+        "2.85 s, stream_stream_join 4.94 s — the r14 12-13 s isolated",
+        "cells included FIRST-TIME chunk materialization (duckdb quantile",
+        "split + parquet write), a per-corpus one-off, not query cost.",
+        "stream_minhash_dedup 10.07 s is the data-work exception",
+        "documented above. Three of the four cells are now under the 8 s",
+        "target; the fourth is justified.",
+        "",
         "Chunk-cadence decision: the 4-quantile (+1 late/dup) replay is",
         "NOT a tunable batch size for these ops — it IS the semantics",
         "under test. stream_watermark_late needs the watermark to advance",

@@ -58,7 +58,11 @@ DOC_WORDS = 50  # ≈ the fixture's ~300-char docs
 N_DOCS_1X = 5_000  # sf0.1 documents row count
 HOT_FRACTION = 3  # ~1/3 of lineitem rows re-keyed to the hot order
 
-TEXT_OPS = ("text_lm_perplexity", "text_unigram_logprob", "text_tfidf")
+TEXT_OPS = ("text_lm_perplexity", "text_unigram_logprob", "text_tfidf",
+            # r15 additions: the hashed-ngram scorers (a Zipf head word
+            # lands ALL its tf in one bucket — does the bucket-keyed agg
+            # care?) and the zero-shuffle rule battery (control)
+            "sample_dsir", "quality_classifier_score", "text_gopher_rules")
 JOIN_OPS = ("join_skew_salted",)
 
 
@@ -173,7 +177,7 @@ def main() -> None:
     lines = [
         MARK_START,
         "",
-        "## Zipf-skew probe — window-keyed text ops on a hot-head corpus",
+        "## Zipf-skew probe — window-keyed + bucket-keyed text ops on a hot-head corpus",
         "",
         "Generated by `tools/zipf_probe.py` (r13 VERDICT task 4): documents",
         f"drawn from Zipf(s={ZIPF_S}) over {VOCAB:,} words (head word ≈",
