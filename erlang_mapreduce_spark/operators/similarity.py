@@ -53,7 +53,15 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    # Zero-norm convention (r15, matches _cos_pandas and DuckDB's
+    # list_cosine_similarity): -1.0, never NULL/NaN/divide-by-zero.
+    # Under ANSI mode (Spark 4 default) the bare `/` ERRORS on a
+    # zero-norm operand — a single zero embedding crashed the whole
+    # dedup_embedding job (caught by the zero-twin fuzz pair).
+    return F.coalesce(
+        F.try_divide(dot_col(a, b), norm_col(a) * norm_col(b)),
+        F.lit(-1.0),
+    )
 
 
 def _cos_pandas():
@@ -65,7 +73,17 @@ def _cos_pandas():
     summation can differ from a sequential fold only at ~1e-15 relative
     error; both engines round to 6 decimals before comparison/ranking, so
     the top-k output is identical (asserted against the fold
-    implementation in tests)."""
+    implementation in tests).
+
+    Zero-norm convention (r15): numpy's 0/0 is NaN, which Arrow hands to
+    Spark as NULL — while every oracle scores cosine via DuckDB's
+    list_cosine_similarity, which returns **-1.0** for any zero-norm
+    operand. Unaligned, a zero embedding in a corpus makes top-k outputs
+    diverge (a NULL cos row vs a -1.0 cos row) and threshold filters
+    disagree. The UDF therefore adopts DuckDB's -1.0 at the source, for
+    every consumer (sim_search brute/ANN re-rank, dedup_embedding,
+    dedup_semantic); fuzz corpora carry verbatim zero twins to keep this
+    pinned."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -74,9 +92,10 @@ def _cos_pandas():
 
         a = np.stack(qv.to_numpy())
         b = np.stack(v.to_numpy())
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        safe = np.where(den > 0, den, 1.0)
         return pd.Series(
-            (a * b).sum(axis=1)
-            / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+            np.where(den > 0, (a * b).sum(axis=1) / safe, -1.0)
         )
 
     return cos

@@ -322,6 +322,12 @@ def _gen_corpus_dir(base: str, seed: int) -> str:
 
     vecs = rng.standard_normal((n_vec, dim)).astype(np.float32)
     vecs[7] = vecs[3]  # exact duplicate pair
+    # zero-norm verbatim twins: numpy cosine is NaN (NULL via Arrow) where
+    # DuckDB's list_cosine_similarity returns -1.0 — _cos_pandas adopts
+    # the -1.0 convention and this pair keeps every cosine consumer
+    # (sim_search/ANN re-rank, dedup_embedding, dedup_semantic) pinned
+    vecs[11] = 0.0
+    vecs[12] = 0.0
     write("embeddings", pa.table({
         "vec_id": pa.array(range(n_vec), pa.int64()),
         "embedding": pa.array([v.tolist() for v in vecs],
