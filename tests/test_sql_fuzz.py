@@ -267,11 +267,32 @@ def _gen_corpus_dir(base: str, seed: int) -> str:
         r = rng.random()
         if r < 0.10 and texts:  # verbatim duplicate of an earlier doc
             texts.append(texts[rng.integers(0, len(texts))])
-        elif r < 0.14:
+        elif r < 0.13:
             texts.append("")  # empty doc
+        elif r < 0.14:
+            texts.append(" \t  ")  # whitespace-only (0 words, 0 lines)
         elif r < 0.18:
             texts.append(str(rng.choice(_VOCAB)))  # single word, no gram
-        elif r < 0.26 and texts:
+        elif r < 0.24:
+            # MULTI-LINE document with Gopher-rule shapes (r15): bullet
+            # starts, ellipsis ends, '#'/'...' symbols, blank lines — the
+            # only '\n' content in the corpus, exercising every op's line
+            # handling (newline is in BOTH engines' \s and is the safe
+            # cross-engine whitespace; \x0B would NOT be — Java \s has it,
+            # RE2 \s does not)
+            lines = []
+            for _ in range(int(rng.integers(2, 7))):
+                toks = list(rng.choice(_VOCAB, int(rng.integers(1, 8))))
+                lr = rng.random()
+                if lr < 0.3:
+                    toks.insert(0, str(rng.choice(["-", "*", "•"])))
+                elif lr < 0.45:
+                    toks.append(str(rng.choice(["so...", "wait…", "#tag"])))
+                elif lr < 0.5:
+                    toks = []  # blank line
+                lines.append(" ".join(toks))
+            texts.append("\n".join(lines))
+        elif r < 0.32 and texts:
             # PARTIAL overlap: splice a contiguous token window from an
             # earlier doc between fresh tokens — exercises the substring
             # ops' non-verbatim chaining path (anchor runs at arbitrary
