@@ -137,6 +137,7 @@ TRACKED_ONLY = (
     # Gopher rule battery
     "quality_classifier_score",
     "text_gopher_rules",
+    "dedup_lines_global",
 )
 
 # Timing methodology, recorded in the output so cross-round comparisons can

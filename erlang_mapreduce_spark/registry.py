@@ -54,18 +54,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
 # Round-15 window (this ordering), oldest-evidence-first policy:
-#   1-2:   quality_classifier_score + text_gopher_rules, NEW in r15
-#          (zero driver evidence).
-#   3-38:  the 36 r11-evidence ops (the oldest evidence remaining —
+#   1-3:   quality_classifier_score + text_gopher_rules +
+#          dedup_lines_global, NEW in r15 (zero driver evidence).
+#   4-39:  the 36 r11-evidence ops (the oldest evidence remaining —
 #          r14 VERDICT task 3).
-#   39:    text_bigram_freq (the flagship, in-window every round).
-#   40-50: the first 11 of the r12-evidence block.
+#   40:    text_bigram_freq (the flagship, in-window every round).
+#   41-50: the first 10 of the r12-evidence block.
 # After r15: no op's driver evidence predates r12.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-2: NEW in r15, zero driver evidence ---
+    # --- 1-3: NEW in r15, zero driver evidence ---
     "quality_classifier_score",
     "text_gopher_rules",
-    # --- 3-38: the 36 r11-evidence ops (oldest remaining) ---
+    "dedup_lines_global",
+    # --- 4-39: the 36 r11-evidence ops (oldest remaining) ---
     "dedup_passage",
     "dedup_span_rolling",
     "sample_quality_weighted",
@@ -102,9 +103,9 @@ DRIVER_PRIORITY: list[str] = [
     "cdc_scd2",
     "join_asof_tolerance",
     "sample_split_train_eval",
-    # --- 39: the flagship (in-window every round per policy) ---
+    # --- 40: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    # --- 40-50: the head of the r12-evidence block ---
+    # --- 41-50: the head of the r12-evidence block ---
     "text_bpe_tokenize_bytes",
     "sql_large_volume_customers",
     "sql_promo_part_suppliers",

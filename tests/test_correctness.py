@@ -9,14 +9,16 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-15 driver window (VERDICT_r14 task 3): quality_classifier_score
-# and text_gopher_rules (new in r15, zero evidence) MUST lead, then the 36
-# r11-evidence ops (the oldest evidence remaining after the r14 window),
-# then the flagship at slot 39. The remaining 11 slots take the head of
-# the r12-evidence block. After r15, no op's driver evidence predates r12.
+# Round-15 driver window (VERDICT_r14 task 3): the three r15-new ops
+# (quality_classifier_score, text_gopher_rules, dedup_lines_global — zero
+# evidence) MUST lead, then the 36 r11-evidence ops (the oldest evidence
+# remaining after the r14 window), then the flagship at slot 40. The
+# remaining 10 slots take the head of the r12-evidence block. After r15,
+# no op's driver evidence predates r12.
 R15_PRIORITY = [
     "quality_classifier_score",
     "text_gopher_rules",
+    "dedup_lines_global",
     "dedup_passage",
     "dedup_span_rolling",
     "sample_quality_weighted",
@@ -89,7 +91,6 @@ def test_rotation_targets_in_first_50():
         "sql_priority_pipeline",
         "sql_discounted_revenue",
         "sql_top_supplier",
-        "sink_python_datasource",
     }
     tail = set(first50[len(R15_PRIORITY):])
     assert len(first50) == 50 and tail <= R12_EVIDENCE_HEAD, (

@@ -1046,3 +1046,59 @@ def test_gopher_rules_semantics(spark, sf_dir):
             and sum(w.lower() in GOPHER_STOPS for w in ws) >= G_STOP_MIN
         )
         assert r.keep is expect_keep, (did, r)
+
+
+def test_dedup_lines_global_semantics(spark, tmp_path):
+    """Line-dedup pins on a crafted multi-line fixture: (1) a repeated
+    trimmed+lowercased line survives ONLY at its globally-first
+    (doc_id, pos) occurrence — across docs AND within one doc; (2)
+    whitespace-variant lines ('  HEADER ') match the normalized key but
+    the SURVIVING line keeps its original text; (3) empty lines are never
+    removed; (4) NULL text passes through; (5) the full driver-style
+    oracle compare holds on the same fixture."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erlang_mapreduce_spark.operators.curation import dedup_lines_global
+    from tests.oracle import run_compare
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    d = str(tmp_path / "lines")
+    os.makedirs(d, exist_ok=True)
+    texts = [
+        "header\nalpha beta\nfooter",      # 0: first owner of header/footer
+        "header\ngamma\nfooter",           # 1: both boilerplate lines removed
+        "  HEADER \ndelta",                # 2: normalized match -> removed
+        "unique\n\nunique",                # 3: within-doc repeat, empty kept
+        None,                               # 4: NULL text
+        "",                                 # 5: empty doc
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array(
+                [None if t is None else len(t) for t in texts], pa.int64()
+            ),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copyfile(
+            os.path.join(src, f"{t}.parquet"), os.path.join(d, f"{t}.parquet")
+        )
+    run_compare(spark, "dedup_lines_global", d)
+    out = {r.doc_id: r for r in dedup_lines_global(spark, d).collect()}
+    assert out[0].clean_text == "header\nalpha beta\nfooter"
+    assert out[0].n_removed == 0
+    assert out[1].clean_text == "gamma" and out[1].n_removed == 2
+    assert out[2].clean_text == "delta" and out[2].n_removed == 1
+    assert out[3].clean_text == "unique\n" and out[3].n_removed == 1
+    assert out[4].clean_text is None and out[4].n_removed == 0
+    assert out[5].clean_text == "" and out[5].n_removed == 0

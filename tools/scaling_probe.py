@@ -138,6 +138,7 @@ OPS = (
     # feature pipeline, broadcast weight table)
     "sample_dsir",
     "quality_classifier_score",
+    "dedup_lines_global",
 )
 
 # Per-op decision notes for the subset-probe addendum (``main`` with op
@@ -157,6 +158,15 @@ SUBSET_DECISIONS: dict[str, str] = {
         "branch: scan -> explode -> 2 hash aggs -> broadcast weight "
         "join; the model is a constant 1024-row broadcast at any corpus "
         "size. Decision: scale-safe as planned, no change."
+    ),
+    "dedup_lines_global": (
+        "posexplode + ONE line-key hash agg (map-side combinable) + "
+        "equi-join back + per-doc reassembly; replication makes every "
+        "line corpus-duplicated, so the probe upper-bounds removal-heavy "
+        "behavior — output (clean docs) grows linearly, the line-key "
+        "relation stays at DISTINCT lines (constant here). Decision: "
+        "scale-safe; at 100 TB key the join on xxhash64(line) per the "
+        "docstring."
     ),
 }
 
