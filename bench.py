@@ -150,15 +150,28 @@ TRACKED_ONLY = (
 # consecutive scheme), r15+ = the same plus ADAPTIVE extension: any op
 # whose 5-pass IQR exceeds 25% of its median gets 2 more interleaved
 # passes and reports the median of 7 (r14 VERDICT task 2 — the official
-# spread target is iqr_pct_med ≤ 15, iqr_pct_max ≤ 30). Two machine-noise
-# guards complete the r15 instrument: an UNTIMED pass at the bench SF
+# spread target is iqr_pct_med ≤ 15, iqr_pct_max ≤ 30), r16+ = a SECOND
+# escalation tier (any op still over 30% after 7 passes gets 2 more →
+# median of 9; a HEADLINE op still over 30% after 9 falls back to its
+# isolated-session median when one is recorded, disclosed in the
+# official line under "isolated_substituted" — r15 VERDICT task 5: the
+# official artifact shipped iqr_pct_max 30.4 against the ≤30 bar), and
+# r16 also samples cpu_ref_sec as a STATISTIC — one probe before the
+# timed passes and one after EVERY pass (main, stall-rerun, extension),
+# median reported, all samples persisted (r15 VERDICT task 2: a single
+# pre-pass sample swung −33% between rounds and poisoned the normalized
+# chain). Two machine-noise
+# guards complete the instrument: an UNTIMED pass at the bench SF
 # before timing (page-cache warm — cold sf0.1 reads ran pass 0 at ~1.5x
 # steady state) and STALLED-PASS rejection (a pass whose all-op total
 # exceeds 1.4x the median pass total is discarded and rerun, ≤3 times —
 # one ambient stall on this shared VM poisoned 14 ops' spreads in the
-# first r15 run). Per-op spread is recorded as the interpolated IQR of
+# first r15 run; r16 extends the same check to the ADAPTIVE extension
+# passes — r15 ADVICE item 3: an ambient stall landing in an unguarded
+# extension pass re-poisoned exactly the high-IQR ops the median-of-7
+# was meant to stabilize). Per-op spread is recorded as the interpolated IQR of
 # all passes in BENCH_local_detail.json.
-METHODOLOGY = "median-of-5-interleaved+adaptive-7"
+METHODOLOGY = "median-of-5-interleaved+adaptive-9+iso-fallback"
 N_PASSES = 5
 
 
@@ -229,28 +242,31 @@ def main() -> None:
     # round-over-round totals drift ~1.2-1.9x from AMBIENT machine speed
     # on this shared VM (identical code, isolated sessions, different
     # days) — dividing a round's total by its cpu_ref_sec removes that
-    # factor before cross-round comparisons.
-    ref_ts = []
-    for _ in range(3):
+    # factor before cross-round comparisons. r16 (r15 VERDICT task 2):
+    # cpu_ref is a SAMPLED STATISTIC, not one pre-pass probe — one sample
+    # before the timed passes plus one after EVERY pass (main,
+    # stall-rerun, extension), interleaved through the whole run exactly
+    # like the queries it normalizes; the official scalar is the median
+    # and every sample is persisted so the error bar is measured, not
+    # asserted (r15's single sample swung 0.415→0.28 between official
+    # runs while raw totals moved −13%, flipping the normalized chain).
+    cpu_ref_samples: list[float] = []
+
+    def _sample_cpu_ref() -> None:
         t0 = time.perf_counter()
         spark.range(1_500_000_000).selectExpr("sum(id * 3 + 1)").collect()
-        ref_ts.append(time.perf_counter() - t0)
-    cpu_ref = round(sorted(ref_ts)[1], 3)
+        cpu_ref_samples.append(round(time.perf_counter() - t0, 3))
 
-    def _timed_pass(ops) -> None:
-        for name in ops:
-            t0 = time.perf_counter()
-            _force(QUERIES[name](spark, sf_dir))
-            passes[name].append(round(time.perf_counter() - t0, 3))
-            # Outside the timed region: free persisted/checkpointed blocks
-            # the pass left behind, so every pass (and every query) starts
-            # from identical executor-storage state — the BENCH_r03
-            # 2×-cross-pass-variance fix (checkpoint blocks accumulated
-            # across same-JVM invocations until eviction pressure).
-            release_transient_storage()
+    # one untimed warm run (codegen for the ref plan), then the first sample
+    spark.range(1_500_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    _sample_cpu_ref()
 
     def _median(ts: list[float]) -> float:
-        return sorted(ts)[len(ts) // 2]  # pass counts are odd (5 or 7)
+        s = sorted(ts)
+        n = len(s)
+        if n % 2:
+            return s[n // 2]
+        return round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
 
     def _iqr(ts: list[float]) -> float:
         s = sorted(ts)
@@ -283,6 +299,7 @@ def main() -> None:
 
     for _ in range(N_PASSES):
         pass_rows.append(_run_pass(all_ops))
+        _sample_cpu_ref()
     stalled_reruns = 0
     while stalled_reruns < 3:
         totals = [sum(r.values()) for r in pass_rows]
@@ -292,25 +309,77 @@ def main() -> None:
             break
         worst_i = max(bad, key=lambda i: totals[i])
         pass_rows[worst_i] = _run_pass(all_ops)
+        _sample_cpu_ref()
         stalled_reruns += 1
 
     passes: dict[str, list[float]] = {
         name: [r[name] for r in pass_rows] for name in all_ops
     }
-    # Adaptive spread control (r14 VERDICT task 2): ops whose 5-pass IQR
-    # exceeds 25% of the median get 2 more interleaved passes, and their
-    # official cell becomes the median of 7 — a transient stall that
-    # poisoned the middle of 5 passes washes out of 7. Bounded: at most
-    # 2 × |noisy| extra query runs.
-    noisy = [
-        n for n in all_ops
-        if _median(passes[n]) > 0
-        and _iqr(passes[n]) / _median(passes[n]) > 0.25
-    ]
-    for _ in range(2):
-        _timed_pass(noisy)
+
+    # Adaptive spread control (r14 VERDICT task 2 + r15 task 5 + r15
+    # ADVICE item 3): extension passes now carry the SAME stalled-pass
+    # guard as the main 5 — a subset pass whose total exceeds 1.4x the
+    # median subset total (from the accepted main passes) is discarded
+    # and rerun instead of poisoning exactly the high-IQR ops the
+    # escalation exists to stabilize. Every extension pass (kept or
+    # discarded) lands in ext_pass_totals so a stall is visible in the
+    # artifact either way.
+    ext_pass_totals: list[dict] = []
+
+    def _ext_passes(ops: list[str], n_ext: int) -> None:
+        if not ops:
+            return
+        sub_med = sorted(
+            sum(r[o] for o in ops) for r in pass_rows
+        )[len(pass_rows) // 2]
+        done, attempts = 0, 0
+        while done < n_ext and attempts < n_ext + 3:
+            attempts += 1
+            row = _run_pass(ops)
+            _sample_cpu_ref()
+            tot = round(sum(row.values()), 3)
+            stalled = tot > 1.4 * sub_med
+            ext_pass_totals.append(
+                {"ops": len(ops), "total": tot,
+                 "median_subset_total": round(sub_med, 3),
+                 "stalled_discarded": stalled}
+            )
+            if stalled:
+                continue
+            for o in ops:
+                passes[o].append(row[o])
+            done += 1
+
+    def _spread_pct_of(n: str) -> float:
+        med = _median(passes[n])
+        return 100.0 * _iqr(passes[n]) / med if med > 0 else 0.0
+
+    # tier 1: >25% after 5 passes → 2 more (median of 7)
+    _ext_passes([n for n in all_ops if _spread_pct_of(n) > 25.0], 2)
+    # tier 2 (r15 VERDICT task 5): still >30% after 7 → 2 more (median
+    # of 9), so the official iqr_pct_max target ≤30 is enforced by the
+    # instrument rather than hoped for
+    _ext_passes([n for n in all_ops if _spread_pct_of(n) > 30.0], 2)
     timings = {n: _median(ts) for n, ts in passes.items()}
     iqr = {n: _iqr(ts) for n, ts in passes.items()}
+
+    # last resort (r15 VERDICT task 5): a HEADLINE op still over 30%
+    # after 9 passes takes its fresh-session isolated median
+    # (tools/isolated_timing.py, persisted under "isolated") as the
+    # official cell — the isolated session is the better instrument for
+    # an op the shared suite context keeps perturbing; the substitution
+    # is disclosed in the official line.
+    iso_prior = prior.get("isolated") or {}
+    isolated_substituted: dict[str, list[float]] = {}
+    for n in HEADLINE:
+        if timings[n] > 0 and 100.0 * iqr[n] / timings[n] > 30.0:
+            iso = iso_prior.get(n)
+            if isinstance(iso, dict) and iso.get("median"):
+                isolated_substituted[n] = [timings[n], iso["median"]]
+                timings[n] = iso["median"]
+                iqr[n] = _iqr(iso.get("passes", [iso["median"]]))
+
+    cpu_ref = _median(cpu_ref_samples)
 
     # The driver captures only a bounded tail of stdout, so the official
     # line must stay COMPACT: medians only, HEADLINE ops only (TRACKED_ONLY
@@ -343,11 +412,21 @@ def main() -> None:
         "iqr_pct_med": spread_pct[len(spread_pct) // 2],
         "iqr_pct_max": spread_pct[-1],
         "cpu_ref_sec": cpu_ref,
+        "cpu_ref_n": len(cpu_ref_samples),
+        "cpu_ref_iqr_pct": (
+            round(100.0 * _iqr(cpu_ref_samples) / cpu_ref, 1)
+            if cpu_ref else None
+        ),
         "sf": sf,
     }
+    if isolated_substituted:
+        # disclosure: {op: [in-suite median it replaced, isolated median]}
+        compact["isolated_substituted"] = isolated_substituted
     detail = {**compact, "tracked_only": {k: timings[k] for k in TRACKED_ONLY},
               "passes": passes, "iqr": iqr,
-              "stalled_pass_reruns": stalled_reruns}
+              "stalled_pass_reruns": stalled_reruns,
+              "cpu_ref_samples": cpu_ref_samples,
+              "ext_passes": ext_pass_totals}
     # preserve per-op isolated re-timings (tools/isolated_timing.py,
     # "isolated") across full-bench rewrites, so drift adjudications and
     # tail-op evidence stay next to the medians
@@ -445,13 +524,19 @@ def main() -> None:
         "metric": compact["metric"],
         "total": total,
         "cpu_ref_sec": cpu_ref,
+        "cpu_ref_n": len(cpu_ref_samples),
+        "cpu_ref_iqr_pct": compact["cpu_ref_iqr_pct"],
         "normalized": round(total / cpu_ref, 1) if cpu_ref else None,
     }
     rounds["note"] = (
-        "cpu_ref_sec itself varies run-to-run on this shared VM (two r15 "
-        "runs an hour apart: 0.332 and 0.305, ~9%, on near-identical raw "
-        "totals 51.1/50.2), so normalized totals carry a ±~10% error bar "
-        "— compare trends across rounds, not single cells"
+        "from r16 cpu_ref_sec is the MEDIAN of one probe per pass "
+        "(samples persisted under cpu_ref_samples; relative IQR in "
+        "cpu_ref_iqr_pct), so this_run's normalized total carries a "
+        "MEASURED error bar of about its cpu_ref_iqr_pct. Rounds r14-r15 "
+        "used a single pre-pass sample, which swung up to ±33% between "
+        "official runs (the r15 normalized 'regression' was the "
+        "normalizer, not the engine) — treat pre-r16 normalized cells as "
+        "±~15-30% and compare trends, not single cells"
     )
     detail["normalized_rounds"] = rounds
 

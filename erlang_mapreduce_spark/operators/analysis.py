@@ -1033,23 +1033,30 @@ G_MWL_LO, G_MWL_HI = 1.0, 12.0
 G_SYM_MAX, G_BULLET_MAX, G_ELLIP_MAX = 0.1, 0.9, 0.3
 G_ALPHA_MIN, G_STOP_MIN = 0.8, 2
 
+# Explicit whitespace class, identical on Java regex AND DuckDB's RE2 by
+# construction (r15 ADVICE item 5: \s differs — \x0B is whitespace in Java
+# but not RE2, so a vertical-tab document would diverge cross-engine under
+# a bare \s+; this class removes the corpus-discipline dependency).
+_G_WS_CLASS = "[ \\t\\n\\f\\r]+"
 
-@query(
-    "text_gopher_rules",
-    oracle=f"""
-WITH t AS (
+
+def _gopher_ctes(src: str = "documents", col: str = "text", p: str = "") -> str:
+    """The rule-battery CTE chain (t → m → r) over any (doc_id, {col})
+    relation — shared by the standalone oracle and the capstone's gopher
+    stage; ``p`` prefixes CTE names for composition."""
+    return f"""{p}t AS (
     SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'),
+           list_filter(string_split_regex({col}, '{_G_WS_CLASS}'),
                        w -> length(w) > 0) AS ws,
-           list_filter(list_transform(string_split_regex(text, '\\n'),
+           list_filter(list_transform(string_split_regex({col}, '\\n'),
                                       l -> trim(l)),
                        l -> length(l) > 0) AS ls,
-           length(text) - length(replace(text, '#', '')) AS n_hash,
-           CAST((length(text) - length(replace(text, '...', ''))) / 3
+           length({col}) - length(replace({col}, '#', '')) AS n_hash,
+           CAST((length({col}) - length(replace({col}, '...', ''))) / 3
                 AS BIGINT) AS n_ell
-    FROM documents
+    FROM {src}
 ),
-m AS (
+{p}m AS (
     SELECT doc_id,
            len(ws) AS n_words,
            list_sum(list_transform(ws, w -> length(w))) AS n_chars_w,
@@ -1063,26 +1070,100 @@ m AS (
            len(list_filter(ls, l -> right(l, 3) = '...' OR right(l, 1) = '…'))
                AS n_ellend,
            n_hash + n_ell AS n_sym
-    FROM t
+    FROM {p}t
 ),
-r AS (
+{p}r AS (
     SELECT doc_id, n_words, n_stop,
            CAST(n_chars_w AS DOUBLE) / nullif(n_words, 0) AS mean_word_len,
            CAST(n_sym AS DOUBLE) / nullif(n_words, 0) AS symbol_ratio,
            CAST(n_bullet AS DOUBLE) / nullif(n_lines, 0) AS bullet_frac,
            CAST(n_ellend AS DOUBLE) / nullif(n_lines, 0) AS ellipsis_frac,
            CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) AS alpha_frac
-    FROM m
-)
-SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-       ellipsis_frac, alpha_frac, n_stop,
-       CASE WHEN n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS}
+    FROM {p}m
+)"""
+
+
+# the keep predicate over an r-shaped relation — shared verbatim by the
+# standalone CASE and the capstone's stage-4 WHERE
+_G_KEEP_SQL = f"""n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS}
              AND mean_word_len BETWEEN {G_MWL_LO} AND {G_MWL_HI}
              AND symbol_ratio < {G_SYM_MAX}
              AND coalesce(bullet_frac < {G_BULLET_MAX}, TRUE)
              AND coalesce(ellipsis_frac < {G_ELLIP_MAX}, TRUE)
              AND alpha_frac > {G_ALPHA_MIN}
-             AND n_stop >= {G_STOP_MIN}
+             AND n_stop >= {G_STOP_MIN}"""
+
+
+def _gopher_arrays(col: Column) -> tuple[Column, Column, Column]:
+    """(ws, ls, n_sym) projection columns of the rule battery over any
+    text column — the Spark twin of `_gopher_ctes`'s {p}t, shared by the
+    standalone op and pipeline_pretrain_e2e's gopher stage."""
+    ws = F.filter(F.split(col, _G_WS_CLASS), lambda w: F.length(w) > 0)
+    ls = F.filter(
+        F.transform(F.split(col, "\n"), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#")))
+    n_ell = (
+        (F.length(col) - F.length(F.replace(col, F.lit("...")))) / F.lit(3)
+    ).cast("long")
+    return ws, ls, n_hash + n_ell
+
+
+def _gopher_metrics(
+    ws: Column, ls: Column, n_sym: Column
+) -> dict[str, Column]:
+    """The per-doc rule metrics from the array columns — the Spark twin of
+    `_gopher_ctes`'s {p}m/{p}r."""
+    n_words = F.size(ws)
+    n_lines = F.size(ls)
+    n_chars_w = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(ws, lambda w: F.lower(w).isin(*GOPHER_STOPS)))
+    n_bullet = F.size(
+        F.filter(ls, lambda x: F.substring(x, 1, 1).isin("-", "*", "•"))
+    )
+    n_ellend = F.size(
+        F.filter(
+            ls,
+            lambda x: (F.substring(x, -3, 3) == "...")
+            | (F.substring(x, -1, 1) == "…"),
+        )
+    )
+    return {
+        "n_words": n_words,
+        "n_stop": n_stop,
+        "mean_word_len": F.try_divide(n_chars_w.cast("double"), n_words),
+        "symbol_ratio": F.try_divide(n_sym.cast("double"), n_words),
+        "bullet_frac": F.try_divide(n_bullet.cast("double"), n_lines),
+        "ellipsis_frac": F.try_divide(n_ellend.cast("double"), n_lines),
+        "alpha_frac": F.try_divide(n_alpha.cast("double"), n_words),
+    }
+
+
+def _gopher_keep(m: dict[str, Column]) -> Column:
+    """The keep predicate over `_gopher_metrics` — the Spark twin of
+    `_G_KEEP_SQL`."""
+    return (
+        m["n_words"].between(G_MIN_WORDS, G_MAX_WORDS)
+        & m["mean_word_len"].between(G_MWL_LO, G_MWL_HI)
+        & (m["symbol_ratio"] < G_SYM_MAX)
+        & F.coalesce(m["bullet_frac"] < G_BULLET_MAX, F.lit(True))
+        & F.coalesce(m["ellipsis_frac"] < G_ELLIP_MAX, F.lit(True))
+        & (m["alpha_frac"] > G_ALPHA_MIN)
+        & (m["n_stop"] >= G_STOP_MIN)
+    )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+WITH {_gopher_ctes()}
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stop,
+       CASE WHEN {_G_KEEP_SQL}
             THEN TRUE ELSE FALSE END AS keep
 FROM r
 """,
@@ -1107,67 +1188,23 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: beyond mapreduce.erl (no reference counterpart);
     included per the LLM-pipeline brief."""
     d = load(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split("text", r"\s+"), lambda w: F.length(w) > 0
-    )
-    ls = F.filter(
-        F.transform(F.split("text", "\n"), F.trim),
-        lambda x: F.length(x) > 0,
-    )
-    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#")))
-    n_ell = (
-        (F.length("text") - F.length(F.replace("text", F.lit("..."))))
-        / F.lit(3)
-    ).cast("long")
+    ws, ls, n_sym = _gopher_arrays(F.col("text"))
     t = scan_parallel(d).select(
         "doc_id",
         ws.alias("ws"),
         ls.alias("ls"),
-        (n_hash + n_ell).alias("n_sym"),
+        n_sym.alias("n_sym"),
     )
-    n_words = F.size("ws")
-    n_lines = F.size("ls")
-    n_chars_w = F.aggregate(
-        "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    n_alpha = F.size(F.filter("ws", lambda w: w.rlike("[A-Za-z]")))
-    n_stop = F.size(
-        F.filter("ws", lambda w: F.lower(w).isin(*GOPHER_STOPS))
-    )
-    n_bullet = F.size(
-        F.filter(
-            "ls", lambda x: F.substring(x, 1, 1).isin("-", "*", "•")
-        )
-    )
-    n_ellend = F.size(
-        F.filter(
-            "ls",
-            lambda x: (F.substring(x, -3, 3) == "...")
-            | (F.substring(x, -1, 1) == "…"),
-        )
-    )
-    mwl = F.try_divide(n_chars_w.cast("double"), n_words)
-    sym = F.try_divide(F.col("n_sym").cast("double"), n_words)
-    bul = F.try_divide(n_bullet.cast("double"), n_lines)
-    ele = F.try_divide(n_ellend.cast("double"), n_lines)
-    alp = F.try_divide(n_alpha.cast("double"), n_words)
-    keep = (
-        n_words.between(G_MIN_WORDS, G_MAX_WORDS)
-        & mwl.between(G_MWL_LO, G_MWL_HI)
-        & (sym < G_SYM_MAX)
-        & F.coalesce(bul < G_BULLET_MAX, F.lit(True))
-        & F.coalesce(ele < G_ELLIP_MAX, F.lit(True))
-        & (alp > G_ALPHA_MIN)
-        & (n_stop >= G_STOP_MIN)
-    )
+    m = _gopher_metrics(F.col("ws"), F.col("ls"), F.col("n_sym"))
+    keep = _gopher_keep(m)
     return t.select(
         "doc_id",
-        n_words.alias("n_words"),
-        mwl.alias("mean_word_len"),
-        sym.alias("symbol_ratio"),
-        bul.alias("bullet_frac"),
-        ele.alias("ellipsis_frac"),
-        alp.alias("alpha_frac"),
-        n_stop.alias("n_stop"),
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["bullet_frac"].alias("bullet_frac"),
+        m["ellipsis_frac"].alias("ellipsis_frac"),
+        m["alpha_frac"].alias("alpha_frac"),
+        m["n_stop"].alias("n_stop"),
         F.when(keep, True).otherwise(False).alias("keep"),
     )

@@ -1142,6 +1142,42 @@ DSIR_NB = 1024  # hashed-feature buckets (DSIR uses 10k at web scale)
 DSIR_TARGET_SRC = "src0"  # the small high-quality target corpus proxy
 DSIR_K = 100  # fixed selection budget (DSIR selects to a token budget)
 
+def _hashed_feats_ctes(
+    src: str = "documents", col: str = "text", p: str = ""
+) -> str:
+    """The tokenize → unigram+bigram → md5-bucket CTE prefix (toks, feats,
+    fb) shared VERBATIM by sample_dsir, quality_classifier_score, and the
+    capstone's classifier stage — ONE named source of truth instead of
+    string-slicing one oracle out of another (r15 ADVICE item 2). ``p``
+    prefixes the CTE names so the chain composes into larger WITH blocks
+    without name clashes; ``src``/``col`` retarget the scan (the capstone
+    scores its gated scrubbed text, not raw documents)."""
+    return f"""{p}toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower({col}), '\\s+'),
+                       w -> length(w) > 0) AS ws
+    FROM {src}
+),
+{p}feats AS (
+    SELECT doc_id, f
+    FROM (
+        SELECT doc_id, unnest(ws) AS f FROM {p}toks
+        UNION ALL
+        SELECT doc_id,
+               array_to_string(ws[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)],
+                               ' ') AS f
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM {p}toks)
+    )
+),
+{p}fb AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(f), 1, 8) AS BIGINT) % {DSIR_NB}
+               AS bucket
+    FROM {p}feats
+)"""
+
+
 # ln terms are computed on INTEGER arguments only (bucket counts + 1,
 # totals + NB, and the Gumbel factors 2a+1 / 2^33 / m / 10^6 — the
 # double-log is factored into integer-argument lns, see the inline note in
@@ -1149,29 +1185,7 @@ DSIR_K = 100  # fixed selection budget (DSIR selects to a token budget)
 # agree on round-6 of ln(exact small integer); all sums/differences of the
 # rounded terms then run in DECIMAL (order-independent, exact.py).
 _DSIR_FEATS_CTE = f"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'),
-                       w -> length(w) > 0) AS ws
-    FROM documents
-),
-feats AS (
-    SELECT doc_id, f
-    FROM (
-        SELECT doc_id, unnest(ws) AS f FROM toks
-        UNION ALL
-        SELECT doc_id,
-               array_to_string(ws[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)],
-                               ' ') AS f
-        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)
-    )
-),
-fb AS (
-    SELECT doc_id,
-           CAST('0x' || substring(md5(f), 1, 8) AS BIGINT) % {DSIR_NB}
-               AS bucket
-    FROM feats
-),
+WITH {_hashed_feats_ctes()},
 lab AS (SELECT doc_id, source = '{DSIR_TARGET_SRC}' AS is_t FROM documents),
 tf AS (
     SELECT fb.doc_id, lab.is_t, bucket, count(*) AS tf
@@ -1374,33 +1388,101 @@ QC_W_SCALE = 1000  # integer weights in [-QC_W_SCALE, QC_W_SCALE], /1000
 # feats, fb) verbatim — same features, same bucketing, one shared source
 # of truth; the assert keeps fb's % DSIR_NB modulus valid for this op
 assert QC_NB == DSIR_NB, "shared fb CTE hard-codes the DSIR modulus"
-_QC_FEATS_CTE = _DSIR_FEATS_CTE.split(",\nlab AS")[0].strip()
+_QC_FEATS_CTE = "WITH " + _hashed_feats_ctes()
+
+# the rounded per-doc logit over a qsc-shaped relation (num, n_feats) —
+# ONE IEEE divide of exact integers, round-6 (module convention)
+_QC_LOGIT_SQL = (
+    f"round(CAST(num AS DOUBLE) / CAST(n_feats * {QC_W_SCALE} AS DOUBLE), 6)"
+)
+
+
+def _qc_score_ctes(p: str = "") -> str:
+    """The weight-table → per-(doc,bucket) tf → per-doc score CTE chain
+    over ``{p}fb`` (from `_hashed_feats_ctes`), shared by the standalone
+    op and the capstone's classifier stage."""
+    return f"""{p}w AS (
+    SELECT CAST(b AS INTEGER) AS bucket,
+           CAST('0x' || substring(md5('qcw-' || CAST(b AS VARCHAR)), 1, 8)
+                AS BIGINT) % {2 * QC_W_SCALE + 1} - {QC_W_SCALE} AS w
+    FROM range(0, {QC_NB}) t(b)
+),
+{p}qtf AS (
+    SELECT doc_id, bucket, count(*) AS tf FROM {p}fb GROUP BY 1, 2
+),
+{p}qsc AS (
+    SELECT doc_id,
+           CAST(sum(tf * w) AS BIGINT) AS num,
+           CAST(sum(tf) AS BIGINT) AS n_feats
+    FROM {p}qtf JOIN {p}w USING (bucket) GROUP BY 1
+)"""
+
+
+def qc_weights() -> list[int]:
+    """The fixed seeded classifier weights as Python ints — the SAME
+    md5("qcw-"||bucket) derivation as the engine-side ``w`` CTE / wtab
+    (both operands nonnegative, so Python %, SQL %, and Spark ``%`` agree),
+    so the constant-folded narrow scorer below is bit-identical to the
+    broadcast-join form."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qcw-{b}".encode()).hexdigest()[:8], 16)
+        % (2 * QC_W_SCALE + 1)
+        - QC_W_SCALE
+        for b in range(QC_NB)
+    ]
+
+
+def qc_logit_narrow(text_col: Column) -> Column:
+    """Per-row classifier logit as a PURE NARROW fold — zero shuffle, zero
+    join: the same hashed unigram+bigram features and seeded weights as
+    quality_classifier_score, but with the QC_NB-entry weight table
+    CONSTANT-FOLDED into an element_at lookup inside an `F.aggregate`
+    fold instead of broadcast-joined. This is the inference shape for
+    composing the classifier into pipelines (pipeline_pretrain_e2e stage
+    5): at 100 TB it rides the corpus scan as a projection, where the
+    explode + 2-hash-agg form (kept in the standalone op — the shape that
+    generalizes to training) would cost two exchanges plus a doc_id join
+    back. num/tf/weights are exact integers, the logit is the module's
+    round-6 single divide, so both shapes agree bit-for-bit."""
+    ws = F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    feats = F.concat(ws, _word_ngrams(ws, 2))
+    warr = F.array(*[F.lit(w) for w in qc_weights()])
+    num = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, f: acc
+        + F.element_at(
+            warr,
+            (
+                F.pmod(
+                    F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long"),
+                    F.lit(QC_NB),
+                )
+                + 1
+            ).cast("int"),
+        ).cast("long"),
+    )
+    return F.round(
+        F.try_divide(
+            num.cast("double"),
+            (F.size(feats).cast("long") * QC_W_SCALE).cast("double"),
+        ),
+        6,
+    )
 
 
 @query(
     "quality_classifier_score",
     oracle=f"""
 {_QC_FEATS_CTE},
-w AS (
-    SELECT CAST(b AS INTEGER) AS bucket,
-           CAST('0x' || substring(md5('qcw-' || CAST(b AS VARCHAR)), 1, 8)
-                AS BIGINT) % {2 * QC_W_SCALE + 1} - {QC_W_SCALE} AS w
-    FROM range(0, {QC_NB}) t(b)
-),
-qtf AS (
-    SELECT doc_id, bucket, count(*) AS tf FROM fb GROUP BY 1, 2
-),
-qsc AS (
-    SELECT doc_id,
-           CAST(sum(tf * w) AS BIGINT) AS num,
-           CAST(sum(tf) AS BIGINT) AS n_feats
-    FROM qtf JOIN w USING (bucket) GROUP BY 1
-)
+{_qc_score_ctes()}
 SELECT doc_id, n_feats,
-       round(CAST(num AS DOUBLE) / CAST(n_feats * {QC_W_SCALE} AS DOUBLE), 6)
-           AS logit,
-       round(CAST(num AS DOUBLE) / CAST(n_feats * {QC_W_SCALE} AS DOUBLE), 6)
-           >= 0.0 AS keep
+       {_QC_LOGIT_SQL} AS logit,
+       {_QC_LOGIT_SQL} >= 0.0 AS keep
 FROM qsc
 """,
 )
@@ -1493,6 +1575,35 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- corpus-global line-level boilerplate dedup ----------------------------
 
 _LPACK = 1_000_000_000  # packs (doc_id, pos) into one BIGINT: doc_id*P+pos
+_LPACK_DOC_MAX = 9_000_000_000  # doc_id*_LPACK+pos < 2^63 iff doc_id below
+
+
+def _packed_first_key() -> Column:
+    """(doc_id, pos) packed into ONE BIGINT for the keep-first min — with
+    a runtime guard (r15 ADVICE item 1): a doc_id >= ~9.2e9 or a doc with
+    >= _LPACK lines would overflow/misorder the packing (ANSI error,
+    non-ANSI silent wrap corrupting keep-first order), so out-of-range
+    rows now raise LOUDLY instead. The oracle omits the guard: it is
+    unreachable at any fixture scale, and when it fires the Spark side
+    errors before any hash is compared."""
+    ok = (
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < _LPACK_DOC_MAX)
+        & (F.col("pos") < _LPACK)
+    )
+    return F.when(ok, F.col("doc_id") * _LPACK + F.col("pos")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "dedup_lines: (doc_id, pos) outside the exact BIGINT "
+                    "packing range: "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(", "),
+                F.col("pos").cast("string"),
+            )
+        )
+    )
 
 
 @query(
@@ -1555,8 +1666,8 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes xxhash64(line) exactly as dedup_passage notes (raw string
     here keeps the oracle exact). Cross-engine exactness: keys are
     strings, positions integers, the first-occurrence tiebreak is a
-    packed BIGINT min (doc_id·1e9+pos — exact while doc_id < 9.2e9,
-    asserted nowhere near fixture ids), and reassembly order is pinned
+    packed BIGINT min (doc_id·1e9+pos — exact while doc_id < 9e9, now
+    RUNTIME-GUARDED by `_packed_first_key`), and reassembly order is pinned
     by pos on both engines. Empty/whitespace-only lines are never
     removed (trim key empty); NULL-text docs pass through with NULL
     clean_text. Reference scope: beyond mapreduce.erl; included per the
@@ -1577,7 +1688,7 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").alias("n"),
-            F.min(F.col("doc_id") * _LPACK + F.col("pos")).alias("first_pk"),
+            F.min(_packed_first_key()).alias("first_pk"),
         )
     )
     marked = ls.join(fst, "k", "left").select(
@@ -1587,7 +1698,7 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             (F.length("k") > 0)
             & (F.col("n") > 1)
-            & (F.col("doc_id") * _LPACK + F.col("pos") != F.col("first_pk")),
+            & (_packed_first_key() != F.col("first_pk")),
             F.lit(False),
         ).alias("removed"),
     )
@@ -1615,4 +1726,133 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
             F.coalesce("nr", F.lit(0)).cast("long").alias("n_removed"),
         )
+    )
+
+
+# --- URL-stage curation (canonicalize → blocklist gate → keep-first) -------
+
+URL_BLOCK_LT = 64  # md5(host) first byte < 0x40 ⇒ blocked (~25% of hosts)
+
+
+@query(
+    "curate_url_dedup",
+    oracle=f"""
+WITH u AS (
+    SELECT doc_id,
+           'https://' ||
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'WWW.' || source || '.Example.COM'
+                WHEN 1 THEN 'www.' || source || '.example.com'
+                ELSE source || '.example.com' END
+           || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+           || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+p AS (
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path
+    FROM u
+),
+f AS (
+    SELECT doc_id, url,
+           'https://' || regexp_replace(lower(host), '^www\\.', '') || path
+               AS canonical_url,
+           CAST('0x' || substring(
+                    md5(regexp_replace(lower(host), '^www\\.', '')), 1, 2)
+                AS BIGINT) < {URL_BLOCK_LT} AS blocked
+    FROM p
+),
+k AS (
+    SELECT *, min(CASE WHEN NOT blocked THEN doc_id END)
+              OVER (PARTITION BY canonical_url) AS first_keep
+    FROM f
+)
+SELECT doc_id, url, canonical_url, blocked,
+       coalesce(NOT blocked AND doc_id = first_keep, FALSE) AS kept
+FROM k
+""",
+)
+def curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-stage curation — the stage RefinedWeb (Penedo et al. 2023 §3.1)
+    and CCNet-descended crawl pipelines run BEFORE any content stage:
+    parse each document's URL, canonicalize it (lowercase host, strip a
+    leading "www.", strip query+fragment — the classic tracking-parameter
+    strip), gate against a host blocklist, and keep only the FIRST
+    document per canonical URL (crawls re-fetch the same page under
+    session-id'd / utm-tagged variants; URL dedup removes them for free
+    before any text is touched). Emits the full per-doc decision table
+    (url, canonical_url, blocked, kept).
+
+    The fixture's documents carry no URL column, so a well-formed URL is
+    SYNTHESIZED deterministically from (source, doc_id) — fn_url's
+    established device (functions/scalar.py:303), here with mixed-case
+    hosts, www-variants, and per-source path collisions so every branch
+    of the canonicalizer and the keep-first rule actually fires. The
+    blocklist is the seeded-artifact device (md5(canonical host) first
+    byte < URL_BLOCK_LT ⇒ blocked, ~25% of hosts) standing in for a fixed
+    public list (e.g. UT1) that no sandbox can ship; at production the
+    gate becomes a broadcast semi-join against the real list — same plan
+    shape, the broadcast side is just a file.
+
+    Spark-first shape, 100 TB story: URL synthesis + `parse_url` +
+    canonicalization are ONE narrow projection over the scan; the ONLY
+    exchange is the canonical-URL-keyed window computing the
+    keep-first min (no join-back, no global sort, no collect) — the
+    cheapest possible crawl-dedup: one keyed shuffle of (url-sized) rows.
+    Cross-engine: Spark's `parse_url` (java.net.URI) and the oracle's
+    anchored regexes agree on these well-formed URLs; the keep-first min
+    is an integer; a NULL source nulls url/canonical/blocked identically
+    on both engines (NULL-strict concat), and those rows get
+    kept = FALSE via the same coalesce. Reference scope: beyond
+    mapreduce.erl; included per the LLM-pipeline brief (r15 VERDICT
+    task 3)."""
+    d = load(spark, sf_dir, "documents")
+    host_raw = (
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.COM")),
+        )
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 1,
+            F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host_raw,
+        F.lit("/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+    )
+    p = d.select("doc_id", url.alias("url"))
+    chost = F.regexp_replace(
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))), r"^www\.", ""
+    )
+    f = p.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("https://"), chost, F.parse_url(F.col("url"), F.lit("PATH"))
+        ).alias("canonical_url"),
+        (
+            F.conv(F.substring(F.md5(chost), 1, 2), 16, 10).cast("long")
+            < URL_BLOCK_LT
+        ).alias("blocked"),
+    )
+    w = Window.partitionBy("canonical_url")
+    first_keep = F.min(
+        F.when(~F.col("blocked"), F.col("doc_id"))
+    ).over(w)
+    return f.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "blocked",
+        F.coalesce(
+            ~F.col("blocked") & (F.col("doc_id") == first_keep),
+            F.lit(False),
+        ).alias("kept"),
     )

@@ -580,6 +580,8 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(k, v)
     try:
         j = _bloom_query(spark, sf_dir)
+        # bounded collect: j is the per-priority aggregate (<= 5 rows) —
+        # materialized so the conf restoration below cannot re-plan it
         return spark.createDataFrame(j.collect(), j.schema)
     finally:
         for k, v in saved.items():

@@ -409,6 +409,8 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         out = reports[0].unionAll(reports[1])
+        # bounded collect: one accounting row per snapshot version (2) —
+        # materialized because the snapshot dir is deleted in the finally
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -3,17 +3,21 @@
 ``pipeline_pretrain_e2e`` composes the engine's curation operators the way
 a real 100 TB pretraining pass runs them —
 
-    quality gate → PII scrub → exact dedup → MinHash near-dedup →
-    substring scrub → decontaminate → trained byte-BPE tokenize →
-    sequence pack → temperature mix → leakage-safe split →
-    sharded partitioned export
+    quality gate → PII scrub → Gopher rule battery → model-based
+    quality classifier → corpus-global line dedup → exact dedup →
+    MinHash near-dedup → substring scrub → decontaminate → trained
+    byte-BPE tokenize → sequence pack → temperature mix →
+    leakage-safe split → sharded partitioned export
 
 — and returns ONE per-stage accounting table (stage_ord, stage, docs,
 tokens) whose every row is recomputed end-to-end by the DuckDB oracle, so
 the hash check proves the operators COMPOSE exactly: any drift in any
 stage (or in the export round-trip) moves a downstream count. The
 components are the same machinery the standalone ops use
-(`pipeline_corpus_clean`'s gate/scrub, `dedup_exact`'s keep-first,
+(`pipeline_corpus_clean`'s gate/scrub, `text_gopher_rules`' rule
+battery, `quality_classifier_score`'s hashed-ngram linear model (in its
+constant-folded narrow inference shape, `qc_logit_narrow`),
+`dedup_lines_global`'s keep-first line dedup, `dedup_exact`'s keep-first,
 `dedup_minhash`'s banded LSH + exact-Jaccard verify,
 `dedup_substring_scrub`'s gaps-and-islands span removal,
 `text_decontaminate`'s broadcast gram semi-join, `bpe_train_bytes` /
@@ -53,7 +57,15 @@ from pyspark.sql import functions as F
 from ..ckpt import release_transient_storage
 from ..registry import query
 from ..tables import load
-from .analysis import _EMAIL_RE, _LONGNUM_RE
+from .analysis import (
+    _EMAIL_RE,
+    _G_KEEP_SQL,
+    _LONGNUM_RE,
+    _gopher_arrays,
+    _gopher_ctes,
+    _gopher_keep,
+    _gopher_metrics,
+)
 from .bpe import (
     N_BYTES,
     PRETOK_BYTES_RE,
@@ -70,9 +82,15 @@ from .curation import (
     DECON_N,
     EVAL_MAX_DOC,
     TEMP_CAP,
+    _LPACK,
     _MD5_UNIFORM_SQL,
+    _QC_LOGIT_SQL,
+    _hashed_feats_ctes,
     _md5_uniform,
+    _packed_first_key,
+    _qc_score_ctes,
     _SPLIT_TRAIN_LT,
+    qc_logit_narrow,
 )
 from .dedup import (
     JACCARD_T,
@@ -117,19 +135,106 @@ def gate_and_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_dedup(gated: DataFrame) -> DataFrame:
-    """Stage 4: keep the lowest doc_id per verbatim scrubbed text (md5
+def gopher_filter(gated: DataFrame) -> DataFrame:
+    """Stage 4: the Gopher rule battery (Rae et al. 2021 A1.1 —
+    text_gopher_rules' exact expressions via the shared `_gopher_*`
+    helpers, analysis.py) over the scrubbed text; only rule-passing docs
+    survive. NARROW: a projection + filter, zero exchanges."""
+    ws, ls, n_sym = _gopher_arrays(F.col("scrubbed"))
+    g = gated.withColumns(
+        {"_gws": ws, "_gls": ls, "_gsym": n_sym}
+    )
+    keep = _gopher_keep(
+        _gopher_metrics(F.col("_gws"), F.col("_gls"), F.col("_gsym"))
+    )
+    return g.filter(keep).select("doc_id", "lang", "source", "scrubbed")
+
+
+def classifier_filter(g4: DataFrame) -> DataFrame:
+    """Stage 5: model-based quality filter (quality_classifier_score's
+    hashed unigram+bigram linear model) in its INFERENCE shape — the
+    QC_NB-entry seeded weight table constant-folded into a per-row
+    `qc_logit_narrow` fold (curation.py), so the stage adds ZERO
+    exchanges and ZERO joins to the pipeline; keep logit >= 0 (the
+    standalone op's keep rule)."""
+    return g4.filter(qc_logit_narrow(F.col("scrubbed")) >= 0.0)
+
+
+def lines_dedup(g5: DataFrame) -> DataFrame:
+    """Stage 6: corpus-GLOBAL keep-first line dedup (dedup_lines_global's
+    machinery, curation.py — posexplode lines → one line-key hash agg
+    with the guarded packed-BIGINT first-occurrence min → equi-join back
+    → order-restoring reassembly), rewriting the scrubbed text; docs
+    whose every line was boilerplate drop out. lang/source ride the
+    reassembly groupBy as constant-per-group max() so no corpus-wide
+    join back is needed."""
+    ls = g5.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.split("scrubbed", "\n")).alias("pos0", "line"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("pos0").cast("long").alias("pos"),
+        "line",
+        F.trim(F.lower("line")).alias("k"),
+    )
+    fst = (
+        ls.filter(F.length("k") > 0)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(_packed_first_key()).alias("first_pk"),
+        )
+    )
+    marked = ls.join(fst, "k", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        "pos",
+        "line",
+        F.coalesce(
+            (F.length("k") > 0)
+            & (F.col("n") > 1)
+            & (_packed_first_key() != F.col("first_pk")),
+            F.lit(False),
+        ).alias("removed"),
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.max("lang").alias("lang"),
+        F.max("source").alias("source"),
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("removed"), F.struct("pos", "line"))
+            )
+        ).alias("kept"),
+    )
+    out = agg.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat_ws(
+            "\n", F.transform("kept", lambda s: s["line"])
+        ).alias("scrubbed"),
+    )
+    return out.filter(F.length(F.trim("scrubbed")) > 0)
+
+
+def exact_dedup(g6: DataFrame) -> DataFrame:
+    """Stage 7: keep the lowest doc_id per verbatim scrubbed text (md5
     grouping — cross-engine, unlike xxhash64)."""
     w = Window.partitionBy(F.md5("scrubbed")).orderBy("doc_id")
     return (
-        gated.withColumn("rn", F.row_number().over(w))
+        g6.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
 
 
 def minhash_survivors(dd: DataFrame, sets_md5: DataFrame) -> DataFrame:
-    """Stage 5: dedup_minhash's banded-LSH candidates + exact-Jaccard
+    """Stage 8: dedup_minhash's banded-LSH candidates + exact-Jaccard
     verify over the exact-deduped corpus, then drop the LATER side of
     every verified pair (keep-first, like every dedup stage here).
     ``sets_md5`` is `_doc_gram_sets_md5` over dd's scrubbed texts,
@@ -159,7 +264,7 @@ def minhash_survivors(dd: DataFrame, sets_md5: DataFrame) -> DataFrame:
 
 
 def substring_clean(mh: DataFrame) -> DataFrame:
-    """Stage 6: cross-document substring removal over the near-dedup
+    """Stage 9: cross-document substring removal over the near-dedup
     survivors — dedup_substring_scrub's machinery (positioned
     SUBSTR_K-gram anchors in an occurrence-capped inverted index,
     gaps-and-islands maximal runs, keep-first span deletion), run
@@ -259,7 +364,7 @@ def substring_clean(mh: DataFrame) -> DataFrame:
 
 
 def decontaminate(raw_docs: DataFrame, docs6: DataFrame) -> DataFrame:
-    """Stage 7: drop every training document (doc_id >= EVAL_MAX_DOC)
+    """Stage 10: drop every training document (doc_id >= EVAL_MAX_DOC)
     whose cleaned text shares a word DECON_N-gram with the held-out eval
     set — text_decontaminate's broadcast gram semi-join, with the eval
     grams taken from the RAW eval documents (the benchmark is fixed; it
@@ -286,12 +391,15 @@ def decontaminate(raw_docs: DataFrame, docs6: DataFrame) -> DataFrame:
 def compose_through_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The lazy stage-2..7 composition (no materialization) — the
+    """The lazy stage-2..10 composition (no materialization) — the
     plan-pin surface: tests/test_plans.py counts exchanges in THIS plan
     to prove the stages compose without replanning cliffs."""
     docs = load(spark, sf_dir, "documents")
     gated = gate_and_scrub(docs)
-    dd = exact_dedup(gated)
+    g4 = gopher_filter(gated)
+    g5 = classifier_filter(g4)
+    g6 = lines_dedup(g5)
+    dd = exact_dedup(g6)
     sets = _doc_gram_sets_md5(
         dd.select("doc_id", F.col("scrubbed").alias("text"))
     )
@@ -313,12 +421,68 @@ gated AS MATERIALIZED (
     WHERE len(string_split_regex(lower(text), '\\s+')) BETWEEN 5 AND 100000
       AND CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
           / length(text) < 0.2
+)"""
+
+# Stages 4-6 — the r15 quality battery composed the order real pipelines
+# run it (Gopher rules → model classifier → global line dedup, then the
+# document-level dedups): the gopher/classifier/line CTE chains are the
+# standalone ops' own shared templates retargeted at the gated scrubbed
+# text (one source of truth — `_gopher_ctes`/`_G_KEEP_SQL`,
+# `_hashed_feats_ctes`/`_qc_score_ctes`/`_QC_LOGIT_SQL`, and
+# dedup_lines_global's ls→fst→marked→agg shape with lang/source riding
+# the reassembly as constant-per-group max()).
+_QUALITY_SQL = f"""
+{_gopher_ctes(src="gated", col="scrubbed", p="gp")},
+g4 AS MATERIALIZED (
+    SELECT gated.* FROM gated
+    JOIN (SELECT doc_id FROM gpr WHERE {_G_KEEP_SQL}) gk USING (doc_id)
+),
+{_hashed_feats_ctes(src="g4", col="scrubbed", p="qc")},
+{_qc_score_ctes(p="qc")},
+g5 AS MATERIALIZED (
+    SELECT g4.* FROM g4
+    JOIN (SELECT doc_id FROM qcqsc WHERE {_QC_LOGIT_SQL} >= 0.0) qk
+        USING (doc_id)
+),
+ldrows AS (
+    SELECT doc_id, lang, source, unnest(range(1, len(lns) + 1)) AS i, lns
+    FROM (SELECT doc_id, lang, source,
+                 string_split(scrubbed, chr(10)) AS lns
+          FROM g5)
+),
+ldls AS (
+    SELECT doc_id, lang, source, CAST(i - 1 AS BIGINT) AS pos,
+           lns[CAST(i AS INTEGER)] AS line,
+           trim(lower(lns[CAST(i AS INTEGER)])) AS k
+    FROM ldrows
+),
+ldfst AS (
+    SELECT k, count(*) AS n,
+           min(doc_id * {_LPACK} + pos) AS first_pk
+    FROM ldls WHERE length(k) > 0 GROUP BY k
+),
+ldmk AS (
+    SELECT l.doc_id, l.lang, l.source, l.pos, l.line,
+           coalesce(length(l.k) > 0 AND f.n > 1
+                    AND l.doc_id * {_LPACK} + l.pos <> f.first_pk,
+                    FALSE) AS removed
+    FROM ldls l LEFT JOIN ldfst f ON l.k = f.k
+),
+ldagg AS (
+    SELECT doc_id, max(lang) AS lang, max(source) AS source,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT removed), '') AS ct
+    FROM ldmk GROUP BY doc_id
+),
+g6 AS MATERIALIZED (
+    SELECT doc_id, lang, source, ct AS scrubbed
+    FROM ldagg WHERE length(trim(ct)) > 0
 ),
 dd AS MATERIALIZED (
     SELECT doc_id, lang, source, scrubbed FROM (
         SELECT *, row_number() OVER (PARTITION BY md5(scrubbed)
                                      ORDER BY doc_id) AS rn
-        FROM gated
+        FROM g6
     ) WHERE rn = 1
 )"""
 
@@ -524,6 +688,7 @@ tr AS MATERIALIZED (
 _ORACLE = f"""
 WITH
 {_GATE_SQL.strip()},
+{_QUALITY_SQL.strip()},
 {_MINHASH_SQL.strip()},
 {_SCRUB_SQL.strip()},
 {_DECON_SQL.strip()},
@@ -541,35 +706,44 @@ SELECT * FROM (
                 AS BIGINT)
     FROM gated
     UNION ALL
-    SELECT 4, 'dedup_exact', count(*), CAST(NULL AS BIGINT) FROM dd
+    SELECT 4, 'gopher_rules', count(*), CAST(NULL AS BIGINT) FROM g4
     UNION ALL
-    SELECT 5, 'dedup_minhash', count(*), CAST(NULL AS BIGINT) FROM mh
+    SELECT 5, 'quality_classifier', count(*), CAST(NULL AS BIGINT) FROM g5
     UNION ALL
-    SELECT 6, 'substring_scrub', count(*),
+    SELECT 6, 'dedup_lines', count(*),
+           CAST(coalesce(sum(len(string_split_regex(scrubbed, '\\s+'))), 0)
+                AS BIGINT)
+    FROM g6
+    UNION ALL
+    SELECT 7, 'dedup_exact', count(*), CAST(NULL AS BIGINT) FROM dd
+    UNION ALL
+    SELECT 8, 'dedup_minhash', count(*), CAST(NULL AS BIGINT) FROM mh
+    UNION ALL
+    SELECT 9, 'substring_scrub', count(*),
            CAST(coalesce(sum(CASE WHEN clean_text = '' THEN 0
                                   ELSE len(string_split(clean_text, ' '))
                              END), 0) AS BIGINT)
     FROM docs6
     UNION ALL
-    SELECT 7, 'decontaminate', count(*), CAST(NULL AS BIGINT) FROM docs7
+    SELECT 10, 'decontaminate', count(*), CAST(NULL AS BIGINT) FROM docs7
     UNION ALL
-    SELECT 8, 'tokenize_bpe_trained', count(*),
+    SELECT 11, 'tokenize_bpe_trained', count(*),
            CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
     FROM docs8
     UNION ALL
-    SELECT 9, 'seq_pack', count(DISTINCT (shard, seq_id)),
+    SELECT 12, 'seq_pack', count(DISTINCT (shard, seq_id)),
            (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM docs8)
     FROM seqs
     UNION ALL
-    SELECT 10, 'mix_temperature', CAST(coalesce(sum(n), 0) AS BIGINT),
+    SELECT 13, 'mix_temperature', CAST(coalesce(sum(n), 0) AS BIGINT),
            CAST(coalesce(sum(n * n_tokens), 0) AS BIGINT)
     FROM mkept
     UNION ALL
-    SELECT 11, 'split_train', CAST(coalesce(sum(n), 0) AS BIGINT),
+    SELECT 14, 'split_train', CAST(coalesce(sum(n), 0) AS BIGINT),
            CAST(coalesce(sum(n * n_tokens), 0) AS BIGINT)
     FROM tr
     UNION ALL
-    SELECT 12, 'export', CAST(coalesce(sum(n), 0) AS BIGINT),
+    SELECT 15, 'export', CAST(coalesce(sum(n), 0) AS BIGINT),
            CAST(coalesce(sum(n * n_tokens), 0) AS BIGINT)
     FROM tr
 )
@@ -578,8 +752,8 @@ SELECT * FROM (
 
 @query("pipeline_pretrain_e2e", oracle=_ORACLE)
 def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the full chain (module docstring) and return the 12-row
-    per-stage accounting table. Stages 11 vs 12 differ only in
+    """Run the full chain (module docstring) and return the 15-row
+    per-stage accounting table. Stages 14 vs 15 differ only in
     provenance: split_train is computed from the plan, export is
     re-counted from the files the partitioned sink wrote — equality IS
     the round-trip proof (pipeline_dataset_export's device)."""
@@ -598,8 +772,23 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append((2, "quality_gate", g["c"], None))
     rows.append((3, "pii_scrub", g["c"], g["t"] or 0))
 
-    dd = _materialize(exact_dedup(gated), "pretrain_dd", sf_dir=sf_dir)
-    rows.append((4, "dedup_exact", dd.count(), None))
+    # stages 4-6: the quality battery (rules → classifier → line dedup),
+    # the exact order Gopher/RefinedWeb run before any document dedup
+    g4 = gopher_filter(gated)
+    rows.append((4, "gopher_rules", g4.count(), None))
+
+    g5 = _materialize(classifier_filter(g4), "pretrain_g5", sf_dir=sf_dir)
+    rows.append((5, "quality_classifier", g5.count(), None))
+
+    g6 = _materialize(lines_dedup(g5), "pretrain_g6", sf_dir=sf_dir)
+    s6l = g6.agg(
+        F.count("*").alias("c"),
+        F.sum(F.size(F.split("scrubbed", r"\s+"))).cast("bigint").alias("t"),
+    ).first()
+    rows.append((6, "dedup_lines", s6l["c"], s6l["t"] or 0))
+
+    dd = _materialize(exact_dedup(g6), "pretrain_dd", sf_dir=sf_dir)
+    rows.append((7, "dedup_exact", dd.count(), None))
 
     sets = _materialize(
         _doc_gram_sets_md5(dd.select("doc_id", F.col("scrubbed").alias("text"))),
@@ -607,7 +796,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir=sf_dir,
     )
     mh = _materialize(minhash_survivors(dd, sets), "pretrain_mh", sf_dir=sf_dir)
-    rows.append((5, "dedup_minhash", mh.count(), None))
+    rows.append((8, "dedup_minhash", mh.count(), None))
 
     docs6 = _materialize(substring_clean(mh), "pretrain_docs6", sf_dir=sf_dir)
     s6 = docs6.agg(
@@ -620,12 +809,12 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("t"),
     ).first()
-    rows.append((6, "substring_scrub", s6["c"], s6["t"] or 0))
+    rows.append((9, "substring_scrub", s6["c"], s6["t"] or 0))
 
     docs7 = _materialize(
         decontaminate(docs, docs6), "pretrain_docs7", sf_dir=sf_dir
     )
-    rows.append((7, "decontaminate", docs7.count(), None))
+    rows.append((10, "decontaminate", docs7.count(), None))
 
     # trained byte-BPE over the CLEANED corpus (production trains the
     # tokenizer on what it will tokenize, not on the raw crawl)
@@ -665,7 +854,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c"),
         F.sum("n_tokens").cast("bigint").alias("t"),
     ).first()
-    rows.append((8, "tokenize_bpe_trained", s8["c"], s8["t"] or 0))
+    rows.append((11, "tokenize_bpe_trained", s8["c"], s8["t"] or 0))
 
     w = (
         Window.partitionBy("shard")
@@ -685,7 +874,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    rows.append((9, "seq_pack", n_seqs, s8["t"] or 0))
+    rows.append((12, "seq_pack", n_seqs, s8["t"] or 0))
 
     # temperature mix (sample_temperature's algebra over the cleaned corpus)
     c = (
@@ -726,7 +915,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("c"),
         F.sum(F.col("n") * F.col("n_tokens")).cast("bigint").alias("t"),
     ).first()
-    rows.append((10, "mix_temperature", m["c"] or 0, m["t"] or 0))
+    rows.append((13, "mix_temperature", m["c"] or 0, m["t"] or 0))
 
     split_b = F.conv(
         F.substring(F.md5(F.coalesce(F.col("source"), F.lit(""))), 1, 2),
@@ -738,7 +927,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("c"),
         F.sum(F.col("n") * F.col("n_tokens")).cast("bigint").alias("t"),
     ).first()
-    rows.append((11, "split_train", t["c"] or 0, t["t"] or 0))
+    rows.append((14, "split_train", t["c"] or 0, t["t"] or 0))
 
     # export: explode to physical copies, shuffle-free partitionBy write,
     # re-count from the files (read-back = the round-trip proof)
@@ -763,7 +952,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("c"),
             F.sum("n_tokens").cast("bigint").alias("t"),
         ).first()
-        rows.append((12, "export", e["c"], e["t"] or 0))
+        rows.append((15, "export", e["c"], e["t"] or 0))
     finally:
         shutil.rmtree(out, ignore_errors=True)
         for d_ in (os.path.dirname(out), app_root):
@@ -772,6 +961,8 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             except OSError:
                 pass
 
+    # bounded by construction: `rows` is the 15 Python-side stage tuples
+    # accumulated above (one per pipeline stage), never a collected corpus
     return spark.createDataFrame(
         [(int(a), b, int(c_) if c_ is not None else None,
           int(d) if d is not None else None)

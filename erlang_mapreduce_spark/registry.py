@@ -53,72 +53,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whole registry; tests/test_correctness.py re-proves the whole registry
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
-# Round-15 window (this ordering), oldest-evidence-first policy:
-#   1-3:   quality_classifier_score + text_gopher_rules +
-#          dedup_lines_global, NEW in r15 (zero driver evidence).
-#   4-39:  the 36 r11-evidence ops (the oldest evidence remaining —
-#          r14 VERDICT task 3).
-#   40:    text_bigram_freq (the flagship, in-window every round).
-#   41-50: the first 10 of the r12-evidence block.
-# After r15: no op's driver evidence predates r12.
+# Round-16 window (this ordering), oldest-evidence-first policy:
+#   1:     curate_url_dedup, NEW in r16 (zero driver evidence).
+#   2-40:  the 39 r12-evidence ops (the oldest evidence remaining
+#          after r15 cleared the r11 block — r15 VERDICT task 4).
+#   41:    text_bigram_freq (the flagship, in-window every round).
+#   42-50: the first 9 of the r13-evidence block (including
+#          pipeline_pretrain_e2e, so the driver re-proves the
+#          newly composed 15-stage capstone this round).
+# After r16: no op's driver evidence predates r13.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1-3: NEW in r15, zero driver evidence ---
-    "quality_classifier_score",
-    "text_gopher_rules",
-    "dedup_lines_global",
-    # --- 4-39: the 36 r11-evidence ops (oldest remaining) ---
-    "dedup_passage",
-    "dedup_span_rolling",
-    "sample_quality_weighted",
-    "agg_heavy_hitters",
-    "text_repetition_score",
-    "rollup_time_hypertable",
-    "ts_gap_fill",
-    "win_ntile",
-    "win_range_interval",
-    "cdc_latest_by_key",
-    "text_normalize",
-    "scan_orc",
-    "scan_partition_pruned",
-    "sink_text_formatted",
-    "topk_per_group",
-    "fn_bitwise",
-    "sql_top_revenue_orders",
-    "sql_revenue_by_nation",
-    "stream_custom_state",
-    "dedup_minhash",
-    "stream_watermark_late",
-    "stream_stateful_dedup",
-    "sim_search_ann",
-    "sample_mix_rebalance",
-    "sample_cap_per_source",
-    "agg_ngram_counts",
-    "text_unigram_logprob",
-    "analytics_cohort_retention",
-    "analytics_funnel",
-    "dedup_cluster_keep_best",
-    "stream_file_sink",
-    "analytics_sessionize",
-    "analytics_anomaly_extremes",
-    "cdc_scd2",
-    "join_asof_tolerance",
-    "sample_split_train_eval",
-    # --- 40: the flagship (in-window every round per policy) ---
-    "text_bigram_freq",
-    # --- 41-50: the head of the r12-evidence block ---
-    "text_bpe_tokenize_bytes",
-    "sql_large_volume_customers",
-    "sql_promo_part_suppliers",
-    "agg_approx_exact",
-    "stream_token_budget",
-    "bpe_train_bytes",
-    "text_bpe_tokenize_trained_bytes",
-    "sql_priority_pipeline",
-    "sql_discounted_revenue",
-    "sql_top_supplier",
+    # --- 1: NEW in r16, zero driver evidence ---
+    "curate_url_dedup",
+    # --- 2-40: the 39 r12-evidence ops (oldest remaining) ---
     "sink_python_datasource",
     "scan_python_arrow",
-    # --- 51+: r12-evidence remainder ---
     "pipeline_seq_pack",
     "text_token_count",
     "profile_columns",
@@ -156,7 +105,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_lang_id",
     "multimodal_frame_sample",
     "multimodal_resize",
-    # --- r13 evidence ---
+    # --- 41: the flagship (in-window every round per policy) ---
+    "text_bigram_freq",
+    # --- 42-50: the head of the r13-evidence block ---
     "text_html_extract",
     "pipeline_pretrain_e2e",
     "sql_forecast_revenue",
@@ -166,6 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_lm_perplexity",
     "text_pii_scrub",
     "text_tfidf",
+    # --- 51+: r13-evidence remainder ---
     "text_quality_score",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -206,7 +158,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_interval",
     "agg_hash_count",
     "agg_multi",
-    # --- r14 evidence (freshest) ---
+    # --- r14 evidence ---
     "dedup_semantic",
     "sample_dsir",
     "agg_distinct",
@@ -256,6 +208,56 @@ DRIVER_PRIORITY: list[str] = [
     "stream_sliding",
     "stream_session",
     "text_decontaminate",
+    # --- r15 evidence (freshest) ---
+    "quality_classifier_score",
+    "text_gopher_rules",
+    "dedup_lines_global",
+    "dedup_passage",
+    "dedup_span_rolling",
+    "sample_quality_weighted",
+    "agg_heavy_hitters",
+    "text_repetition_score",
+    "rollup_time_hypertable",
+    "ts_gap_fill",
+    "win_ntile",
+    "win_range_interval",
+    "cdc_latest_by_key",
+    "text_normalize",
+    "scan_orc",
+    "scan_partition_pruned",
+    "sink_text_formatted",
+    "topk_per_group",
+    "fn_bitwise",
+    "sql_top_revenue_orders",
+    "sql_revenue_by_nation",
+    "stream_custom_state",
+    "dedup_minhash",
+    "stream_watermark_late",
+    "stream_stateful_dedup",
+    "sim_search_ann",
+    "sample_mix_rebalance",
+    "sample_cap_per_source",
+    "agg_ngram_counts",
+    "text_unigram_logprob",
+    "analytics_cohort_retention",
+    "analytics_funnel",
+    "dedup_cluster_keep_best",
+    "stream_file_sink",
+    "analytics_sessionize",
+    "analytics_anomaly_extremes",
+    "cdc_scd2",
+    "join_asof_tolerance",
+    "sample_split_train_eval",
+    "text_bpe_tokenize_bytes",
+    "sql_large_volume_customers",
+    "sql_promo_part_suppliers",
+    "agg_approx_exact",
+    "stream_token_budget",
+    "bpe_train_bytes",
+    "text_bpe_tokenize_trained_bytes",
+    "sql_priority_pipeline",
+    "sql_discounted_revenue",
+    "sql_top_supplier",
 ]
 
 

@@ -361,6 +361,9 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_price"),
             )
         )
+        # bounded collect: acct is one row per orderpriority (<= 5) —
+        # materialized because the mixed-version sink dir is deleted in
+        # the finally below
         return spark.createDataFrame(acct.collect(), acct.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -569,6 +569,8 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
             F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
         )
+        # bounded collect: acct is one row per event_type (O(types)); snapshotted to the driver
+        # because the temp sink it reads is deleted in the finally below
         return spark.createDataFrame(acct.collect(), acct.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -721,6 +723,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
             F.col("value").alias("last_value"),
         )
+        # bounded collect: out is a per-group summary (O(groups/keys), fixture <=100s of rows); snapshotted to the driver
+        # because the temp sink it reads is deleted in the finally below
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -853,6 +857,8 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(_KMV_NUM) / F.max("h").cast("double"))
             .alias("est_distinct"),
         )
+        # bounded collect: out is a per-group summary (O(groups/keys), fixture <=100s of rows); snapshotted to the driver
+        # because the temp sink it reads is deleted in the finally below
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -1179,6 +1185,8 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap = spark.read.schema(snap_schema).parquet(
             versions[max(versions)]
         )
+        # bounded collect: snap is the final keyed snapshot (O(distinct keys)); snapshotted to the driver
+        # because the temp sink it reads is deleted in the finally below
         return spark.createDataFrame(snap.collect(), snap.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

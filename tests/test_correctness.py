@@ -9,52 +9,54 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-15 driver window (VERDICT_r14 task 3): the three r15-new ops
-# (quality_classifier_score, text_gopher_rules, dedup_lines_global — zero
-# evidence) MUST lead, then the 36 r11-evidence ops (the oldest evidence
-# remaining after the r14 window), then the flagship at slot 40. The
-# remaining 10 slots take the head of the r12-evidence block. After r15,
-# no op's driver evidence predates r12.
-R15_PRIORITY = [
-    "quality_classifier_score",
-    "text_gopher_rules",
-    "dedup_lines_global",
-    "dedup_passage",
-    "dedup_span_rolling",
-    "sample_quality_weighted",
-    "agg_heavy_hitters",
-    "text_repetition_score",
-    "rollup_time_hypertable",
-    "ts_gap_fill",
-    "win_ntile",
-    "win_range_interval",
-    "cdc_latest_by_key",
-    "text_normalize",
-    "scan_orc",
-    "scan_partition_pruned",
-    "sink_text_formatted",
-    "topk_per_group",
-    "fn_bitwise",
-    "sql_top_revenue_orders",
-    "sql_revenue_by_nation",
-    "stream_custom_state",
-    "dedup_minhash",
-    "stream_watermark_late",
-    "stream_stateful_dedup",
-    "sim_search_ann",
-    "sample_mix_rebalance",
-    "sample_cap_per_source",
-    "agg_ngram_counts",
-    "text_unigram_logprob",
-    "analytics_cohort_retention",
-    "analytics_funnel",
-    "dedup_cluster_keep_best",
-    "stream_file_sink",
-    "analytics_sessionize",
-    "analytics_anomaly_extremes",
-    "cdc_scd2",
-    "join_asof_tolerance",
-    "sample_split_train_eval",
+# Round-16 driver window (VERDICT_r15 task 4): the r16-new op
+# (curate_url_dedup — zero evidence) MUST lead, then the 39 r12-evidence
+# ops (the oldest evidence remaining after the r15 window cleared the
+# r11 block), then the flagship at slot 41. The remaining 9 slots take
+# the head of the r13-evidence block — including pipeline_pretrain_e2e,
+# so the driver re-proves the newly composed 15-stage capstone. After
+# r16, no op's driver evidence predates r13.
+R16_PRIORITY = [
+    "curate_url_dedup",
+    "sink_python_datasource",
+    "scan_python_arrow",
+    "pipeline_seq_pack",
+    "text_token_count",
+    "profile_columns",
+    "analytics_active_users_7d",
+    "analytics_pareto_topk",
+    "merge_upsert",
+    "compact_small_files",
+    "agg_quantile_bins",
+    "graph_pagerank",
+    "stream_foreachbatch_upsert",
+    "text_ngram_novelty",
+    "fn_nested",
+    "scan_schema_evolution",
+    "join_bloom_filtered",
+    "sort_zorder_layout",
+    "snapshot_time_travel",
+    "analytics_pattern_match",
+    "scan_python_datasource",
+    "fn_url",
+    "agg_bitmap_distinct",
+    "ivf_centroids",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_small_qty_revenue",
+    "analytics_transition_matrix",
+    "scan_binary_files",
+    "analytics_rfm",
+    "stream_python_source",
+    "dedup_cluster_downweight",
+    "dedup_containment",
+    "dq_expectations",
+    "sql_waiting_suppliers",
+    "text_fingerprint",
+    "multimodal_meta",
+    "text_lang_id",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     "text_bigram_freq",
 ]
 
@@ -69,32 +71,31 @@ def test_driver_priority_covers_registry():
 
 
 def test_rotation_targets_in_first_50():
-    """Round-15 rotation goal: the r15-new zero-evidence op and the 36
-    r11-evidence ops LEAD the checked window, the flagship holds slot 38,
-    and r12-evidence ops fill the rest EXACTLY — every slot accounted
+    """Round-16 rotation goal: the r16-new zero-evidence op and the 39
+    r12-evidence ops LEAD the checked window, the flagship holds slot 41,
+    and r13-evidence ops fill the rest EXACTLY — every slot accounted
     for, so a list edit cannot silently push a priority op past position
     50 (the round-9 review caught the section comments drifting exactly
     this way)."""
     order = list(QUERIES)
-    assert order[: len(R15_PRIORITY)] == R15_PRIORITY
+    assert order[: len(R16_PRIORITY)] == R16_PRIORITY
     first50 = order[:50]
-    # the remaining window slots must all be r12-evidence ops: no
+    # the remaining window slots must all be r13-evidence ops: no
     # zero-evidence or priority op may be displaced below the cutoff
-    R12_EVIDENCE_HEAD = {
-        "text_bpe_tokenize_bytes",
-        "sql_large_volume_customers",
-        "sql_promo_part_suppliers",
-        "agg_approx_exact",
-        "stream_token_budget",
-        "bpe_train_bytes",
-        "text_bpe_tokenize_trained_bytes",
-        "sql_priority_pipeline",
-        "sql_discounted_revenue",
-        "sql_top_supplier",
+    R13_EVIDENCE_HEAD = {
+        "text_html_extract",
+        "pipeline_pretrain_e2e",
+        "sql_forecast_revenue",
+        "sql_returned_items",
+        "sql_product_profit",
+        "text_sentence_split",
+        "text_lm_perplexity",
+        "text_pii_scrub",
+        "text_tfidf",
     }
-    tail = set(first50[len(R15_PRIORITY):])
-    assert len(first50) == 50 and tail <= R12_EVIDENCE_HEAD, (
-        sorted(tail - R12_EVIDENCE_HEAD)
+    tail = set(first50[len(R16_PRIORITY):])
+    assert len(first50) == 50 and tail <= R13_EVIDENCE_HEAD, (
+        sorted(tail - R13_EVIDENCE_HEAD)
     )
 
 

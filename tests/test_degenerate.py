@@ -53,7 +53,7 @@ _NONZERO_ON_EMPTY = {
     "stream_python_source": 7,
     "dq_expectations": 5,  # one report row per check; empty ⇒ vacuous pass
     # one accounting row per pipeline stage (counts = 0 on empty input)
-    "pipeline_pretrain_e2e": 12,
+    "pipeline_pretrain_e2e": 15,
     # Q6 is a global aggregate with no GROUP BY: one row (NULL revenue,
     # count 0) on empty input — both engines agree
     "sql_forecast_revenue": 1,

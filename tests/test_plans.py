@@ -472,7 +472,11 @@ def test_pretrain_capstone_stage_budgets(spark, sf_dir):
     """Per-stage exchange budgets for pipeline_pretrain_e2e, pinned at
     the materialization boundaries the op actually executes (the lazy
     end-to-end tree re-expands shared inputs, so its node count is not
-    the executed cost): gate+scrub fuse narrowly over the scan; exact
+    the executed cost): gate+scrub fuse narrowly over the scan; the
+    gopher rule battery AND the classifier are pure narrow filters
+    (ZERO exchanges, zero Python — the classifier's weight table is
+    constant-folded, never joined); the global line dedup spends <= 4
+    (line-key agg + join-back + doc reassembly) with NO window; exact
     dedup is ONE keyed shuffle; the minhash stage spends 3 (band
     self-join + candidate distinct + verify hydration); substring scrub
     5 with exactly one run window (the dedup_substring posting-list
@@ -491,7 +495,25 @@ def test_pretrain_capstone_stage_budgets(spark, sf_dir):
     assert count_nodes(pg, "Exchange") == 0, pg
     assert count_nodes(pg, "Scan parquet") == 1
 
-    dd = pt.exact_dedup(gated)
+    g4 = pt.gopher_filter(gated)
+    p4 = plan_of(g4)
+    assert count_nodes(p4, "Exchange") == 0, p4
+    assert "EvalPython" not in p4
+
+    g5 = pt.classifier_filter(g4)
+    p5 = plan_of(g5)
+    assert count_nodes(p5, "Exchange") == 0, p5
+    assert "EvalPython" not in p5
+    assert "Join" not in p5  # the weight table is folded, not joined
+
+    g5c = g5.localCheckpoint()
+    g6 = pt.lines_dedup(g5c)
+    p6l = plan_of(g6)
+    assert count_nodes(p6l, "Exchange") <= 4, p6l
+    assert count_nodes(p6l, "Window") == 0, p6l
+
+    g6c = g6.localCheckpoint()
+    dd = pt.exact_dedup(g6c)
     assert count_nodes(plan_of(dd), "Exchange") == 1
 
     ddc = dd.localCheckpoint()
@@ -530,6 +552,19 @@ def test_semantic_collapse_key_is_digest_not_vector(spark, sf_dir):
 
     assert not re.search(r"hashpartitioning\(v#", p), p
     assert "md5" in plan_of(QUERIES["dedup_semantic"](spark, sf_dir))
+
+
+def test_url_dedup_single_keyed_exchange(spark, sf_dir):
+    """curate_url_dedup must be ONE narrow projection (synthesize → parse
+    → canonicalize → blocklist flag) plus ONE canonical-URL-keyed window
+    exchange for the keep-first min — no join, no Python, no global sort:
+    the cheapest possible crawl-dedup shape (r15 VERDICT task 3)."""
+    df = QUERIES["curate_url_dedup"](spark, sf_dir)
+    p = plan_of(df)
+    assert count_nodes(p, "Scan parquet") == 1, p
+    assert "EvalPython" not in p
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning(") == 1, p
 
 
 def test_quality_classifier_single_scan_broadcast_model(spark, sf_dir):

@@ -386,7 +386,7 @@ DOC_OPS = (
     "sample_quality_weighted", "sample_mix_rebalance",
     "sample_cap_per_source", "sample_split_train_eval",
     "sample_temperature", "sample_dsir", "quality_classifier_score",
-    "text_gopher_rules", "dedup_lines_global",
+    "text_gopher_rules", "dedup_lines_global", "curate_url_dedup",
     "agg_ngram_counts", "agg_ngram_df_sketch", "text_novelty_sketch",
     "text_chunk_overlap", "decontaminate_bloom", "graph_triangle_count",
     "agg_heavy_hitters",

@@ -259,9 +259,15 @@ def subset_main(ops: tuple[str, ...]) -> None:
     while t_end < len(lines) and lines[t_end].startswith("|"):
         t_end += 1
     rows = {}
+    # clamp the 1x denominator: a sub-millisecond cell rounds to 0.000 and
+    # would ZeroDivisionError mid-merge, aborting the SCALING.md rewrite
+    # (r15 ADVICE item 4 — mirrors bench.py's prev_sweep>0 guard)
+    def _alpha(r):
+        return math.log(r["x10"] / max(r["x1"], 0.001)) / math.log(10)
+
     for op in ops:
         r = results[op]
-        alpha = math.log(r["x10"] / r["x1"]) / math.log(10)
+        alpha = _alpha(r)
         rows[op] = (
             f"| {op} | {r['x1']:.3f} | {r['x3']:.3f} | {r['x10']:.3f} "
             f"| {alpha:.2f} |"
@@ -282,7 +288,7 @@ def subset_main(ops: tuple[str, ...]) -> None:
              ""]
     for op in ops:
         r = results[op]
-        alpha = math.log(r["x10"] / r["x1"]) / math.log(10)
+        alpha = _alpha(r)
         note = SUBSET_DECISIONS.get(
             op, "no decision note registered — add one to "
                 "SUBSET_DECISIONS."
@@ -303,7 +309,106 @@ def subset_main(ops: tuple[str, ...]) -> None:
         print(op, results[op], rows[op])
 
 
+# Decision notes for the x30 marginal addendum (``--x30 <ops>`` mode).
+X30_DECISIONS: dict[str, str] = {
+    "dedup_lines_global": (
+        "the 10x subset probe measured alpha -0.07 (an upper-bound "
+        "artifact: full replication makes EVERY line corpus-duplicated, "
+        "so the output/reassembly side SHRINKS as the removal rate "
+        "saturates); the 10x->30x marginal point isolates the true "
+        "growth term — expect ~1 (the posexplode, line-key agg, and "
+        "join-back are all corpus-linear; the distinct-line relation is "
+        "constant under replication). Decision: scale-safe; at 100 TB "
+        "swap the join key to xxhash64(line) per the op docstring so "
+        "the line-key exchange ships 8-byte keys, not raw lines."
+    ),
+}
+
+
+def x30_main(ops: tuple[str, ...]) -> None:
+    """Measure ONLY ``ops`` at x10 and x30 (documents-only replication,
+    like the X30_OPS block of the full probe) and surgically merge their
+    10x->30x marginal-alpha rows into SCALING.md's marginal table, plus a
+    marker-delimited decision-note addendum — the targeted version of the
+    full probe's marginal pass (r15 VERDICT task 6)."""
+    unknown = [o for o in ops if o not in QUERIES]
+    if unknown:
+        print(f"unknown ops: {unknown}", file=sys.stderr)
+        sys.exit(2)
+    d10 = os.path.join(ROOT, "x10")
+    d30 = os.path.join(ROOT, "x30")
+    build(d10, SCALES["x10"])
+    build(d30, X30_REPS, replicate=frozenset({"documents"}))
+    spark = get_spark("scaling-probe-x30")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    for op in ops:  # warmup: JVM + codegen outside the timed region
+        force(QUERIES[op](spark, "/root/testdata/sf0.001"))
+    results: dict[str, dict[str, float]] = {op: {} for op in ops}
+    for sname, d in (("x10", d10), ("x30", d30)):
+        for op in ops:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(QUERIES[op](spark, d))
+                ts.append(time.perf_counter() - t0)
+                release_transient_storage()
+            results[op][sname] = round(min(ts), 3)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.md")
+    with open(out) as f:
+        text = f.read()
+    lines = text.split("\n")
+    hdr = lines.index("| op | 10x (s) | 30x (s) | alpha(10->30) |")
+    t_end = hdr + 2
+    while t_end < len(lines) and lines[t_end].startswith("|"):
+        t_end += 1
+    rows = {}
+    for op in ops:
+        r = results[op]
+        a30 = math.log(r["x30"] / max(r["x10"], 0.001)) / math.log(3)
+        rows[op] = f"| {op} | {r['x10']:.3f} | {r['x30']:.3f} | {a30:.2f} |"
+    replaced = set()
+    for i in range(hdr + 2, t_end):
+        name = lines[i].split("|")[1].strip()
+        if name in rows:
+            lines[i] = rows[name]
+            replaced.add(name)
+    lines[t_end:t_end] = [rows[op] for op in ops if op not in replaced]
+    text = "\n".join(lines)
+    ss, se = "<!-- x30-subset:start -->", "<!-- x30-subset:end -->"
+    notes = [ss, "", "### x30 marginal addendum (tools/scaling_probe.py "
+             "--x30 <ops>)", "",
+             "Marginal rows above merged by a targeted re-probe; decision "
+             "notes:", ""]
+    for op in ops:
+        r = results[op]
+        a30 = math.log(r["x30"] / max(r["x10"], 0.001)) / math.log(3)
+        notes.append(f"- `{op}` (alpha(10->30) {a30:.2f}): " + X30_DECISIONS.get(
+            op, "no decision note registered — add one to X30_DECISIONS."))
+    notes += ["", se]
+    block = "\n".join(notes)
+    if ss in text:
+        text = text[: text.index(ss)] + block + text[
+            text.index(se) + len(se):]
+    else:
+        zs = "<!-- zipf-probe:start -->"
+        at = text.index(zs) if zs in text else len(text)
+        text = text[:at] + block + "\n\n" + text[at:]
+    with open(out, "w") as f:
+        f.write(text)
+    for op in ops:
+        print(op, results[op], rows[op])
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--x30":
+        x30_main(tuple(sys.argv[2:]))
+        return
     if len(sys.argv) > 1:
         subset_main(tuple(sys.argv[1:]))
         return
@@ -532,7 +637,7 @@ def main() -> None:
         f"- Round-13 ops: text_html_extract ({a('text_html_extract')}) is",
         "  a chain of narrow regexp projections over replicated documents",
         "  — scan-tracking, no shuffle at any scale. pipeline_pretrain_e2e",
-        f"  ({a('pipeline_pretrain_e2e')}) composes the full ten-stage",
+        f"  ({a('pipeline_pretrain_e2e')}) composes the full 15-stage",
         "  chain; its cost is the sum of its stages (dedup stages collapse",
         "  to DISTINCT texts — constant here — while gate/scrub/tokenize/",
         "  pack/export scale with the corpus), so its alpha sits between",
