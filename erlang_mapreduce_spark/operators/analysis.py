@@ -1184,7 +1184,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, zero shuffle, zero UDF). Cross-engine exactness: all counts
     are integers; each ratio is a single IEEE divide of exact integers
     (bit-identical on both engines — the text_quality_score precedent);
-    NULL ratios (zero denominators) fail the CASE on both engines.
+    NULL ratios (zero denominators) fail the CASE on both engines; the
+    tokenizer splits on the explicit `_G_WS_CLASS` character class, so
+    Java regex and RE2 agree by construction (not by corpus discipline —
+    bare \\s differs on \\x0B between them).
     Reference scope: beyond mapreduce.erl (no reference counterpart);
     included per the LLM-pipeline brief."""
     d = load(spark, sf_dir, "documents")

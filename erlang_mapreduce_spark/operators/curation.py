@@ -1856,3 +1856,140 @@ def curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("kept"),
     )
+
+
+# --- domain-level quality filtering (per-host aggregate decision) ----------
+
+from .analysis import _G_KEEP_SQL, _gopher_arrays, _gopher_ctes  # noqa: E402
+from .analysis import _gopher_keep, _gopher_metrics  # noqa: E402
+
+DOM_RULE_FRAC = 0.6  # domain keep needs >= this fraction of rule-passing docs
+DOM_CLS_FRAC = 0.4   # ... and >= this fraction of classifier-passing docs
+DOM_MIN_DOCS = 3     # domains with fewer docs carry no signal: not kept
+
+
+@query(
+    "curate_domain_filter",
+    oracle=f"""
+WITH hosts AS (
+    SELECT doc_id,
+           regexp_replace(lower(
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'WWW.' || source || '.Example.COM'
+                    WHEN 1 THEN 'www.' || source || '.example.com'
+                    ELSE source || '.example.com' END
+           ), '^www\\.', '') AS host
+    FROM documents
+),
+{_gopher_ctes(src="documents", col="text", p="df")},
+{_hashed_feats_ctes(src="documents", col="text", p="dc")},
+{_qc_score_ctes(p="dc")},
+flags AS (
+    SELECT h.host,
+           CASE WHEN {_G_KEEP_SQL} THEN 1 ELSE 0 END AS rk,
+           CASE WHEN {_QC_LOGIT_SQL} >= 0.0 THEN 1 ELSE 0 END AS ck
+    FROM hosts h
+    LEFT JOIN dfr ON dfr.doc_id = h.doc_id
+    LEFT JOIN dcqsc ON dcqsc.doc_id = h.doc_id
+),
+agg AS (
+    SELECT host, count(*) AS n_docs,
+           CAST(sum(rk) AS BIGINT) AS n_rule_keep,
+           CAST(sum(ck) AS BIGINT) AS n_cls_keep
+    FROM flags GROUP BY host
+)
+SELECT host, n_docs, n_rule_keep, n_cls_keep,
+       round(CAST(n_rule_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           AS rule_frac,
+       round(CAST(n_cls_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           AS cls_frac,
+       round(CAST(n_rule_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           >= {DOM_RULE_FRAC}
+       AND round(CAST(n_cls_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           >= {DOM_CLS_FRAC}
+       AND n_docs >= {DOM_MIN_DOCS} AS domain_keep
+FROM agg
+""",
+)
+def curate_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-LEVEL quality filtering — the aggregation stage RefinedWeb
+    (Penedo et al. 2023) and Gopher's MassiveWeb run on top of per-doc
+    quality signals: score every document (rule battery + linear
+    classifier), aggregate per canonical host, and decide KEEP/DROP for
+    the whole domain (a host whose docs mostly fail quality is a spam/SEO
+    farm; dropping it removes its future crawls too). Emits one row per
+    canonical host: doc count, rule-pass and classifier-pass counts and
+    fractions, and the domain decision.
+
+    Composes three proven devices end-to-end: curate_url_dedup's
+    deterministic URL synthesis + canonicalization (same host derivation),
+    text_gopher_rules' rule battery (shared `_gopher_*` helpers), and
+    quality_classifier_score's model in its constant-folded narrow
+    inference shape (`qc_logit_narrow`).
+
+    Spark-first shape, 100 TB story: ONE corpus scan carrying THREE
+    narrow per-row signals (host parse, rule keep, classifier logit —
+    zero joins, the weight table is constant-folded) into ONE host-keyed
+    hash agg (map-side combinable integer counts). Nothing else moves:
+    the decision table is O(domains), the cheapest possible shape for a
+    corpus-wide domain audit; the oracle's LEFT JOINs exist only because
+    SQL composes the signals relationally — relationally-absent signals
+    (NULL text, zero features) count as failing on both engines (CASE /
+    when-otherwise 0). All counts are integers, each fraction is one IEEE
+    divide of exact integers rounded to 6, and the decision compares
+    rounded values and integers only. Reference scope: beyond
+    mapreduce.erl; included per the LLM-pipeline brief."""
+    d = load(spark, sf_dir, "documents")
+    host_raw = (
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.COM")),
+        )
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 1,
+            F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    )
+    chost = F.regexp_replace(F.lower(host_raw), r"^www\.", "")
+    ws, ls, n_sym = _gopher_arrays(F.col("text"))
+    per_doc = scan_parallel(d).select(
+        chost.alias("host"),
+        ws.alias("_ws"),
+        ls.alias("_ls"),
+        n_sym.alias("_sym"),
+        qc_logit_narrow(F.col("text")).alias("_logit"),
+    )
+    rule_keep = _gopher_keep(
+        _gopher_metrics(F.col("_ws"), F.col("_ls"), F.col("_sym"))
+    )
+    flags = per_doc.select(
+        "host",
+        F.when(rule_keep, 1).otherwise(0).alias("rk"),
+        F.when(F.col("_logit") >= 0.0, 1).otherwise(0).alias("ck"),
+    )
+    agg = flags.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("rk").cast("bigint").alias("n_rule_keep"),
+        F.sum("ck").cast("bigint").alias("n_cls_keep"),
+    )
+    rule_frac = F.round(
+        F.col("n_rule_keep").cast("double") / F.col("n_docs").cast("double"),
+        6,
+    )
+    cls_frac = F.round(
+        F.col("n_cls_keep").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_rule_keep",
+        "n_cls_keep",
+        rule_frac.alias("rule_frac"),
+        cls_frac.alias("cls_frac"),
+        (
+            (rule_frac >= DOM_RULE_FRAC)
+            & (cls_frac >= DOM_CLS_FRAC)
+            & (F.col("n_docs") >= DOM_MIN_DOCS)
+        ).alias("domain_keep"),
+    )

@@ -54,18 +54,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # locally each run (artifact CORRECTNESS_local_full.json).
 #
 # Round-16 window (this ordering), oldest-evidence-first policy:
-#   1:     curate_url_dedup, NEW in r16 (zero driver evidence).
-#   2-40:  the 39 r12-evidence ops (the oldest evidence remaining
+#   1-2:   curate_url_dedup + curate_domain_filter, NEW in r16 (zero
+#          driver evidence).
+#   3-41:  the 39 r12-evidence ops (the oldest evidence remaining
 #          after r15 cleared the r11 block — r15 VERDICT task 4).
-#   41:    text_bigram_freq (the flagship, in-window every round).
-#   42-50: the first 9 of the r13-evidence block (including
+#   42:    text_bigram_freq (the flagship, in-window every round).
+#   43-50: the first 8 of the r13-evidence block (including
 #          pipeline_pretrain_e2e, so the driver re-proves the
 #          newly composed 15-stage capstone this round).
 # After r16: no op's driver evidence predates r13.
 DRIVER_PRIORITY: list[str] = [
-    # --- 1: NEW in r16, zero driver evidence ---
+    # --- 1-2: NEW in r16, zero driver evidence ---
     "curate_url_dedup",
-    # --- 2-40: the 39 r12-evidence ops (oldest remaining) ---
+    "curate_domain_filter",
+    # --- 3-41: the 39 r12-evidence ops (oldest remaining) ---
     "sink_python_datasource",
     "scan_python_arrow",
     "pipeline_seq_pack",
@@ -105,9 +107,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_lang_id",
     "multimodal_frame_sample",
     "multimodal_resize",
-    # --- 41: the flagship (in-window every round per policy) ---
+    # --- 42: the flagship (in-window every round per policy) ---
     "text_bigram_freq",
-    # --- 42-50: the head of the r13-evidence block ---
+    # --- 43-50: the head of the r13-evidence block ---
     "text_html_extract",
     "pipeline_pretrain_e2e",
     "sql_forecast_revenue",
@@ -116,8 +118,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_sentence_split",
     "text_lm_perplexity",
     "text_pii_scrub",
-    "text_tfidf",
     # --- 51+: r13-evidence remainder ---
+    "text_tfidf",
     "text_quality_score",
     "dedup_ngram_jaccard",
     "dedup_simhash",

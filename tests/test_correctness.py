@@ -9,15 +9,17 @@ from erlang_mapreduce_spark.registry import DRIVER_PRIORITY, ORACLES, QUERIES
 
 from .oracle import assert_driver_hashable, driver_canon, run_compare
 
-# Round-16 driver window (VERDICT_r15 task 4): the r16-new op
-# (curate_url_dedup — zero evidence) MUST lead, then the 39 r12-evidence
-# ops (the oldest evidence remaining after the r15 window cleared the
-# r11 block), then the flagship at slot 41. The remaining 9 slots take
+# Round-16 driver window (VERDICT_r15 task 4): the two r16-new ops
+# (curate_url_dedup, curate_domain_filter — zero evidence) MUST lead,
+# then the 39 r12-evidence ops (the oldest evidence remaining after the
+# r15 window cleared the r11 block), then the flagship at slot 42. The
+# remaining 8 slots take
 # the head of the r13-evidence block — including pipeline_pretrain_e2e,
 # so the driver re-proves the newly composed 15-stage capstone. After
 # r16, no op's driver evidence predates r13.
 R16_PRIORITY = [
     "curate_url_dedup",
+    "curate_domain_filter",
     "sink_python_datasource",
     "scan_python_arrow",
     "pipeline_seq_pack",
@@ -72,7 +74,7 @@ def test_driver_priority_covers_registry():
 
 def test_rotation_targets_in_first_50():
     """Round-16 rotation goal: the r16-new zero-evidence op and the 39
-    r12-evidence ops LEAD the checked window, the flagship holds slot 41,
+    r12-evidence ops LEAD the checked window, the flagship holds slot 42,
     and r13-evidence ops fill the rest EXACTLY — every slot accounted
     for, so a list edit cannot silently push a priority op past position
     50 (the round-9 review caught the section comments drifting exactly
@@ -91,7 +93,6 @@ def test_rotation_targets_in_first_50():
         "text_sentence_split",
         "text_lm_perplexity",
         "text_pii_scrub",
-        "text_tfidf",
     }
     tail = set(first50[len(R16_PRIORITY):])
     assert len(first50) == 50 and tail <= R13_EVIDENCE_HEAD, (

@@ -567,6 +567,20 @@ def test_url_dedup_single_keyed_exchange(spark, sf_dir):
     assert p.count("hashpartitioning(") == 1, p
 
 
+def test_domain_filter_single_scan_single_agg(spark, sf_dir):
+    """curate_domain_filter must carry all three per-doc signals (host,
+    rule keep, classifier logit) on ONE corpus scan into ONE host-keyed
+    hash agg — no joins (the classifier weights are constant-folded, the
+    rule battery is a projection), no Python, no window."""
+    df = QUERIES["curate_domain_filter"](spark, sf_dir)
+    p = plan_of(df)
+    assert count_nodes(p, "Scan parquet") == 1, p
+    assert "EvalPython" not in p
+    assert "Join" not in p, p
+    assert count_nodes(p, "Window") == 0
+    assert p.count("hashpartitioning(") == 1, p
+
+
 def test_quality_classifier_single_scan_broadcast_model(spark, sf_dir):
     """quality_classifier_score must be scan → explode → 2 hash aggs →
     BROADCAST model join: one corpus scan, no sort-merge join, and the

@@ -387,6 +387,7 @@ DOC_OPS = (
     "sample_cap_per_source", "sample_split_train_eval",
     "sample_temperature", "sample_dsir", "quality_classifier_score",
     "text_gopher_rules", "dedup_lines_global", "curate_url_dedup",
+    "curate_domain_filter",
     "agg_ngram_counts", "agg_ngram_df_sketch", "text_novelty_sketch",
     "text_chunk_overlap", "decontaminate_bloom", "graph_triangle_count",
     "agg_heavy_hitters",
@@ -477,6 +478,48 @@ def test_stream_replay_op_matches_oracle_on_random_events(
 # Self-generating Python sources: their output is data-independent (the
 # source synthesizes its own rows), so randomized input tables cannot
 # exercise anything the fixed run does not.
+@pytest.fixture(scope="module")
+def null_source_corpus(tmp_path_factory):
+    """Five documents with NULL source / NULL text — the one hole the
+    random corpora never produce (source is always populated there). The
+    URL-stage ops synthesize their URL from source, so a NULL source must
+    null the url/canonical/blocked chain identically on both engines and
+    land kept = FALSE (Spark when/coalesce vs SQL NULL-strict concat)."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("null_source"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, ?, ?, ?)",
+        [
+            (0, "the quick brown fox with that have be to of", "en", None, 44),
+            (1, None, None, "src1", None),
+            (2, "the and that have with lines\nof be to", "en", "src1", 38),
+            (3, "the and that have with lines\nof be to", "en", "src4", 38),
+            (4, None, None, None, None),
+        ],
+    )
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copyfile(
+            os.path.join(_SRC, f"{t}.parquet"), os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+@pytest.mark.parametrize(
+    "name", ["curate_url_dedup", "curate_domain_filter"]
+)
+def test_url_ops_null_source(spark, null_source_corpus, name):
+    run_compare(spark, name, null_source_corpus)
+
+
 _FUZZ_EXEMPT = frozenset(
     {"scan_python_datasource", "scan_python_arrow", "stream_python_source"}
 )

@@ -168,6 +168,23 @@ SUBSET_DECISIONS: dict[str, str] = {
         "scale-safe; at 100 TB key the join on xxhash64(line) per the "
         "docstring."
     ),
+    "curate_url_dedup": (
+        "one narrow projection (URL synth + parse_url + canonicalize + "
+        "seeded blocklist flag) into ONE canonical-URL-keyed window for "
+        "the keep-first min — no join, no sort, no Python; replication "
+        "multiplies rows per canonical URL but the exchange stays one "
+        "keyed shuffle of url-sized rows. Decision: scale-safe as "
+        "planned; at 100 TB the window key becomes xxhash64(canonical) "
+        "if URL strings dominate the shuffle bytes."
+    ),
+    "curate_domain_filter": (
+        "ONE corpus scan carrying three narrow per-row signals (host "
+        "parse, gopher rule battery, constant-folded classifier fold) "
+        "into ONE host-keyed integer hash agg — the per-row fold over "
+        "unigram+bigram features is the dominant term and is "
+        "corpus-linear by construction; the agg output is O(domains). "
+        "Decision: scale-safe as planned, no change."
+    ),
 }
 
 # The steepest SCALING rows (the token-linear family) get one extra 30×
