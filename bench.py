@@ -152,9 +152,11 @@ TRACKED_ONLY = (
 # passes and reports the median of 7 (r14 VERDICT task 2 — the official
 # spread target is iqr_pct_med ≤ 15, iqr_pct_max ≤ 30), r16+ = a SECOND
 # escalation tier (any op still over 30% after 7 passes gets 2 more →
-# median of 9; a HEADLINE op still over 30% after 9 falls back to its
-# isolated-session median when one is recorded, disclosed in the
-# official line under "isolated_substituted" — r15 VERDICT task 5: the
+# median of 9; a HEADLINE op still over 30% after 9 is re-measured by
+# tools/isolated_timing.py in a fresh subprocess JVM after the bench
+# session stops, and that fresh isolated median becomes the official
+# cell, disclosed in the official line under "isolated_substituted" —
+# r15 VERDICT task 5: the
 # official artifact shipped iqr_pct_max 30.4 against the ≤30 bar), and
 # r16 also samples cpu_ref_sec as a STATISTIC — one probe before the
 # timed passes and one after EVERY pass (main, stall-rerun, extension),
@@ -364,16 +366,36 @@ def main() -> None:
     iqr = {n: _iqr(ts) for n, ts in passes.items()}
 
     # last resort (r15 VERDICT task 5): a HEADLINE op still over 30%
-    # after 9 passes takes its fresh-session isolated median
-    # (tools/isolated_timing.py, persisted under "isolated") as the
-    # official cell — the isolated session is the better instrument for
-    # an op the shared suite context keeps perturbing; the substitution
-    # is disclosed in the official line.
-    iso_prior = prior.get("isolated") or {}
+    # after 9 passes is re-measured by tools/isolated_timing.py in a
+    # FRESH subprocess JVM — the bench session is stopped first (the r15
+    # adjudication lesson: a live 32-thread JVM inflated a 3 s op to
+    # 26 s) — and the official cell becomes that fresh isolated median.
+    # Never a stale prior-round isolated value: ambient machine speed
+    # drifts round-to-round (see cpu_ref_samples), so only a same-run
+    # re-measure is comparable. The substitution is disclosed in the
+    # official line; timed work is over by here, so stopping the session
+    # costs nothing (the adjudication step re-stops harmlessly).
+    noisy_final = [
+        n for n in HEADLINE
+        if timings[n] > 0 and 100.0 * iqr[n] / timings[n] > 30.0
+    ]
     isolated_substituted: dict[str, list[float]] = {}
-    for n in HEADLINE:
-        if timings[n] > 0 and 100.0 * iqr[n] / timings[n] > 30.0:
-            iso = iso_prior.get(n)
+    iso_merged: dict | None = None
+    if noisy_final and os.environ.get("SPARK_GRAFT_SWEEP", "1") == "1":
+        spark.stop()
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "isolated_timing.py"), *noisy_final],
+            capture_output=True, text=True,
+        )
+        try:
+            with open(detail_path) as f:
+                iso_merged = json.load(f).get("isolated", {})
+        except (OSError, ValueError):
+            iso_merged = None
+        for n in noisy_final:
+            iso = (iso_merged or {}).get(n)
             if isinstance(iso, dict) and iso.get("median"):
                 isolated_substituted[n] = [timings[n], iso["median"]]
                 timings[n] = iso["median"]
@@ -429,8 +451,11 @@ def main() -> None:
               "ext_passes": ext_pass_totals}
     # preserve per-op isolated re-timings (tools/isolated_timing.py,
     # "isolated") across full-bench rewrites, so drift adjudications and
-    # tail-op evidence stay next to the medians
-    if "isolated" in prior:
+    # tail-op evidence stay next to the medians; if the iso-fallback just
+    # re-measured, its merged dict (prior + this run's fresh values) wins
+    if iso_merged is not None:
+        detail["isolated"] = iso_merged
+    elif "isolated" in prior:
         detail["isolated"] = prior["isolated"]
 
     # The full-registry tail sweep already ran in a fresh subprocess BEFORE
