@@ -114,19 +114,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the life of the shared session; a consumer that outlives the release
     # just recomputes from lineage.
     ed = pooled_persist(edges.join(deg, "src"))
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(1_000_000).cast("bigint").alias("r"),
-    )
-    for _ in range(PR_ITERS):
-        contrib = ed.join(ranks, ed.src == ranks.node).select(
-            "dst", F.expr("r div d").alias("c")
-        )
-        ranks = contrib.groupBy("dst").agg(
+
+    def _damp(contrib: DataFrame) -> DataFrame:
+        return contrib.groupBy("dst").agg(
             F.expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").alias(
                 "r"
             )
         ).select(F.col("dst").alias("node"), "r")
+
+    # Round 1 is algebraic: the initial rank is the CONSTANT 1e6 on every
+    # node, and `ed` already carries each src's out-degree — so the first
+    # contribution is `1e6 div d` straight off the cached edge table, no
+    # rank⋈edges join and no rank-init aggregate (guide §2.4: remove
+    # shuffles outright). Plan: 2 exchanges fewer per invocation (the
+    # deg-init agg and the round-1 join exchange); values are identical
+    # (same integer expression the unrolled oracle computes for r1).
+    ranks = _damp(ed.select("dst", F.expr("1000000 div d").alias("c")))
+    for _ in range(PR_ITERS - 1):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            "dst", F.expr("r div d").alias("c")
+        )
+        ranks = _damp(contrib)
     out = ranks.select(
         F.concat(
             F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),

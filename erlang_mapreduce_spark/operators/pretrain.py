@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from ..ckpt import release_transient_storage
 from ..registry import query
-from ..tables import load
+from ..tables import load, scan_parallel
 from .analysis import (
     _EMAIL_RE,
     _G_KEEP_SQL,
@@ -158,6 +158,34 @@ def classifier_filter(g4: DataFrame) -> DataFrame:
     exchanges and ZERO joins to the pipeline; keep logit >= 0 (the
     standalone op's keep rule)."""
     return g4.filter(qc_logit_narrow(F.col("scrubbed")) >= 0.0)
+
+
+def quality_flags(gated: DataFrame) -> DataFrame:
+    """Stages 4+5 as FLAGS in one narrow projection: the Gopher rule
+    battery verdict and the classifier verdict computed side by side over
+    the scrubbed text (identical expressions to `gopher_filter` /
+    `classifier_filter` — filtering on the conjunction commutes with
+    filtering in sequence, so stage counts are unchanged). Exists so
+    `pipeline_pretrain_e2e` can materialize ONE corpus pass that feeds
+    stages 2-6: the lazy stage chain re-ran the regex-heavy gate+scrub
+    three times (stage-2/3 agg, stage-4 count, stage-5 materialize) and
+    the Gopher tokenize twice (r16 measurement: those two subtrees were
+    the dominant repeated work in the capstone's 11.5 s cell). Still
+    ZERO exchanges, zero Python, no joins — the same plan-budget class
+    as the filters it fuses."""
+    ws, ls, n_sym = _gopher_arrays(F.col("scrubbed"))
+    g = gated.withColumns({"_gws": ws, "_gls": ls, "_gsym": n_sym})
+    keep = _gopher_keep(
+        _gopher_metrics(F.col("_gws"), F.col("_gls"), F.col("_gsym"))
+    )
+    return g.select(
+        "doc_id",
+        "lang",
+        "source",
+        "scrubbed",
+        keep.alias("rule_keep"),
+        (qc_logit_narrow(F.col("scrubbed")) >= 0.0).alias("cls_keep"),
+    )
 
 
 def lines_dedup(g5: DataFrame) -> DataFrame:
@@ -764,22 +792,48 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows: list[tuple] = []
     rows.append((1, "ingest", docs.count(), None))
 
-    gated = gate_and_scrub(docs)
-    g = gated.agg(
+    # ONE materialized corpus pass carries the scrub plus both quality
+    # verdicts (guide §1.2 step 1 / §2.4: remove repeated passes before
+    # per-task tuning). The lazy chain re-ran gate_and_scrub (two
+    # corpus-wide regexp_replace) THREE times — under the stage-2/3 agg,
+    # the stage-4 count, and the stage-5 materialize — and the Gopher
+    # tokenize twice; flags make stages 2-5 cheap scans of one
+    # checkpoint. Filtering rule_keep then cls_keep equals filtering the
+    # conjunction, so every stage count (and the oracle hash) is
+    # unchanged — verified against the DuckDB oracle after the rewrite.
+    # scan_parallel first (guide §2.5 input parallelism): the documents
+    # scan is a single ~50 MB split at bench SFs, and the flag pass's
+    # per-row work (two scrub regexes + the Gopher arrays + the
+    # classifier's interpreted hashed-ngram fold) is the most expensive
+    # narrow projection in the engine — left on the scan's own splits it
+    # ran on ONE core (measured 6.6 s vs 0.75 s at sf0.1 for this
+    # subtree alone). At 100 TB the scan already has >= cores splits and
+    # scan_parallel is a no-op.
+    flagged = _materialize(
+        quality_flags(gate_and_scrub(scan_parallel(docs))),
+        "pretrain_flags",
+        sf_dir=sf_dir,
+    )
+    g = flagged.agg(
         F.count("*").alias("c"),
         F.sum(F.size(F.split("scrubbed", r"\s+"))).cast("bigint").alias("t"),
+        F.sum(F.col("rule_keep").cast("long")).alias("c4"),
+        F.sum((F.col("rule_keep") & F.col("cls_keep")).cast("long")).alias(
+            "c5"
+        ),
     ).first()
     rows.append((2, "quality_gate", g["c"], None))
     rows.append((3, "pii_scrub", g["c"], g["t"] or 0))
 
     # stages 4-6: the quality battery (rules → classifier → line dedup),
-    # the exact order Gopher/RefinedWeb run before any document dedup
-    g4 = gopher_filter(gated)
-    rows.append((4, "gopher_rules", g4.count(), None))
+    # the exact order Gopher/RefinedWeb run before any document dedup —
+    # counts come from the flag sums above (same one-pass agg)
+    rows.append((4, "gopher_rules", g["c4"], None))
+    rows.append((5, "quality_classifier", g["c5"], None))
 
-    g5 = _materialize(classifier_filter(g4), "pretrain_g5", sf_dir=sf_dir)
-    rows.append((5, "quality_classifier", g5.count(), None))
-
+    g5 = flagged.filter(F.col("rule_keep") & F.col("cls_keep")).select(
+        "doc_id", "lang", "source", "scrubbed"
+    )
     g6 = _materialize(lines_dedup(g5), "pretrain_g6", sf_dir=sf_dir)
     s6l = g6.agg(
         F.count("*").alias("c"),
