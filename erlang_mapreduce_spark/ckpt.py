@@ -95,7 +95,11 @@ _CURRENT_LEASES: list[BlockLease] = []
 # Cross-invocation keyed cache: key -> (df, lease). Bounded LRU; eviction
 # frees blocks and kills the lease.
 _SHARED: "OrderedDict[object, tuple[DataFrame, BlockLease]]" = OrderedDict()
-_SHARED_CAP = 6
+# 8 = one corpus's full shared-table set (members, rep docs, 2× gram sets,
+# jaccard pairs, substring spans — 6 as of r16) plus headroom: sitting
+# exactly at the cap made every additional shared key evict a live LRU
+# entry mid-pass (the r13-ADVICE thrash class this cap exists to avoid).
+_SHARED_CAP = 8
 
 
 def set_shared_cap(n: int) -> int:

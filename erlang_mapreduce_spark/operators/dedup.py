@@ -1687,7 +1687,24 @@ def _rep_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by (pair, diagonal) — skew-bounded by real overlap length, not
     corpus size. Anchors are xxhash64 of the gram string (in-engine join
     key only; the oracles join raw strings — the usual 2^-64 collision
-    class)."""
+    class).
+
+    Materialized ONCE per (session, corpus) via ``_shared_materialize``
+    (r16, guide §1.2 step 1): dedup_substring and dedup_substring_scrub
+    both start from this exact table, and each invocation was rebuilding
+    the whole anchor index + chain pipeline privately — the same
+    dedupe-the-build reasoning as ``_rep_jaccard_pairs``. The table is
+    O(overlapping pairs) rows, far below the gram sets already cached."""
+    return _shared_materialize(
+        spark, sf_dir, "rep_substring_spans",
+        lambda: _build_rep_substring_spans(spark, sf_dir),
+    )
+
+
+def _build_rep_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy span pipeline behind `_rep_substring_spans` (see its
+    docstring for the algorithm); separated so the shared-materialize
+    wrapper stays one expression."""
     reps = _shared_rep_docs(spark, sf_dir)
     toks = reps.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws")

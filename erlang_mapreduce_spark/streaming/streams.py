@@ -1122,8 +1122,6 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting table rides along with ingest for free; the heavy work
     (the per-DISTINCT-word Arrow encode) is per-batch and
     vocabulary-sized, identical to the batch plan shape."""
-    from ..operators.bpe import doc_token_counts
-
     d = _materialize_doc_chunks(sf_dir)
     base = os.path.join(
         "/tmp/spark_graft_tokbudget",
@@ -1139,13 +1137,29 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         # highest version < N (v{N} itself may already exist from the first
         # attempt — reading it would double-count N and self-overwrite the
         # parquet path being read; round-12 ADVICE item 1).
+        # fused delta (r16, guide §2.4): doc_token_counts' own wordless-doc
+        # rejoin (docs ⋈ per_doc LEFT) fed a SECOND join against (doc_id,
+        # source) — two batch-keyed shuffles per micro-batch where one
+        # suffices. Carrying source through the left join directly drops
+        # one join per batch; coalesce(n_tokens, 0) keeps wordless docs in
+        # n_docs with 0 tokens, so the per-source sums are identical.
+        from ..operators.bpe import _byte_ids_udf, doc_word_rows_bytes, word_ids
+
+        dw = doc_word_rows_bytes(batch_df)
+        per_doc = (
+            dw.join(word_ids(dw, _byte_ids_udf), "word")
+            .groupBy("doc_id")
+            .agg(F.sum(F.size("ids")).alias("n_tokens"))
+        )
         delta = (
-            doc_token_counts(batch_df)
-            .join(batch_df.select("doc_id", "source"), "doc_id")
+            batch_df.select("doc_id", "source")
+            .join(per_doc, "doc_id", "left")
             .groupBy("source")
             .agg(
                 F.count("*").cast("long").alias("n_docs"),
-                F.sum("n_tokens").alias("total_tokens"),
+                F.sum(F.coalesce("n_tokens", F.lit(0)))
+                .cast("long")
+                .alias("total_tokens"),
             )
         )
         prev_ids = [b for b in versions if b < batch_id]

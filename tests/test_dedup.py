@@ -721,3 +721,33 @@ def test_dedup_semantic_zero_norm_twins(spark, tmp_path):
         assert rows[v].is_dup is False, rows[v]
     # the nonzero verbatim twin expands to is_dup=true (cos 1.0 ≥ τ)
     assert rows[5].is_dup is True, rows[5]
+
+
+def test_substring_spans_shared_across_ops(spark, sf_dir):
+    """r16: `_rep_substring_spans` is materialized once per (session,
+    corpus) via `_shared_materialize` and REUSED by dedup_substring and
+    dedup_substring_scrub — the `_rep_jaccard_pairs` dedupe-the-build
+    device. Pins (a) a `rep_substring_spans` key lands in the shared LRU
+    after the first op, (b) the second op adds NO second spans key (it
+    reuses the first build), and (c) both ops' answers over the shared
+    table stay non-trivially populated."""
+    from erlang_mapreduce_spark import ckpt
+    from erlang_mapreduce_spark.operators.dedup import (
+        dedup_substring,
+        dedup_substring_scrub,
+    )
+
+    def span_keys():
+        return {
+            k for k in ckpt._SHARED if "rep_substring_spans" in str(k)
+        }
+
+    a = dedup_substring(spark, sf_dir).collect()
+    keys_after_first = span_keys()
+    assert keys_after_first, "first op did not populate the shared key"
+    b = dedup_substring_scrub(spark, sf_dir).collect()
+    assert span_keys() == keys_after_first, (
+        "second op rebuilt the spans under a new key instead of reusing"
+    )
+    assert a and b
+    assert any(r.n_removed > 0 for r in b)

@@ -390,11 +390,27 @@ def test_dedup_substring_posting_list_shape(spark, sf_dir):
     occurrence count + ONE partial/final posting-list collect (the
     ObjectHashAggregate pair), exactly one (pair, diagonal) run window,
     and a bounded exchange budget — a regression to a gram self-join or
-    a second window cannot land silently."""
-    p = plan_of(QUERIES["dedup_substring"](spark, sf_dir))
+    a second window cannot land silently.
+
+    r16: the span table is `_shared_materialize`d across
+    dedup_substring/dedup_substring_scrub (the `_rep_jaccard_pairs`
+    device), so the OP plan reads the shared checkpoint — the pin now
+    targets the span BUILDER's lazy plan, where the shape lives, and
+    additionally asserts the op plan really does consume the checkpoint
+    (no private rebuild)."""
+    from erlang_mapreduce_spark.operators.dedup import (
+        _build_rep_substring_spans,
+    )
+
+    p = plan_of(_build_rep_substring_spans(spark, sf_dir))
     assert count_nodes(p, "Window") == 1
     assert count_nodes(p, "ObjectHashAggregate") == 2, p
     assert count_nodes(p, "Exchange") <= 7, p
+    po = plan_of(QUERIES["dedup_substring"](spark, sf_dir))
+    assert count_nodes(po, "ObjectHashAggregate") == 0, (
+        "op plan rebuilt the posting-list pipeline instead of reading "
+        "the shared spans checkpoint"
+    )
 
 
 def test_triangle_count_stays_collapsed(spark, sf_dir):
