@@ -170,7 +170,7 @@ def quality_flags(gated: DataFrame) -> DataFrame:
     stages 2-6: the lazy stage chain re-ran the regex-heavy gate+scrub
     three times (stage-2/3 agg, stage-4 count, stage-5 materialize) and
     the Gopher tokenize twice (r16 measurement: those two subtrees were
-    the dominant repeated work in the capstone's 11.5 s cell). Still
+    the dominant repeated work in the capstone's ~28 s cell). Still
     ZERO exchanges, zero Python, no joins — the same plan-budget class
     as the filters it fuses."""
     ws, ls, n_sym = _gopher_arrays(F.col("scrubbed"))
