@@ -162,7 +162,24 @@ TRACKED_ONLY = (
 # timed passes and one after EVERY pass (main, stall-rerun, extension),
 # median reported, all samples persisted (r15 VERDICT task 2: a single
 # pre-pass sample swung −33% between rounds and poisoned the normalized
-# chain). Two machine-noise
+# chain). r17 (r16 VERDICT what's-wrong #4): the iso fallback no longer
+# SUBSTITUTES the fresh-JVM median into the official cell — substituting
+# a fresh-JVM number into a suite-context column mixes two populations
+# and manufactured a phantom −28% on pipeline_seq_pack in r16 (in-suite
+# 0.935 vs substituted 1.337); the official cell stays the in-suite
+# median and the isolated re-measure is DISCLOSED ALONGSIDE under
+# "isolated_check" as {op: [in_suite, isolated]}, so cross-round
+# comparisons are like-for-like and the ambient-vs-code question is
+# still answerable from the artifact. r17 also times one COLD (shared
+# caches cleared) invocation per shared-cache consumer after the timed
+# passes (r16 VERDICT task 2) — headline cells stay warm-context, but
+# the one-time shared build cost is now visible per round under
+# "shared_cold"/"cold_over_warm" so optimization deltas cannot hide in
+# the untimed warmup — and embeds each tail-sweep adjudication value in
+# the OFFICIAL line's sweep_reg as [prev, flagged, adjudicated]
+# (r16 VERDICT task 5: the 32-core artifact shipped flags whose
+# exonerating evidence the next detail-file rewrite destroyed). Two
+# machine-noise
 # guards complete the instrument: an UNTIMED pass at the bench SF
 # before timing (page-cache warm — cold sf0.1 reads ran pass 0 at ~1.5x
 # steady state) and STALLED-PASS rejection (a pass whose all-op total
@@ -173,7 +190,7 @@ TRACKED_ONLY = (
 # extension pass re-poisoned exactly the high-IQR ops the median-of-7
 # was meant to stabilize). Per-op spread is recorded as the interpolated IQR of
 # all passes in BENCH_local_detail.json.
-METHODOLOGY = "median-of-5-interleaved+adaptive-9+iso-fallback"
+METHODOLOGY = "median-of-5-interleaved+adaptive-9+iso-check"
 N_PASSES = 5
 
 
@@ -365,21 +382,58 @@ def main() -> None:
     timings = {n: _median(ts) for n, ts in passes.items()}
     iqr = {n: _iqr(ts) for n, ts in passes.items()}
 
-    # last resort (r15 VERDICT task 5): a HEADLINE op still over 30%
-    # after 9 passes is re-measured by tools/isolated_timing.py in a
-    # FRESH subprocess JVM — the bench session is stopped first (the r15
-    # adjudication lesson: a live 32-thread JVM inflated a 3 s op to
-    # 26 s) — and the official cell becomes that fresh isolated median.
-    # Never a stale prior-round isolated value: ambient machine speed
-    # drifts round-to-round (see cpu_ref_samples), so only a same-run
-    # re-measure is comparable. The substitution is disclosed in the
-    # official line; timed work is over by here, so stopping the session
-    # costs nothing (the adjudication step re-stops harmlessly).
+    # Cold first-invocation probes for the shared-cache consumers (r16
+    # VERDICT task 2): every op below reads at least one table built via
+    # dedup._shared_materialize (gram sets, member map, jaccard pairs,
+    # substring spans), so its warm official cell NEVER includes the
+    # one-time shared build — the untimed warmup pays it. One probe per
+    # op, shared caches cleared first, makes the build-inclusive cost a
+    # per-round measured figure: an "optimization" that merely moves work
+    # into the shared build now shows up as a rising cold/warm ratio.
+    # Probes run AFTER the timed passes so cache-clearing cannot poison
+    # an official cell, in the same (warm-JVM) session so cold isolates
+    # the cache state, not JVM startup.
+    from erlang_mapreduce_spark.ckpt import release_shared
+    from erlang_mapreduce_spark.operators import dedup as _dedup_mod
+
+    SHARED_CONSUMERS = (
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_cluster_cc",
+        "dedup_substring",
+        "dedup_substring_scrub",
+        "graph_triangle_count",
+    )
+    shared_cold: dict[str, dict[str, float]] = {}
+    for name in SHARED_CONSUMERS:
+        release_shared()
+        _dedup_mod._DURABLE_SHARED.clear()
+        release_transient_storage()
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, sf_dir))
+        cold = round(time.perf_counter() - t0, 3)
+        release_transient_storage()
+        warm = timings.get(name)
+        shared_cold[name] = {"cold": cold, "warm": warm}
+
+    # last resort (r15 VERDICT task 5 as amended by r16 what's-wrong #4):
+    # a HEADLINE op still over 30% after 9 passes is re-measured by
+    # tools/isolated_timing.py in a FRESH subprocess JVM — the bench
+    # session is stopped first (the r15 adjudication lesson: a live
+    # 32-thread JVM inflated a 3 s op to 26 s). The fresh median is
+    # DISCLOSED alongside the in-suite median ("isolated_check"), never
+    # substituted into the official cell: substituting mixed two
+    # populations and manufactured a phantom −28% regression on
+    # pipeline_seq_pack in r16. Never a stale prior-round isolated
+    # value: ambient machine speed drifts round-to-round (see
+    # cpu_ref_samples), so only a same-run re-measure is comparable.
     noisy_final = [
         n for n in HEADLINE
         if timings[n] > 0 and 100.0 * iqr[n] / timings[n] > 30.0
     ]
-    isolated_substituted: dict[str, list[float]] = {}
+    isolated_check: dict[str, list[float]] = {}
     iso_merged: dict | None = None
     if noisy_final and os.environ.get("SPARK_GRAFT_SWEEP", "1") == "1":
         spark.stop()
@@ -397,9 +451,7 @@ def main() -> None:
         for n in noisy_final:
             iso = (iso_merged or {}).get(n)
             if isinstance(iso, dict) and iso.get("median"):
-                isolated_substituted[n] = [timings[n], iso["median"]]
-                timings[n] = iso["median"]
-                iqr[n] = _iqr(iso.get("passes", [iso["median"]]))
+                isolated_check[n] = [timings[n], iso["median"]]
 
     cpu_ref = _median(cpu_ref_samples)
 
@@ -441,14 +493,24 @@ def main() -> None:
         ),
         "sf": sf,
     }
-    if isolated_substituted:
-        # disclosure: {op: [in-suite median it replaced, isolated median]}
-        compact["isolated_substituted"] = isolated_substituted
+    if isolated_check:
+        # disclosure: {op: [official in-suite median, fresh-JVM isolated
+        # median]} — the official cell is the FIRST element (no
+        # substitution; see the methodology note)
+        compact["isolated_check"] = isolated_check
+    # VERDICT-checkable cold/warm ratio per shared-cache consumer in the
+    # official line (compact — the full {cold, warm} dict is in detail)
+    compact["cold_over_warm"] = {
+        n: round(v["cold"] / v["warm"], 2)
+        for n, v in shared_cold.items()
+        if v["warm"]
+    }
     detail = {**compact, "tracked_only": {k: timings[k] for k in TRACKED_ONLY},
               "passes": passes, "iqr": iqr,
               "stalled_pass_reruns": stalled_reruns,
               "cpu_ref_samples": cpu_ref_samples,
-              "ext_passes": ext_pass_totals}
+              "ext_passes": ext_pass_totals,
+              "shared_cold": shared_cold}
     # preserve per-op isolated re-timings (tools/isolated_timing.py,
     # "isolated") across full-bench rewrites, so drift adjudications and
     # tail-op evidence stay next to the medians; if the iso-fallback just
@@ -520,6 +582,19 @@ def main() -> None:
                 detail["adjudication"] = json.load(f).get("adjudication", {})
         except (OSError, ValueError):
             pass
+        # Embed each adjudication IN the official artifact next to its
+        # flag (r16 VERDICT task 5): the detail file is single-slot — the
+        # r16 8-core run's rewrite destroyed the 32-core run's
+        # exonerating evidence — so the official line's sweep_reg rows
+        # become [prev, flagged, adjudicated] and survive with the round.
+        for o in list(compact["sweep_reg"]):
+            adj = detail["adjudication"].get(o)
+            if adj is not None:
+                compact["sweep_reg"][o] = compact["sweep_reg"][o][:2] + [adj]
+        for o in list(detail["sweep_reg"]):
+            adj = detail["adjudication"].get(o)
+            if adj is not None:
+                detail["sweep_reg"][o] = detail["sweep_reg"][o][:2] + [adj]
 
     # Normalized cross-round table (r14 VERDICT task 1): official totals
     # divided by each round's cpu_ref_sec, so ambient shared-VM speed drops

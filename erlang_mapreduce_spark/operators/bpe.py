@@ -362,6 +362,22 @@ def word_ids(dw: DataFrame, ids_udf=None) -> DataFrame:
     )
 
 
+def doc_token_counts_pre_rejoin(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) for every document WITH AT LEAST ONE WORD — the
+    per-doc aggregate BEFORE the wordless-doc rejoin. The ONE byte-level
+    tokenizer definition (r16 ADVICE item 3): `doc_token_counts` adds the
+    docs-LEFT-join that restores wordless/NULL texts as 0, and
+    streaming's per-batch token-budget delta (streams.py) rides its own
+    columns through that same LEFT join instead — both consume THIS
+    aggregate, so a tokenizer change lands in both paths by construction."""
+    dw = doc_word_rows_bytes(docs)
+    return (
+        dw.join(word_ids(dw, _byte_ids_udf), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("ids")).alias("n_tokens"))
+    )
+
+
 def doc_token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens) for EVERY document (0 for wordless/NULL texts) —
     the training-token budget `pipeline_seq_pack` packs on. BYTE-LEVEL
@@ -369,12 +385,7 @@ def doc_token_counts(docs: DataFrame) -> DataFrame:
     a pile of <unk> characters (semantically wrong, not approximate), so
     anything consuming budgets uses the byte table — every id is real on
     any input."""
-    dw = doc_word_rows_bytes(docs)
-    per_doc = (
-        dw.join(word_ids(dw, _byte_ids_udf), "word")
-        .groupBy("doc_id")
-        .agg(F.sum(F.size("ids")).alias("n_tokens"))
-    )
+    per_doc = doc_token_counts_pre_rejoin(docs)
     return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id", F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens")
     )

@@ -2010,17 +2010,17 @@ def _sem_assign_cte() -> str:
     from .similarity import IVF_DIM
 
     return f"""
-edim AS (
+edim AS MATERIALIZED (
     SELECT vec_id, CAST(i AS INTEGER) AS dim, vm[CAST(i AS INTEGER)] AS val
     FROM em, range(1, {IVF_DIM + 1}) t(i)
 ),
-dists AS (
+dists AS MATERIALIZED (
     SELECT e.vec_id, c.cell,
            sum((e.val - c.val) * (e.val - c.val)) AS d
     FROM edim e JOIN cen c USING (dim)
     GROUP BY 1, 2
 ),
-assign AS (
+assign AS MATERIALIZED (
     SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id
@@ -2028,11 +2028,11 @@ assign AS (
         FROM dists
     ) WHERE rn = 1
 ),
-cvec AS (
+cvec AS MATERIALIZED (
     SELECT cell, list(CAST(val AS DOUBLE) ORDER BY dim) AS cv
     FROM cen GROUP BY cell
 ),
-ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 """
 
 
@@ -2042,12 +2042,12 @@ def _sem_oracle() -> str:
     return f"""
 {_ivf_cte().rstrip().rstrip(',')},
 {_sem_assign_cte().strip()},
-mem AS (
+mem AS MATERIALIZED (
     SELECT a.vec_id, a.cell,
            round(list_cosine_similarity(ev.v, cvec.cv), 6) AS cent_cos
     FROM assign a JOIN ev USING (vec_id) JOIN cvec USING (cell)
 ),
-dups AS (
+dups AS MATERIALIZED (
     SELECT b.vec_id
     FROM mem a
     JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id

@@ -827,9 +827,12 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stages 4-6: the quality battery (rules → classifier → line dedup),
     # the exact order Gopher/RefinedWeb run before any document dedup —
-    # counts come from the flag sums above (same one-pass agg)
-    rows.append((4, "gopher_rules", g["c4"], None))
-    rows.append((5, "quality_classifier", g["c5"], None))
+    # counts come from the flag sums above (same one-pass agg). `or 0`
+    # guards the degenerate all-filtered corpus: F.sum over zero rows is
+    # NULL where the previous g4.count()/g5.count() (and the oracle's
+    # count(*)) return 0 (r16 ADVICE item 1; stage 3 already guards t).
+    rows.append((4, "gopher_rules", g["c4"] or 0, None))
+    rows.append((5, "quality_classifier", g["c5"] or 0, None))
 
     g5 = flagged.filter(F.col("rule_keep") & F.col("cls_keep")).select(
         "doc_id", "lang", "source", "scrubbed"

@@ -437,7 +437,7 @@ def _ivf_cte() -> str:
     for i in range(1, IVF_ITERS + 1):
         p = i - 1
         rounds.append(f"""
-a{i} AS (
+a{i} AS MATERIALIZED (
     SELECT sid, cell FROM (
         SELECT d.sid, d.cell,
                row_number() OVER (PARTITION BY d.sid
@@ -448,7 +448,7 @@ a{i} AS (
               GROUP BY s.sid, c.cell) d
     ) WHERE rn = 1
 ),
-c{i} AS (
+c{i} AS MATERIALIZED (
     SELECT c.cell, c.dim, coalesce(m.val, c.val) AS val
     FROM c{p} c
     LEFT JOIN (
@@ -460,13 +460,13 @@ c{i} AS (
     ) m ON m.cell = c.cell AND m.dim = c.dim
 )""")
     return f"""
-WITH em AS (
+WITH em AS MATERIALIZED (
     SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> CAST(floor(x * {_MICRO}) AS BIGINT)) AS vm
     FROM embeddings
 ),
-spread AS (
+spread AS MATERIALIZED (
     SELECT vec_id, vm FROM em
     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
           % 4 = 0
@@ -475,25 +475,25 @@ pick AS (
     SELECT (SELECT count(*) FROM (SELECT 1 FROM spread LIMIT {IVF_K}))
            < {IVF_K} AS use_all
 ),
-samp AS (
+samp AS MATERIALIZED (
     SELECT vec_id AS sid, vm FROM (
         SELECT vec_id, vm FROM spread WHERE NOT (SELECT use_all FROM pick)
         UNION ALL
         SELECT vec_id, vm FROM em WHERE (SELECT use_all FROM pick)
     ) ORDER BY vec_id LIMIT {IVF_TRAIN_CAP}
 ),
-sdim AS (
+sdim AS MATERIALIZED (
     SELECT sid, CAST(i AS INTEGER) AS dim, vm[CAST(i AS INTEGER)] AS val
     FROM samp, range(1, {IVF_DIM + 1}) t(i)
 ),
-ranked AS (SELECT vm, row_number() OVER (ORDER BY sid) AS rn FROM samp),
-c0 AS (
+ranked AS MATERIALIZED (SELECT vm, row_number() OVER (ORDER BY sid) AS rn FROM samp),
+c0 AS MATERIALIZED (
     SELECT CAST(rn - 1 AS INTEGER) AS cell, CAST(i AS INTEGER) AS dim,
            vm[CAST(i AS INTEGER)] AS val
     FROM ranked, range(1, {IVF_DIM + 1}) t(i)
     WHERE rn <= {IVF_K}
 ),{",".join(rounds)},
-cen AS (SELECT cell, dim, val FROM c{IVF_ITERS})
+cen AS MATERIALIZED (SELECT cell, dim, val FROM c{IVF_ITERS})
 """
 
 
@@ -692,7 +692,7 @@ def _pq_cte() -> str:
     for i in range(1, PQ_ITERS + 1):
         p = i - 1
         rounds.append(f"""
-pa{i} AS (
+pa{i} AS MATERIALIZED (
     SELECT sid, sub, cell FROM (
         SELECT d.sid, d.sub, d.cell,
                row_number() OVER (PARTITION BY d.sid, d.sub
@@ -703,7 +703,7 @@ pa{i} AS (
               GROUP BY 1, 2, 3) d
     ) WHERE rn = 1
 ),
-pc{i} AS (
+pc{i} AS MATERIALIZED (
     SELECT c.sub, c.cell, c.dim, coalesce(m.val, c.val) AS val
     FROM pc{p} c
     LEFT JOIN (
@@ -715,13 +715,13 @@ pc{i} AS (
     ) m ON m.sub = c.sub AND m.cell = c.cell AND m.dim = c.dim
 )""")
     return f"""
-WITH em AS (
+WITH em AS MATERIALIZED (
     SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> CAST(floor(x * {_MICRO}) AS BIGINT)) AS vm
     FROM embeddings
 ),
-spread AS (
+spread AS MATERIALIZED (
     SELECT vec_id, vm FROM em
     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
           % 4 = 0
@@ -730,21 +730,21 @@ pick AS (
     SELECT (SELECT count(*) FROM (SELECT 1 FROM spread LIMIT {IVF_K}))
            < {IVF_K} AS use_all
 ),
-samp AS (
+samp AS MATERIALIZED (
     SELECT vec_id AS sid, vm FROM (
         SELECT vec_id, vm FROM spread WHERE NOT (SELECT use_all FROM pick)
         UNION ALL
         SELECT vec_id, vm FROM em WHERE (SELECT use_all FROM pick)
     ) ORDER BY vec_id LIMIT {IVF_TRAIN_CAP}
 ),
-ssub AS (
+ssub AS MATERIALIZED (
     SELECT sid, CAST((i - 1) // {PQ_DSUB} AS INTEGER) AS sub,
            CAST((i - 1) % {PQ_DSUB} + 1 AS INTEGER) AS dim,
            vm[CAST(i AS INTEGER)] AS val
     FROM samp, range(1, {IVF_DIM + 1}) t(i)
 ),
-ranked AS (SELECT vm, row_number() OVER (ORDER BY sid) AS rn FROM samp),
-pc0 AS (
+ranked AS MATERIALIZED (SELECT vm, row_number() OVER (ORDER BY sid) AS rn FROM samp),
+pc0 AS MATERIALIZED (
     SELECT CAST((i - 1) // {PQ_DSUB} AS INTEGER) AS sub,
            CAST(rn - 1 AS INTEGER) AS cell,
            CAST((i - 1) % {PQ_DSUB} + 1 AS INTEGER) AS dim,
@@ -752,7 +752,7 @@ pc0 AS (
     FROM ranked, range(1, {IVF_DIM + 1}) t(i)
     WHERE rn <= {PQ_KS}
 ),{",".join(rounds)},
-pcb AS (SELECT sub, cell, dim, val FROM pc{PQ_ITERS})
+pcb AS MATERIALIZED (SELECT sub, cell, dim, val FROM pc{PQ_ITERS})
 """
 
 

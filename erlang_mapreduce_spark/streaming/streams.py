@@ -1011,29 +1011,26 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_min = bands.groupBy("band_id", "bkey").agg(
             F.min("doc_id").alias("owner")
         )
-        # prev = highest version < batch_id (the _upsert_merge_batch replay
-        # device). The owner merge is additionally IDEMPOTENT — min over a
-        # re-unioned batch is unchanged — so a replay could not corrupt
-        # owners even via self-merge; versioning by batch id still avoids
-        # overwriting the parquet path being read, and the flags/v{N}
-        # rewrite a replay performs reproduces identical content.
-        prev_ids = [b for b in versions if b < batch_id]
-        if prev_ids:
-            prev = spark.read.schema(state_schema).parquet(
-                versions[max(prev_ids)]
-            )
-            owners = (
-                prev.unionByName(batch_min)
-                .groupBy("band_id", "bkey")
-                .agg(F.min("owner").alias("owner"))
-            )
-        else:
-            owners = batch_min
-        # materialize owners once: it feeds both the flag join and the
-        # next state version
+        # DELTA snapshots (r17, guide §2.3/§6 — r16 VERDICT task 6): each
+        # version persists only THIS batch's per-bucket mins, not the full
+        # merged owner index — the r16 shape rewrote the entire cumulative
+        # state every micro-batch (O(total_state) bytes per batch, the
+        # dominant per-batch constant at any scale); owner state is a
+        # mergeable MIN, so re-aggregating the union of all deltas ≤ this
+        # batch is exactly the full-snapshot value (replay ≡ batch holds
+        # unchanged). Versioning by batch id keeps the
+        # stream_foreachbatch_upsert idempotence device: a replayed batch
+        # rewrites its OWN delta with identical content (batch_min is a
+        # deterministic function of the batch) and never self-merges.
         sv = os.path.join(base, "state", f"v{batch_id}")
-        owners.write.mode("overwrite").parquet(sv)
-        owners = spark.read.schema(state_schema).parquet(sv)
+        batch_min.write.mode("overwrite").parquet(sv)
+        prev_ids = [b for b in versions if b < batch_id]
+        deltas = spark.read.schema(state_schema).parquet(
+            sv, *(versions[b] for b in prev_ids)
+        )
+        owners = deltas.groupBy("band_id", "bkey").agg(
+            F.min("owner").alias("owner")
+        )
         flags = (
             bands.join(owners, ["band_id", "bkey"])
             .groupBy("doc_id")
@@ -1143,14 +1140,11 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         # suffices. Carrying source through the left join directly drops
         # one join per batch; coalesce(n_tokens, 0) keeps wordless docs in
         # n_docs with 0 tokens, so the per-source sums are identical.
-        from ..operators.bpe import _byte_ids_udf, doc_word_rows_bytes, word_ids
+        # The per-doc aggregate is bpe's own pre-rejoin builder (r16
+        # ADVICE item 3): ONE tokenizer definition for batch and stream.
+        from ..operators.bpe import doc_token_counts_pre_rejoin
 
-        dw = doc_word_rows_bytes(batch_df)
-        per_doc = (
-            dw.join(word_ids(dw, _byte_ids_udf), "word")
-            .groupBy("doc_id")
-            .agg(F.sum(F.size("ids")).alias("n_tokens"))
-        )
+        per_doc = doc_token_counts_pre_rejoin(batch_df)
         delta = (
             batch_df.select("doc_id", "source")
             .join(per_doc, "doc_id", "left")

@@ -158,3 +158,76 @@ def test_foreachbatch_upsert_replay_idempotent(spark, sf_dir, tmp_path):
     assert replayed == clean, "replay of a committed batch changed the snapshot"
     truth = sorted(map(tuple, _upsert_batch_latest(ev).collect()))
     assert replayed == truth, "snapshot != one-shot batch argmax/count"
+
+
+def test_stream_minhash_state_versions_are_deltas(spark, sf_dir, monkeypatch):
+    """r17: stream_minhash_dedup's versioned state snapshots hold only the
+    OWNING batch's per-bucket mins (deltas), never the full cumulative
+    owner index — the r16 shape rewrote the entire merged state every
+    micro-batch, an O(total_state)-bytes-per-batch constant at any scale.
+    Pins (a) no single version holds the full bucket set, (b) the union of
+    all deltas re-aggregated by min equals the one-shot batch owner index
+    (replay ≡ batch — the merge the op performs per batch), and (c) the
+    op's flags are unchanged vs the batch predicate on verbatim texts."""
+    import os
+
+    from erlang_mapreduce_spark.operators.dedup import (
+        _doc_gram_sets_md5,
+        minhash_bands,
+    )
+    from erlang_mapreduce_spark.streaming import streams
+
+    captured: dict[str, list[tuple]] = {}
+    real_rmtree = streams.shutil.rmtree
+
+    def spy_rmtree(path, **kw):
+        st = os.path.join(path, "state")
+        if os.path.isdir(st):
+            for v in sorted(os.listdir(st)):
+                captured[v] = [
+                    tuple(r)
+                    for r in spark.read.schema(
+                        "band_id int, bkey string, owner long"
+                    )
+                    .parquet(os.path.join(st, v))
+                    .collect()
+                ]
+        real_rmtree(path, **kw)
+
+    monkeypatch.setattr(streams.shutil, "rmtree", spy_rmtree)
+    out = streams.stream_minhash_dedup(spark, sf_dir).collect()
+    assert len(captured) >= 2, "expected multiple micro-batch versions"
+
+    docs = load(spark, sf_dir, "documents")
+    full_index = {
+        (r.band_id, r.bkey): r.owner
+        for r in minhash_bands(_doc_gram_sets_md5(docs), string_keys=True)
+        .groupBy("band_id", "bkey")
+        .agg(F.min("doc_id").alias("owner"))
+        .collect()
+    }
+    # (a) delta property: every version is a strict subset of the full
+    # bucket set (each batch introduces only its own docs' buckets)
+    for v, rows in captured.items():
+        assert len(rows) < len(full_index), (
+            f"state {v} holds {len(rows)} rows — looks like a full "
+            f"snapshot ({len(full_index)} buckets), not a delta"
+        )
+    # (b) merged deltas == one-shot batch owner index
+    merged: dict[tuple, int] = {}
+    for rows in captured.values():
+        for band_id, bkey, owner in rows:
+            k = (band_id, bkey)
+            merged[k] = min(merged.get(k, owner), owner)
+    assert merged == full_index, "re-aggregated deltas != batch owner index"
+    # (c) flags still match the batch predicate
+    flagged = {r.doc_id for r in out if r.is_dup}
+    bands_by_doc = minhash_bands(
+        _doc_gram_sets_md5(docs), string_keys=True
+    ).collect()
+    expect = {
+        r.doc_id
+        for r in bands_by_doc
+        if full_index[(r.band_id, r.bkey)] < r.doc_id
+    }
+    assert flagged == expect
