@@ -16,7 +16,7 @@ stage (or in the export round-trip) moves a downstream count. The
 components are the same machinery the standalone ops use
 (`pipeline_corpus_clean`'s gate/scrub, `text_gopher_rules`' rule
 battery, `quality_classifier_score`'s hashed-ngram linear model (in its
-constant-folded narrow inference shape, `qc_logit_narrow`),
+narrow Arrow-vectorized inference shape, `qc_logit_arrow`),
 `dedup_lines_global`'s keep-first line dedup, `dedup_exact`'s keep-first,
 `dedup_minhash`'s banded LSH + exact-Jaccard verify,
 `dedup_substring_scrub`'s gaps-and-islands span removal,
@@ -90,7 +90,8 @@ from .curation import (
     _packed_first_key,
     _qc_score_ctes,
     _SPLIT_TRAIN_LT,
-    qc_logit_narrow,
+    qc_logit_expr,
+    qc_narrow_scores,
 )
 from .dedup import (
     JACCARD_T,
@@ -154,10 +155,14 @@ def classifier_filter(g4: DataFrame) -> DataFrame:
     """Stage 5: model-based quality filter (quality_classifier_score's
     hashed unigram+bigram linear model) in its INFERENCE shape — the
     QC_NB-entry seeded weight table constant-folded into a per-row
-    `qc_logit_narrow` fold (curation.py), so the stage adds ZERO
-    exchanges and ZERO joins to the pipeline; keep logit >= 0 (the
-    standalone op's keep rule)."""
-    return g4.filter(qc_logit_narrow(F.col("scrubbed")) >= 0.0)
+    Arrow-vectorized `qc_narrow_scores` scorer (curation.py; r17 —
+    value-identical to the r16 JVM fold, 2.3× faster, see the equality
+    pin test), so the stage adds ZERO exchanges and ZERO joins to the
+    pipeline; keep logit >= 0 (the standalone op's keep rule). The
+    struct is STAGED through its own projection per the scorer's usage
+    contract (one ArrowEvalPython, not two)."""
+    staged = g4.withColumn("_qs", qc_narrow_scores(F.col("scrubbed")))
+    return staged.filter(qc_logit_expr(F.col("_qs")) >= 0.0).drop("_qs")
 
 
 def quality_flags(gated: DataFrame) -> DataFrame:
@@ -171,10 +176,19 @@ def quality_flags(gated: DataFrame) -> DataFrame:
     three times (stage-2/3 agg, stage-4 count, stage-5 materialize) and
     the Gopher tokenize twice (r16 measurement: those two subtrees were
     the dominant repeated work in the capstone's ~28 s cell). Still
-    ZERO exchanges, zero Python, no joins — the same plan-budget class
-    as the filters it fuses."""
+    ZERO exchanges and no joins — the same plan-budget class as the
+    filters it fuses; the classifier verdict crosses the Arrow boundary
+    as ONE narrow batched projection (r17 — qc_narrow_scores staged per
+    its usage contract, logit derived from the aliased struct)."""
     ws, ls, n_sym = _gopher_arrays(F.col("scrubbed"))
-    g = gated.withColumns({"_gws": ws, "_gls": ls, "_gsym": n_sym})
+    g = gated.withColumns(
+        {
+            "_gws": ws,
+            "_gls": ls,
+            "_gsym": n_sym,
+            "_qs": qc_narrow_scores(F.col("scrubbed")),
+        }
+    )
     keep = _gopher_keep(
         _gopher_metrics(F.col("_gws"), F.col("_gls"), F.col("_gsym"))
     )
@@ -184,7 +198,7 @@ def quality_flags(gated: DataFrame) -> DataFrame:
         "source",
         "scrubbed",
         keep.alias("rule_keep"),
-        (qc_logit_narrow(F.col("scrubbed")) >= 0.0).alias("cls_keep"),
+        (qc_logit_expr(F.col("_qs")) >= 0.0).alias("cls_keep"),
     )
 
 

@@ -1102,3 +1102,40 @@ def test_dedup_lines_global_semantics(spark, tmp_path):
     assert out[3].clean_text == "unique\n" and out[3].n_removed == 1
     assert out[4].clean_text is None and out[4].n_removed == 0
     assert out[5].clean_text == "" and out[5].n_removed == 0
+
+
+def test_qc_arrow_equals_jvm_fold(spark, sf_dir):
+    """r17: the Arrow-vectorized classifier scorer (`qc_logit_arrow`) is
+    VALUE-IDENTICAL to the pure-JVM HOF fold (`qc_logit_narrow`) on every
+    fixture document — including NULL texts (both NULL) and wordless
+    texts (both NULL via the 0/0 try_divide) — so the r17 hot-path swap
+    cannot drift from the reference implementation the oracles mirror.
+    Also pins the scorer's n_feats against the JVM feats size."""
+    from pyspark.sql import functions as F
+
+    from erlang_mapreduce_spark.operators.curation import (
+        _word_ngrams,
+        qc_logit_arrow,
+        qc_logit_narrow,
+        qc_narrow_scores,
+    )
+    from erlang_mapreduce_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+    )
+    feats_size = F.size(F.concat(ws, _word_ngrams(ws, 2)))
+    rows = d.select(
+        "doc_id",
+        qc_logit_narrow(F.col("text")).alias("jvm"),
+        qc_logit_arrow(F.col("text")).alias("arrow"),
+        feats_size.alias("jvm_nf"),
+        qc_narrow_scores(F.col("text"))["n_feats"].alias("arrow_nf"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.jvm == r.arrow, r
+        # size(NULL) is -1 in non-ANSI Spark; the Arrow scorer reports NULL
+        exp_nf = None if r.jvm_nf == -1 else r.jvm_nf
+        assert r.arrow_nf == exp_nf, r

@@ -490,8 +490,9 @@ def test_pretrain_capstone_stage_budgets(spark, sf_dir):
     end-to-end tree re-expands shared inputs, so its node count is not
     the executed cost): gate+scrub fuse narrowly over the scan; the
     gopher rule battery AND the classifier are pure narrow filters
-    (ZERO exchanges, zero Python — the classifier's weight table is
-    constant-folded, never joined); the global line dedup spends <= 4
+    (ZERO exchanges — the classifier is one Arrow-batched scorer with
+    the weight table memoized worker-side, never joined); the global
+    line dedup spends <= 4
     (line-key agg + join-back + doc reassembly) with NO window; exact
     dedup is ONE keyed shuffle; the minhash stage spends 3 (band
     self-join + candidate distinct + verify hydration); substring scrub
@@ -519,7 +520,10 @@ def test_pretrain_capstone_stage_budgets(spark, sf_dir):
     g5 = pt.classifier_filter(g4)
     p5 = plan_of(g5)
     assert count_nodes(p5, "Exchange") == 0, p5
-    assert "EvalPython" not in p5
+    # r17: the classifier is the Arrow-vectorized scorer — exactly ONE
+    # batched boundary crossing, never the row-at-a-time path
+    assert "BatchEvalPython" not in p5, p5
+    assert count_nodes(p5, "ArrowEvalPython") == 1, p5
     assert "Join" not in p5  # the weight table is folded, not joined
 
     g5c = g5.localCheckpoint()
@@ -586,27 +590,30 @@ def test_url_dedup_single_keyed_exchange(spark, sf_dir):
 def test_domain_filter_single_scan_single_agg(spark, sf_dir):
     """curate_domain_filter must carry all three per-doc signals (host,
     rule keep, classifier logit) on ONE corpus scan into ONE host-keyed
-    hash agg — no joins (the classifier weights are constant-folded, the
-    rule battery is a projection), no Python, no window."""
+    hash agg — no joins, no window; the classifier logit is the ONE
+    Arrow-vectorized narrow scorer (r17 — never the row-at-a-time
+    BatchEvalPython path, and never more than one boundary crossing)."""
     df = QUERIES["curate_domain_filter"](spark, sf_dir)
     p = plan_of(df)
     assert count_nodes(p, "Scan parquet") == 1, p
-    assert "EvalPython" not in p
+    assert "BatchEvalPython" not in p, p
+    assert count_nodes(p, "ArrowEvalPython") == 1, p
     assert "Join" not in p, p
     assert count_nodes(p, "Window") == 0
     assert p.count("hashpartitioning(") == 1, p
 
 
-def test_quality_classifier_single_scan_broadcast_model(spark, sf_dir):
-    """quality_classifier_score must be scan → explode → 2 hash aggs →
-    BROADCAST model join: one corpus scan, no sort-merge join, and the
-    only exchanges are the two aggregation shuffles (r14 VERDICT task 6)."""
+def test_quality_classifier_narrow_zero_exchange(spark, sf_dir):
+    """quality_classifier_score must be ONE corpus scan carrying the
+    Arrow-vectorized narrow scorer — zero joins, zero keyed exchanges,
+    zero windows, one ArrowEvalPython, no row-at-a-time Python (r17
+    rewrite of the explode → 2 hash aggs → broadcast-join plan; guide
+    §4.2, r16 VERDICT task 3)."""
     df = QUERIES["quality_classifier_score"](spark, sf_dir)
-    n = nodes_of(df)
-    assert n.count("Scan") == 1
-    assert any("BroadcastHashJoin" in x for x in n), n
-    assert not any("SortMergeJoin" in x for x in n), n
-    # exactly two KEY exchanges (the two hash aggs); the only other
-    # exchange allowed is scan_parallel's round-robin parallelism bootstrap
     p = plan_of(df)
-    assert p.count("hashpartitioning(") == 2, p
+    assert count_nodes(p, "Scan parquet") == 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert count_nodes(p, "ArrowEvalPython") == 1, p
+    assert count_nodes(p, "Window") == 0
+    assert p.count("hashpartitioning(") == 0, p
